@@ -1,0 +1,665 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QuerySpec, Tables => T}
+
+/** Standard relational operator surface over the driver star schema
+  * (SURVEY.md §7.2 M2). Every query is a pure-declarative DataFrame program —
+  * Catalyst supplies pushdown, pruning, join selection, whole-stage codegen,
+  * and AQE; nothing here hand-schedules execution.
+  *
+  * Scale notes (100 TB design stance):
+  *  - dimension tables (region/nation/part/supplier/customer) are broadcast
+  *    explicitly where they join a fact table, so the fact side never
+  *    shuffles for the join;
+  *  - fact-fact joins (lineitem ⋈ orders) are plain equi-joins → sort-merge
+  *    with AQE skew splitting at scale;
+  *  - aggregates are partial (map-side combine) by construction;
+  *  - every output is deterministically ordered with a unique tie-break so
+  *    the oracle hash-compare is stable.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** TPC-H Q1 twin: pricing summary. Scan → filter → hash-agg → sort.
+    * Reference analogue: A11/A13 summary aggregates (run_detectors.py:227-243). */
+  private def pricingSummary(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective scan: projection + predicate, both pushed into the parquet
+    * reader (check PushedFilters in explain). */
+  private def scanFilter(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val scanFilterSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  round(l_extendedprice, 2) AS price
+      |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Global top-k: sort + limit fuses to TakeOrderedAndProject — no full
+    * sort at scale, each partition keeps k rows then the driver merges. */
+  private def topkOrders(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val topkOrdersSql =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+
+  /** Broadcast-hash join: part (dim) is broadcast so lineitem (fact) never
+    * shuffles. At 100 TB the fact side streams through map tasks. */
+  private def joinBroadcastPart(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  private val joinBroadcastPartSql =
+    """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q5-style multiway join: three broadcast dims + one sort-merge
+    * fact-fact join (orders ⋈ lineitem). */
+  private def joinMultiwayRevenue(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val joinMultiwayRevenueSql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): relational twin of the reference's Bloom
+    * membership check (SURVEY.md §2.6). */
+  private def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = T.orders(s, d).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey"))
+    T.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val semiJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_cust FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS). */
+  private def antiJoin(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .join(T.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_nationkey"))
+
+  private val antiJoinSql =
+    """SELECT c_nationkey, count(*) AS n_cust FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Equi + band (range) join: ship within 30 days of order date. The equi
+    * key carries the shuffle; the range predicate is a post-join filter, so
+    * this stays a sort-merge join, not a nested loop. */
+  private def rangeJoin(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .join(T.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private val rangeJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-outer join preserving empty groups. */
+  private def outerJoin(s: SparkSession, d: String): DataFrame =
+    T.nation(s, d)
+      .join(T.supplier(s, d), col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_supp"),
+        round(coalesce(sum(col("s_acctbal")), lit(0.0)), 2).as("sum_bal"))
+      .orderBy(col("n_name"))
+
+  private val outerJoinSql =
+    """SELECT n_name, count(s_suppkey) AS n_supp,
+      |  round(coalesce(sum(s_acctbal), 0), 2) AS sum_bal
+      |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** As-of join: for each purchase event, the most recent earlier 'view'
+    * event of the same user. Spark-native formulation: a single windowed
+    * last-non-null over the per-user event-time order — one shuffle on
+    * user_id, no self-join, no nested loop. event_id is monotone in ts in
+    * this dataset (verified), so ordering by event_id is event-time order
+    * with a unique total order. */
+  private def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d).filter(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prior_view_id",
+        max(when(col("event_type") === "view", col("event_id"))).over(w))
+      .filter(col("event_type") === "purchase" && col("prior_view_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("prior_view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val asofJoinSql =
+    """SELECT event_id AS purchase_id, user_id, prior_view_id FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN event_id END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id
+      |  FROM events WHERE event_type IN ('view', 'purchase'))
+      |WHERE event_type = 'purchase' AND prior_view_id IS NOT NULL
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- aggregates
+
+  /** Multiple DISTINCT aggregates in one pass (Catalyst expands). */
+  private def aggDistinct(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP hierarchy (region → nation → total); grouping nulls coalesced to
+    * 'ALL' so null-ordering dialects can't diverge. */
+  private def rollupAgg(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("region"), col("nation"))
+
+  private val rollupAggSql =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** CUBE over two independent dimensions. */
+  private def cubeAgg(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private val cubeAggSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Exact percentiles + spread stats per group (sort-based agg). */
+  private def statsAgg(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private val statsAggSql =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+      |  round(stddev_samp(o_totalprice), 4) AS sd_price,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** max_by / min_by — the reference's "reservoir" argmax (SURVEY.md A10,
+    * streaming/utils/reservoir.py:5-24). */
+  private def argmaxAgg(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("max_by(o_orderkey, struct(o_totalprice, -o_orderkey))").as("top_order"),
+        round(max(col("o_totalprice")), 2).as("top_price"))
+      .orderBy(col("o_orderstatus"))
+
+  // DuckDB max_by has no composite-key overload; the window formulation is
+  // the same argmax with the same smallest-key tie-break.
+  private val argmaxAggSql =
+    """SELECT o_orderstatus, o_orderkey AS top_order,
+      |  round(o_totalprice, 2) AS top_price
+      |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderstatus
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- windows
+
+  /** Top-N per group via row_number (W1 twin — plot/bump_chart.py:16-19;
+    * ties by unique key ≡ pandas method="first"). */
+  private def windowTopnPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val windowTopnPerGroupSql =
+    """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS price FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running (cumulative) sum per key. */
+  private def windowRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val windowRunningSumSql =
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** lag/lead analytics: inter-event gap per user in milliseconds. */
+  private def windowLagGap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    T.events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        (col("ms") - lag(col("ms"), 1).over(w)).as("gap_ms"),
+        (lead(col("ms"), 1).over(w) - col("ms")).as("next_gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  private val windowLagGapSql =
+    """SELECT event_id, user_id,
+      |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+      |  lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS next_gap_ms
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Sliding row-frame average (rowsBetween -3 .. current). */
+  private def windowSlidingFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(avg(col("o_totalprice")).over(w), 4).as("avg_last4"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val windowSlidingFrameSql =
+    """SELECT o_orderkey, o_custkey,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg_last4
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** ntile + rank family over a global order. */
+  private def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    T.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy(col("quartile"))
+  }
+
+  private val windowNtileSql =
+    """SELECT quartile, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal,
+      |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+      |FROM (SELECT c_acctbal,
+      |        ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      |      FROM customer)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
+  // ---------------------------------------------------------------- set ops
+
+  /** UNION / INTERSECT / EXCEPT counts in one row. */
+  private def setOps(s: SparkSession, d: String): DataFrame = {
+    val building = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val withOrders = T.orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val inter = building.intersect(withOrders).agg(count(lit(1)).as("n_intersect"))
+    val exc = building.except(withOrders).agg(count(lit(1)).as("n_except"))
+    val uni = building.union(withOrders).distinct().agg(count(lit(1)).as("n_union"))
+    inter.crossJoin(exc).crossJoin(uni)
+  }
+
+  private val setOpsSql =
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |     INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |     EXCEPT SELECT o_custkey FROM orders)) AS n_except,
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |     UNION SELECT o_custkey FROM orders)) AS n_union""".stripMargin
+
+  /** DISTINCT projection. */
+  private def distinctPairs(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val distinctPairsSql =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- scalar fns
+
+  /** String function family over part names. */
+  private def stringFuncs(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        length(col("p_name")).as("len"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size4"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(lit("  x  ")).as("trimmed"),
+        split(col("p_type"), " ").getItem(0).as("type_head"))
+      .orderBy(col("p_partkey"))
+
+  private val stringFuncsSql =
+    """SELECT p_partkey, upper(p_name) AS up, length(p_name) AS len,
+      |  substring(p_name, 1, 5) AS pre5,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  trim('  x  ') AS trimmed,
+      |  string_split(p_type, ' ')[1] AS type_head
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time function family over orders. */
+  private def dateFuncs(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        (weekday(col("o_orderdate")) + lit(1)).as("isodow"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
+      .orderBy(col("o_orderkey"))
+
+  private val dateFuncsSql =
+    """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  dayofmonth(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
+      |  isodow(o_orderdate) AS isodow,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math function family. */
+  private def mathFuncs(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(abs(col("l_extendedprice") - 30000), 2).as("abs_dev"),
+        ceil(col("l_quantity") / 7).as("ceil7"),
+        floor(col("l_quantity") / 7).cast("long").as("floor7"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        round(log(col("l_extendedprice") + 1), 4).as("ln_price"),
+        round(log10(col("l_extendedprice") + 1), 4).as("log10_price"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+      .orderBy(col("l_orderkey"))
+
+  private val mathFuncsSql =
+    """SELECT l_orderkey,
+      |  round(abs(l_extendedprice - 30000), 2) AS abs_dev,
+      |  CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil7,
+      |  CAST(floor(l_quantity / 7) AS BIGINT) AS floor7,
+      |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+      |  round(ln(l_extendedprice + 1), 4) AS ln_price,
+      |  round(log10(l_extendedprice + 1), 4) AS log10_price,
+      |  round(power(l_discount, 2), 6) AS disc_sq,
+      |  l_orderkey % 7 AS key_mod7,
+      |  greatest(l_tax, l_discount) AS max_rate,
+      |  least(l_tax, l_discount) AS min_rate
+      |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+
+  /** JSON extraction from the events.props string column (SURVEY.md §2.9). */
+  private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  private val jsonExtractSql =
+    """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k,
+      |  round(avg(k), 4) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** CASE / COALESCE / NULLIF conditionals. */
+  private def caseConditionals(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high"))
+      .withColumn("status2", coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")))
+      .groupBy(col("bucket"), col("status2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"), col("status2"))
+
+  private val caseConditionalsSql =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+      |            WHEN o_totalprice < 150000 THEN 'mid'
+      |            ELSE 'high' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+      |  count(*) AS n
+      |FROM orders GROUP BY bucket, status2 ORDER BY bucket, status2""".stripMargin
+
+  /** Pivot (Spark .pivot ≡ conditional aggregation). */
+  private def pivotAgg(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  private val pivotAggSql =
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- event analytics
+
+  /** Sessionization: 30-minute inactivity gap splits sessions. Two window
+    * passes over the same (user_id, event_id) partitioning — one shuffle. */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("new_session",
+        when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L || lag(col("ms"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sessionizeSql =
+    """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id,
+      |      CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+      |             OVER (PARTITION BY user_id ORDER BY event_id) > 1800000
+      |           OR lag(epoch_ms(ts))
+      |             OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Tumbling event-time window aggregation (batch twin of the streaming
+    * windowed count, SURVEY.md ST2/ST4). */
+  private def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val tumblingWindowSql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
+    QuerySpec("rel_topk_orders", topkOrders, Some(topkOrdersSql)),
+    QuerySpec("rel_join_broadcast_part", joinBroadcastPart, Some(joinBroadcastPartSql)),
+    QuerySpec("rel_join_multiway_revenue", joinMultiwayRevenue, Some(joinMultiwayRevenueSql)),
+    QuerySpec("rel_semi_join", semiJoin, Some(semiJoinSql)),
+    QuerySpec("rel_anti_join", antiJoin, Some(antiJoinSql)),
+    QuerySpec("rel_range_join", rangeJoin, Some(rangeJoinSql)),
+    QuerySpec("rel_outer_join", outerJoin, Some(outerJoinSql)),
+    QuerySpec("rel_asof_join", asofJoin, Some(asofJoinSql)),
+    QuerySpec("rel_agg_distinct", aggDistinct, Some(aggDistinctSql)),
+    QuerySpec("rel_rollup", rollupAgg, Some(rollupAggSql)),
+    QuerySpec("rel_cube", cubeAgg, Some(cubeAggSql)),
+    QuerySpec("rel_stats_agg", statsAgg, Some(statsAggSql)),
+    QuerySpec("rel_argmax_agg", argmaxAgg, Some(argmaxAggSql)),
+    QuerySpec("rel_window_topn", windowTopnPerGroup, Some(windowTopnPerGroupSql)),
+    QuerySpec("rel_window_running_sum", windowRunningSum, Some(windowRunningSumSql)),
+    QuerySpec("rel_window_lag_gap", windowLagGap, Some(windowLagGapSql)),
+    QuerySpec("rel_window_sliding_frame", windowSlidingFrame, Some(windowSlidingFrameSql)),
+    QuerySpec("rel_window_ntile", windowNtile, Some(windowNtileSql)),
+    QuerySpec("rel_set_ops", setOps, Some(setOpsSql)),
+    QuerySpec("rel_distinct", distinctPairs, Some(distinctPairsSql)),
+    QuerySpec("rel_string_funcs", stringFuncs, Some(stringFuncsSql)),
+    QuerySpec("rel_date_funcs", dateFuncs, Some(dateFuncsSql)),
+    QuerySpec("rel_math_funcs", mathFuncs, Some(mathFuncsSql)),
+    QuerySpec("rel_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QuerySpec("rel_case_conditionals", caseConditionals, Some(caseConditionalsSql)),
+    QuerySpec("rel_pivot", pivotAgg, Some(pivotAggSql)),
+    QuerySpec("rel_sessionize", sessionize, Some(sessionizeSql)),
+    QuerySpec("rel_tumbling_window", tumblingWindow, Some(tumblingWindowSql)))
+}
