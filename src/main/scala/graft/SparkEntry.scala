@@ -10,11 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
-    ops.Relational.specs
+    ops.Relational.specs ++ ops.TextPipeline.specs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's headline computation (top tokens of the preprocessed
+    * corpus — SURVEY.md §7.2 M0). */
   def entry(spark: SparkSession): DataFrame =
-    ops.Relational.specs.head.fn(spark, "/root/testdata/sf0.001")
+    allSpecs.find(_.name == "text_top_tokens").get.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-preprocessing column builders — the Spark twins of the reference's
+  * preprocessing chain (lowercase → tokenize → alpha filter → stopword
+  * removal → re-join; /root/reference/data_loader/base_dataset_loader.py:80-91)
+  * and shingling (/root/reference/streaming/detectors/duplicate_detector.py:7-13).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * higher-order functions — no UDFs — so the whole chain stays inside
+  * WholeStageCodegen and scales linearly with input bytes.
+  */
+object Text {
+
+  /** Compact deterministic stopword set (reference uses NLTK's list ∪
+    * skipwords, base_dataset_loader.py:12-14; we pin an explicit list so the
+    * DuckDB oracle can carry the identical literal). */
+  val STOPWORDS: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** SQL literal of the stopword list, for oracle strings. */
+  val stopwordsSqlList: String = STOPWORDS.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Preprocessed token array: lowercase, whitespace-split, alpha-only
+    * (unicode-safe `\p{L}`, matching Python `str.isalpha`), stopwords out. */
+  def tokens(text: Column): Column =
+    filter(
+      split(lower(text), " "),
+      t => t.rlike("^[a-z]+$") && !t.isInCollection(STOPWORDS))
+
+  /** k=3 shingles joined by spaces (duplicate_detector.py:7-13): the i-th
+    * shingle is tokens[i..i+2]; fewer than 3 tokens → no shingles. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => array_join(slice(toks, i, lit(3)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** DuckDB oracle fragments mirroring the builders above, verbatim. */
+  val toksSql: String =
+    s"list_filter(string_split(lower(text), ' '), t -> regexp_full_match(t, '[a-z]+') AND t NOT IN ${stopwordsSqlList})"
+
+  def shingles3Sql(toksExpr: String): String =
+    s"list_transform(range(1, len($toksExpr) - 1), i -> array_to_string(($toksExpr)[i:i+2], ' '))"
+}

@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QuerySpec, Tables => T}
+import graft.functions.Text
+
+/** Exact relational twins of the reference pipeline (SURVEY.md §7.2 M0/M1),
+  * re-expressed over the driver's `documents` table: the preprocessing chain,
+  * token frequency analytics, check-then-insert shingle dedup, burst
+  * detection over event-index windows, periodic snapshots, and probe
+  * estimates. Where the reference mutates sketches per message
+  * (run_detectors.py:159-211), these queries compute the same answers as
+  * one-shuffle declarative aggregations — exact where the reference is
+  * approximate (SURVEY.md §7.3: exact beats the sketch for correctness; the
+  * sketch twins live in ops.Sketches).
+  *
+  * `doc_id` plays the role of the reference's arrival index (its stream is
+  * pre-sorted by time, run_detectors.py:24-29); windows measured "in
+  * messages" (DGIM window_size=50, half-window 25; snapshot cadence 100 —
+  * streaming_pipeline.py:23, run_detectors.py:100-106) become integer-div
+  * buckets of doc_id.
+  */
+object TextPipeline {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+
+  private def withToks(s: SparkSession, d: String): DataFrame =
+    docs(s, d).withColumn("toks", Text.tokens(col("text")))
+
+  // ------------------------------------------------------------ preprocess
+
+  /** F3–F5/T1–T5 twin: preprocessed body + token count per document. */
+  private def preprocess(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"), array_join(col("toks"), " ").as("clean"),
+        size(col("toks")).as("n_toks"))
+      .orderBy(col("doc_id"))
+
+  private val preprocessSql =
+    s"""SELECT doc_id, array_to_string(${Text.toksSql}, ' ') AS clean,
+       |  CAST(len(${Text.toksSql}) AS INT) AS n_toks
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** T6/O3 twin + flagship: global top-20 tokens by exact count
+    * (frequency_detector.py:69-80's top-N, exact instead of CMS-estimated).
+    * explode → partial-agg groupBy → TakeOrdered: one shuffle, top-k merge
+    * on the driver — scales to any corpus size. */
+  private def topTokens(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  private val topTokensSql =
+    s"""SELECT token, count(*) AS cnt
+       |FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** T7 twin: shingle inventory per document. */
+  private def shingleStats(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .withColumn("sh", Text.shingles3(col("toks")))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        size(array_distinct(col("sh"))).as("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  private val shingleStatsSql = {
+    val toks = Text.toksSql
+    val sh = Text.shingles3Sql(toks)
+    s"""SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+       |  CAST(len(list_distinct(sh)) AS INT) AS n_distinct
+       |FROM (SELECT doc_id, CASE WHEN len($toks) >= 3 THEN $sh ELSE [] END AS sh
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ dedup twins
+
+  /** Distinct (doc_id, shingle) pairs — shared subplan of the dup queries. */
+  private def shinglePairs(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("sh"))
+      .distinct()
+
+  private val shinglePairsSql = {
+    val toks = Text.toksSql
+    s"""SELECT DISTINCT doc_id, unnest(${Text.shingles3Sql(toks)}) AS sh
+       |FROM documents""".stripMargin
+  }
+
+  /** ST5/F7/A11 twin — check-then-insert duplicate scoring
+    * (duplicate_detector.py:52-61): a document's score is the fraction of
+    * its distinct shingles already seen in any strictly-earlier document
+    * (fidelity trap #1, SURVEY.md §7.4 — first sight never flags). One
+    * shuffle on shingle for first-seen, one broadcast-able join back. */
+  private def dupScores(s: SparkSession, d: String): DataFrame = {
+    val pairs = shinglePairs(s, d)
+    val firstSeen = pairs.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    val scores = pairs
+      .join(firstSeen, "sh")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(when(col("first_doc") < col("doc_id"), 1.0).otherwise(0.0)), 4)
+        .as("dup_score"))
+    docs(s, d).select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_score"), lit(0.0)).as("dup_score"))
+      .withColumn("is_dup", col("dup_score") >= 0.7)
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupScoresSql =
+    s"""WITH pairs AS ($shinglePairsSql),
+       |first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM pairs GROUP BY sh),
+       |scores AS (
+       |  SELECT pairs.doc_id,
+       |    round(avg(CASE WHEN first_doc < pairs.doc_id THEN 1.0 ELSE 0.0 END), 4)
+       |      AS dup_score
+       |  FROM pairs JOIN first_seen USING (sh) GROUP BY pairs.doc_id)
+       |SELECT d.doc_id, coalesce(s.dup_score, 0.0) AS dup_score,
+       |  coalesce(s.dup_score, 0.0) >= 0.7 AS is_dup
+       |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** A11 summary twin (run_detectors.py:233-237): corpus duplicate rate. */
+  private def dupSummary(s: SparkSession, d: String): DataFrame =
+    dupScores(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        round(avg(when(col("is_dup"), 1.0).otherwise(0.0)), 4).as("dup_rate"),
+        round(avg(col("dup_score")), 4).as("avg_score"))
+
+  private val dupSummarySql =
+    s"""WITH base AS ($dupScoresSql)
+       |SELECT count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 4) AS dup_rate,
+       |  round(avg(dup_score), 4) AS avg_score
+       |FROM base""".stripMargin
+
+  // ------------------------------------------------------------ burst twin
+
+  /** W2 twin — burst detection (burst_detector.py:43-77): token counts per
+    * 25-doc half-window on a dense token×window grid (so silent windows
+    * count zero, as the DGIM window genuinely would), ratio of a window vs
+    * the previous one with the reference's ε=1e-6, flagged at ratio ≥ 2 with
+    * ≥ 2 recent occurrences. */
+  private def burst(s: SparkSession, d: String): DataFrame = {
+    val tok = withToks(s, d)
+      .select(expr("doc_id div 25").as("win"), explode(col("toks")).as("token"))
+    val counts = tok.groupBy(col("win"), col("token")).agg(count(lit(1)).as("cnt"))
+    val wins = docs(s, d).select(expr("doc_id div 25").as("win")).distinct()
+    val tokensD = tok.select(col("token")).distinct()
+    val grid = wins.crossJoin(tokensD)
+    val dense = grid.join(counts, Seq("win", "token"), "left")
+      .select(col("win"), col("token"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy(col("token")).orderBy(col("win"))
+    dense
+      .withColumn("prev", coalesce(lag(col("cnt"), 1).over(w), lit(0L)))
+      .withColumn("ratio",
+        round((col("cnt") + lit(1e-6)) / (col("prev") + lit(1e-6)), 4))
+      .filter(col("cnt") >= 2 && col("ratio") >= 2.0)
+      .select(col("win"), col("token"), col("cnt").as("recent"), col("prev"),
+        col("ratio"))
+      .orderBy(col("win"), col("token"))
+  }
+
+  private val burstSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id // 25 AS win, unnest(${Text.toksSql}) AS token
+       |  FROM documents),
+       |counts AS (SELECT win, token, count(*) AS cnt FROM tok GROUP BY win, token),
+       |dense AS (
+       |  SELECT w.win, t.token, coalesce(c.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT doc_id // 25 AS win FROM documents) w
+       |  CROSS JOIN (SELECT DISTINCT token FROM tok) t
+       |  LEFT JOIN counts c ON c.win = w.win AND c.token = t.token),
+       |scored AS (
+       |  SELECT win, token, cnt,
+       |    coalesce(lag(cnt) OVER (PARTITION BY token ORDER BY win), 0) AS prev
+       |  FROM dense)
+       |SELECT win, token, cnt AS recent, CAST(prev AS BIGINT) AS prev,
+       |  round((cnt + 0.000001) / (prev + 0.000001), 4) AS ratio
+       |FROM scored
+       |WHERE cnt >= 2 AND round((cnt + 0.000001) / (prev + 0.000001), 4) >= 2.0
+       |ORDER BY win, token""".stripMargin
+
+  // ------------------------------------------------------------ snapshots
+
+  /** ST4/O6/W1 twin — per-100-doc snapshot top-10 tokens, ranked by count
+    * with first-occurrence (row_number) tie-break (bump_chart.py:16-19). */
+  private def snapshotTopk(s: SparkSession, d: String): DataFrame = {
+    val counts = withToks(s, d)
+      .select(expr("doc_id div 100").as("snapshot"), explode(col("toks")).as("token"))
+      .groupBy(col("snapshot"), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("snapshot"))
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("snapshot"), col("rank"), col("token"), col("cnt"))
+      .orderBy(col("snapshot"), col("rank"))
+  }
+
+  private val snapshotTopkSql =
+    s"""SELECT snapshot, rank, token, cnt FROM (
+       |  SELECT snapshot, token, cnt,
+       |    row_number() OVER (PARTITION BY snapshot ORDER BY cnt DESC, token) AS rank
+       |  FROM (SELECT doc_id // 100 AS snapshot, token, count(*) AS cnt
+       |        FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents)
+       |        GROUP BY snapshot, token))
+       |WHERE rank <= 10 ORDER BY snapshot, rank""".stripMargin
+
+  /** A12 twin — frequency probes for fixed query terms
+    * (frequency_detector.py:89-93, case-folded on the probe side). Exact
+    * counts; the CMS-estimated variant lives in ops.Sketches. */
+  private def probeFreq(s: SparkSession, d: String): DataFrame = {
+    val probes = Seq("spark", "data", "query", "table", "merge", "zzzmissing")
+    withToks(s, d)
+      .select(explode(col("toks")).as("token"))
+      .join(broadcast(s.createDataFrame(probes.map(Tuple1(_))).toDF("term")),
+        lower(col("term")) === col("token"), "right")
+      .groupBy(col("term"))
+      .agg(count(col("token")).as("cnt"))
+      .orderBy(col("term"))
+  }
+
+  private val probeFreqSql =
+    s"""SELECT term, count(token) AS cnt
+       |FROM (VALUES ('spark'), ('data'), ('query'), ('table'), ('merge'),
+       |             ('zzzmissing')) p(term)
+       |LEFT JOIN (SELECT unnest(${Text.toksSql}) AS token FROM documents) t
+       |  ON lower(p.term) = t.token
+       |GROUP BY term ORDER BY term""".stripMargin
+
+  /** A14 twin — distinct tokens per snapshot window (the "recent token set"
+    * cleared at each snapshot, run_detectors.py:179-180,210-211). */
+  private def recentDistinct(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(expr("doc_id div 100").as("snapshot"), explode(col("toks")).as("token"))
+      .groupBy(col("snapshot"))
+      .agg(countDistinct(col("token")).as("n_distinct"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("snapshot"))
+
+  private val recentDistinctSql =
+    s"""SELECT doc_id // 100 AS snapshot, count(DISTINCT token) AS n_distinct,
+       |  count(*) AS n_tokens
+       |FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents)
+       |GROUP BY snapshot ORDER BY snapshot""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("text_preprocess", preprocess, Some(preprocessSql)),
+    QuerySpec("text_top_tokens", topTokens, Some(topTokensSql)),
+    QuerySpec("text_shingle_stats", shingleStats, Some(shingleStatsSql)),
+    QuerySpec("text_dup_scores", dupScores, Some(dupScoresSql)),
+    QuerySpec("text_dup_summary", dupSummary, Some(dupSummarySql)),
+    QuerySpec("text_burst", burst, Some(burstSql)),
+    QuerySpec("text_snapshot_topk", snapshotTopk, Some(snapshotTopkSql)),
+    QuerySpec("text_probe_freq", probeFreq, Some(probeFreqSql)),
+    QuerySpec("text_recent_distinct", recentDistinct, Some(recentDistinctSql)))
+}
