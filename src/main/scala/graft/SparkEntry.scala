@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
-    ops.Relational.specs ++ ops.TextPipeline.specs
+    ops.Relational.specs ++ ops.TextPipeline.specs ++ ops.Dedup.specs ++
+      ops.Similarity.specs ++ ops.TextAnalysis.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's headline computation (top tokens of the preprocessed

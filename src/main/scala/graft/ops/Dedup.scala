@@ -1,0 +1,253 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QuerySpec, Tables => T}
+import graft.functions.Text
+
+/** Large-scale training-data deduplication operators (builder-prompt
+  * first-class components; generalizes the reference's Bloom shingle dedup,
+  * duplicate_detector.py:44-61, to the standard LLM-corpus toolkit).
+  *
+  * Portability design: every hash is md5 over an explicit string, so the
+  * DuckDB oracle reproduces signatures bit-for-bit — lexicographic min over
+  * md5 hex digests is a uniform minhash permutation. All pairwise work is
+  * bucket-limited (LSH bands / shared-shingle equi-joins), never an
+  * all-pairs nested loop, so the same plans hold at corpus scale:
+  * candidates ∝ Σ bucket², not n².
+  */
+object Dedup {
+
+  private val P = 16 // minhash permutations
+  private val B = 4  // LSH bands (4 rows each): catches jaccard ≳ 0.5
+
+  private def withToks(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+
+  /** Distinct (doc_id, shingle). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("sh"))
+      .distinct()
+
+  private val shingleSetsSql =
+    s"""SELECT DISTINCT doc_id, unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup via content fingerprint of the normalized (preprocessed)
+    * text: one hash-groupBy, the 100 TB-scale baseline dedup pass. */
+  private def exact(s: SparkSession, d: String): DataFrame = {
+    val fp = withToks(s, d)
+      .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    fp.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("fp"), col("group_size"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val exactSql =
+    s"""SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS group_size,
+       |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+       |FROM (SELECT doc_id, md5(array_to_string(${Text.toksSql}, ' ')) AS fp
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ minhash+LSH
+
+  /** Per-document 16-permutation minhash signature: permutation p is the
+    * lexicographic min of md5("p|" + shingle) — one shuffle (groupBy doc_id)
+    * computes all 16 columns. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until P).map(p =>
+      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"mh$p"))
+    shingleSets(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val signaturesSql = {
+    val cols = (0 until P).map(p => s"min(md5('$p|' || sh)) AS mh$p").mkString(",\n    ")
+    s"""SELECT doc_id,
+       |    $cols
+       |  FROM sh_sets GROUP BY doc_id""".stripMargin
+  }
+
+  /** MinHash + LSH near-duplicate pairs: signatures → 4 band keys → bucket
+    * join on (band, key) → signature-agreement estimate ≥ 0.5. The band join
+    * is the scale path: candidate generation is linear in bucket sizes. */
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val sigArr = sig.withColumn("sig", array((0 until P).map(p => col(s"mh$p")): _*))
+    val bands = sigArr.select(col("doc_id"),
+      explode(array((0 until B).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sa = sigArr.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigArr.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / P, 4))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val minhashLshSql = {
+    val bandRows = (0 until B).map { b =>
+      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matches = (0 until P).map(p =>
+      s"CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh_sets AS ($shingleSetsSql),
+       |sig AS (
+       |  $signaturesSql),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b,
+       |  round(($matches) / 16.0, 4) AS est_jaccard
+       |FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+       |WHERE round(($matches) / 16.0, 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------ exact jaccard
+
+  /** Exact n-gram Jaccard for pairs sharing ≥1 shingle (equi-join on the
+    * shingle — candidates ∝ Σ_sh df(sh)², not n²), thresholded at 0.5. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH sh_sets AS ($shingleSetsSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh_sets GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM sh_sets a JOIN sh_sets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, common,
+       |  round(common * 1.0 / (na.n + nb.n - common), 4) AS jaccard
+       |FROM common JOIN sizes na ON na.doc_id = id_a
+       |            JOIN sizes nb ON nb.doc_id = id_b
+       |WHERE round(common * 1.0 / (na.n + nb.n - common), 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------ simhash
+
+  /** 16-bit SimHash: bit i is the majority vote over the document's tokens
+    * of the high bit of hex digit i of md5(token). One explode + one
+    * groupBy; hamming-near docs land in equal or 1-off fingerprints. */
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val tok = withToks(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .withColumn("h", md5(col("t")))
+    val sums = (1 to 16).map(i =>
+      sum(when(substring(col("h"), i, 1).isInCollection(hi), 1).otherwise(-1)).as(s"s$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val fingerprint = (1 to 16).map(i =>
+      when(col(s"s$i") > 0, lit(1L << (i - 1))).otherwise(0L)).reduce(_ + _)
+    val fp = agg.select(col("doc_id"), fingerprint.as("simhash"))
+    val w = Window.partitionBy(col("simhash"))
+    fp.withColumn("bucket_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  private val simhashSql = {
+    val hi = "('8','9','a','b','c','d','e','f')"
+    val sums = (1 to 16).map(i =>
+      s"sum(CASE WHEN substring(md5(t), $i, 1) IN $hi THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val fpExpr = (1 to 16).map(i => s"CASE WHEN s$i > 0 THEN ${1L << (i - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Text.toksSql}) AS t FROM documents),
+       |agg AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM tok GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM agg)
+       |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS bucket_size
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs ≥ 0.45. Brute-force candidate
+    * generation at test scale; the LSH-bucketed scale path is
+    * Similarity.knnLsh (same scoring, sign-bucket candidates). Arithmetic is
+    * an explicit left-fold of double products so both engines produce
+    * bit-identical cosines. */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+      .withColumn("norm",
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("norm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(zip_with(col("ea"), col("eb"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v))
+      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= 0.45)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val embedNearDupSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, v) -> acc + v)) AS norm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+       |      (acc, v) -> acc + v) / (a.norm * b.norm), 4) AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+       |      (acc, v) -> acc + v) / (a.norm * b.norm), 4) >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("dedup_exact", exact, Some(exactSql)),
+    QuerySpec("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QuerySpec("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QuerySpec("dedup_simhash", simhash, Some(simhashSql)),
+    QuerySpec("dedup_embed_cosine", embedNearDup, Some(embedNearDupSql)))
+}

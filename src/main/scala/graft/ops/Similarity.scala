@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QuerySpec, Tables => T}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (builder-prompt first-class component). Two paths:
+  *
+  *  - brute-force cosine top-k: the correctness baseline — broadcast the
+  *    (small) query set against the full corpus, one shuffle for the
+  *    per-query top-k;
+  *  - sign-LSH bucketed top-k: the 100 TB path — random-hyperplane-style
+  *    bucketing on the signs of the leading dimensions; candidate set is
+  *    the query's bucket only, so scoring cost is Σ bucket² instead of q·n.
+  *
+  * Cosines are explicit left-folds of double products (zip_with +
+  * aggregate), bit-identical to the DuckDB oracle's list_reduce fold.
+  */
+object Similarity {
+
+  private val K = 5        // neighbors per query
+  private val NQ = 10      // query vectors: vec_id < 10
+  private val LSH_BITS = 8 // sign bits → 256 buckets
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d).withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+
+  private val normSqlFrag =
+    """sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (acc, v) -> acc + v))""".stripMargin
+
+  private val dotSqlFrag =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(q.embedding) + 1),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+      |    (acc, v) -> acc + v)""".stripMargin
+
+  /** Brute-force cosine top-k for the first NQ vectors as queries. */
+  private def knnBruteforce(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("norm").as("cn"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val knnBruteforceSql =
+    s"""WITH e AS (SELECT vec_id, embedding, $normSqlFrag AS norm FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ($dotSqlFrag) / (q.norm * c.norm) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id)
+       |SELECT query_id, rank, cand_id, round(cos, 4) AS cos FROM (
+       |  SELECT query_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Sign-LSH bucketed ANN: bucket key = sign bits of the first LSH_BITS
+    * dimensions (axis-aligned hyperplanes — deterministic and portable);
+    * queries only score candidates in their own bucket. */
+  private def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val bucketExpr = (1 to LSH_BITS).map(j =>
+      when(element_at(col("embedding"), j) > 0f, lit(1L << (j - 1))).otherwise(0L))
+      .reduce(_ + _)
+    val e = withNorm(s, d).withColumn("bucket", bucketExpr)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("embedding").as("qe"), col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("bucket"),
+      col("embedding").as("ce"), col("norm").as("cn"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("bucket"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val knnLshSql = {
+    val bucket = (1 to LSH_BITS).map(j =>
+      s"CASE WHEN embedding[$j] > 0 THEN ${1L << (j - 1)} ELSE 0 END").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSqlFrag AS norm,
+       |    CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+       |    ($dotSqlFrag) / (q.norm * c.norm) AS cos
+       |  FROM e q JOIN e c ON q.bucket = c.bucket
+       |    AND q.vec_id < $NQ AND q.vec_id <> c.vec_id)
+       |SELECT query_id, rank, cand_id, bucket, round(cos, 4) AS cos FROM (
+       |  SELECT query_id, cand_id, bucket, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Per-vector feature stats — exercises array higher-order functions
+    * (norm/mean via fold, min/max via array builtins). */
+  private def vectorStats(s: SparkSession, d: String): DataFrame =
+    withNorm(s, d)
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(col("norm"), 4).as("norm"),
+        round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double"))
+          / size(col("embedding")), 4).as("mean"),
+        round(array_min(col("embedding")).cast("double"), 4).as("mn"),
+        round(array_max(col("embedding")).cast("double"), 4).as("mx"))
+      .orderBy(col("vec_id"))
+
+  private val vectorStatsSql =
+    s"""SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+       |  round($normSqlFrag, 4) AS norm,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE))),
+       |      (acc, v) -> acc + v) / len(embedding), 4) AS mean,
+       |  round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS mn,
+       |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS mx
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("sim_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
+    QuerySpec("sim_knn_lsh", knnLsh, Some(knnLshSql)),
+    QuerySpec("sim_vector_stats", vectorStats, Some(vectorStatsSql)))
+}

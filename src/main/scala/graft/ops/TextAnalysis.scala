@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables => T}
+import graft.functions.Text
+
+/** Corpus-analysis operators for a training-data pipeline (builder-prompt
+  * first-class components): language ID, quality scoring, token counting,
+  * and rolling-hash document fingerprinting. Pure per-row column programs —
+  * no shuffle at all except the final presentation sort, so they scale
+  * embarrassingly (map-only over 100 TB of documents).
+  */
+object TextAnalysis {
+
+  private val LANG_WORDS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of", "to", "in", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "los", "las", "y", "es", "de", "que", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "que", "une", "dans", "pour"))
+
+  private def rawToks(text: Column): Column = split(lower(text), " ")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(lower(text), ' '), t -> t IN ${words.map(w => s"'$w'").mkString("(", ", ", ")")}))"
+
+  /** n-gram/stopword-heuristic language ID: hit counts per language word
+    * list, argmax with fixed priority order (en > de > es > fr) on ties. */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val base = T.documents(s, d)
+      .withColumn("rt", rawToks(col("text")))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        LANG_WORDS.map { case (l, ws) => hits(col("rt"), ws).as(s"${l}_hits") }: _*)
+    base
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .withColumn("agrees", col("pred_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    val cols = LANG_WORDS.map { case (l, ws) => s"${hitsSql(ws)} AS ${l}_hits" }
+      .mkString(",\n  ")
+    s"""SELECT doc_id, lang, ${LANG_WORDS.map(l => s"CAST(${l._1}_hits AS INT) AS ${l._1}_hits").mkString(", ")},
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+       |       WHEN es_hits >= fr_hits THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  (CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+       |       WHEN es_hits >= fr_hits THEN 'es'
+       |       ELSE 'fr' END) = lang AS agrees
+       |FROM (SELECT doc_id, lang, text,
+       |  $cols
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/stopword/punctuation heuristics composed into
+    * one deterministic [0,1] score. */
+  private def quality(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("len_chars", length(col("text")))
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("stop_hits", hits(rawToks(col("text")), Text.STOPWORDS))
+      .withColumn("punct_chars",
+        length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+      .withColumn("stop_ratio", round(col("stop_hits").cast("double") / col("n_tok"), 4))
+      .withColumn("punct_ratio", round(col("punct_chars").cast("double") / col("len_chars"), 4))
+      .withColumn("avg_tok_len",
+        round((col("len_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"), 4))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tok").cast("double") / 100) *
+          (lit(1.0) - col("stop_ratio")) * (lit(1.0) - col("punct_ratio")), 4))
+      .select(col("doc_id"), col("len_chars"), col("n_tok"), col("stop_ratio"),
+        col("punct_ratio"), col("avg_tok_len"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  private val qualitySql =
+    s"""SELECT doc_id, len_chars, n_tok,
+       |  round(stop_hits * 1.0 / n_tok, 4) AS stop_ratio,
+       |  round(punct_chars * 1.0 / len_chars, 4) AS punct_ratio,
+       |  round((len_chars - (n_tok - 1)) * 1.0 / n_tok, 4) AS avg_tok_len,
+       |  round(least(1.0, n_tok / 100.0) * (1.0 - round(stop_hits * 1.0 / n_tok, 4))
+       |        * (1.0 - round(punct_chars * 1.0 / len_chars, 4)), 4) AS quality
+       |FROM (SELECT doc_id,
+       |    CAST(length(text) AS INT) AS len_chars,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |    ${hitsSql(Text.STOPWORDS)} AS stop_hits,
+       |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct_chars
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs | digit runs | single other chars). */
+  private def tokenCount(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        (length(col("text")).cast("double") / size(
+          expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))).as("chars_per_token"))
+      .withColumn("chars_per_token", round(col("chars_per_token"), 4))
+      .orderBy(col("doc_id"))
+
+  private val tokenCountSql =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
+      |  CAST(length(text) AS INT) AS n_chars_actual,
+      |  round(length(text) * 1.0 /
+      |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Polynomial rolling-hash fingerprint over the normalized text
+    * ((acc·31 + ascii) mod 1e9+7, left fold) — a portable stand-in for the
+    * reference's content hashing; same fold in both engines. */
+  private def rollingHash(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("clean", array_join(Text.tokens(col("text")), " "))
+      .filter(length(col("clean")) > 0)
+      .select(col("doc_id"),
+        aggregate(
+          transform(split(col("clean"), ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val rollingHashSql =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(clean, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+       |FROM (SELECT doc_id, array_to_string(${Text.toksSql}, ' ') AS clean
+       |      FROM documents)
+       |WHERE length(clean) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ta_lang_id", langId, Some(langIdSql)),
+    QuerySpec("ta_quality", quality, Some(qualitySql)),
+    QuerySpec("ta_token_count", tokenCount, Some(tokenCountSql)),
+    QuerySpec("ta_rolling_hash", rollingHash, Some(rollingHashSql)))
+}
