@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables => T}
+import graft.functions.Text
+
+/** Sketch-based approximate analytics — the Spark twins of the reference's
+  * streaming algorithms layer (SURVEY.md §2.5 A1–A10):
+  *
+  *  - Count-Min Sketch (count_min_sketch.py) → `org.apache.spark.util.sketch
+  *    .CountMinSketch` via `df.stat.countMinSketch`, pinned to the
+  *    reference's 544×7 table shape (A4; width=⌈e/0.005⌉, depth=⌈ln 1e3⌉);
+  *  - Bloom filter (bloom_filter.py) → `org.apache.spark.util.sketch
+  *    .BloomFilter` via `df.stat.bloomFilter` at the reference's defaults
+  *    (100 000 capacity, 1% fpp ⇒ m=958 506 bits, k=7);
+  *  - HLL (`approx_count_distinct`) as the scalable distinct-count path the
+  *    reference lacked.
+  *
+  * Estimates are hash-family-specific, so these queries carry no DuckDB
+  * oracle (driver records rows-only); their (ε,δ) contracts are enforced by
+  * ScalaTest/ScalaCheck property specs against the exact twins
+  * (SURVEY.md §5.2). Sketch aggregation is partial+final by construction
+  * (both sketches merge exactly), so the build is one pass over the data at
+  * any scale.
+  */
+object Sketches {
+
+  /** CMS estimates vs exact counts for the corpus top-20 tokens
+    * (A1/A2/A12 twin). `overestimate ≥ 0` always; ≤ ε·N w.h.p. */
+  private def cmsTokenFreq(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+    // Reference shape: depth 7 × width 544, seed pinned (count_min_sketch.py:28-39)
+    val cms = toks.stat.countMinSketch("token", 7, 544, 42)
+    val bc = s.sparkContext.broadcast(cms)
+    val estimate = udf((t: String) => bc.value.estimateCount(t))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      .withColumn("cms_est", estimate(col("token")))
+      .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  /** Bloom-filter shingle dedup (ST5/A5 twin): build the filter over the
+    * first half of the corpus (by doc_id), probe the second half's shingles
+    * — the approximate version of text_dup_scores' first-half membership.
+    * No false negatives by construction; fpp bounds the score inflation. */
+  private def bloomShingleDedup(s: SparkSession, d: String): DataFrame = {
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+    val half = 250L
+    val history = sh.filter(col("doc_id") < half)
+    // Reference defaults: capacity 100 000, fpp 0.01 (duplicate_detector.py:27-30)
+    val bloom = history.stat.bloomFilter("sh", 100000L, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val seen = udf((x: String) => bc.value.mightContain(x))
+    sh.filter(col("doc_id") >= half)
+      .withColumn("seen", seen(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen"), 1L).otherwise(0L)).as("n_seen"),
+        round(avg(when(col("seen"), 1.0).otherwise(0.0)), 4).as("bloom_score"))
+      .withColumn("is_dup", col("bloom_score") >= 0.7)
+      .orderBy(col("doc_id"))
+  }
+
+  /** HLL approximate distinct tokens per snapshot vs exact (the scalable
+    * replacement for A14's in-memory distinct set). */
+  private def hllDistinct(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(expr("doc_id div 100").as("snapshot"),
+        explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("snapshot"))
+      .agg(countDistinct(col("token")).as("exact_distinct"),
+        approx_count_distinct(col("token"), 0.01).as("approx_distinct"))
+      .orderBy(col("snapshot"))
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("sketch_cms_token_freq", cmsTokenFreq, None),
+    QuerySpec("sketch_bloom_dedup", bloomShingleDedup, None),
+    QuerySpec("sketch_hll_distinct", hllDistinct, None))
+}

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.QuerySpec
+import graft.functions.Text
+
+/** Structured Streaming pipeline (SURVEY.md §7.2 M4, §2.8 ST1–ST7): the
+  * reference's synchronous per-message loop re-expressed as incremental
+  * streaming queries. Each entry here actually runs a streaming query
+  * (file source → transforms → memory sink, Trigger.AvailableNow) and
+  * returns the sink contents, so the driver's batch-style verification
+  * applies; semantics are identical to the batch twins, which is what makes
+  * these oracle-checkable.
+  *
+  * At production scale the same plans run against a directory of arriving
+  * files (or Kafka) with a real trigger; AvailableNow is the bounded-replay
+  * switch, not a different program.
+  */
+object StreamingOps {
+
+  /** The file streaming source requires a directory; stage the single
+    * parquet file into a temp dir (in production the source is already a
+    * directory of arriving files — this is test-layout shim, not design). */
+  private def stageAsDir(d: String, name: String): String = {
+    import java.nio.file._
+    val dir = Files.createTempDirectory(s"graft_stream_$name")
+    dir.toFile.deleteOnExit()
+    Files.copy(Paths.get(s"$d/$name.parquet"), dir.resolve(s"$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val eventSchemaNanos = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** ST3/A13 twin as a stream: running token counts (complete mode), final
+    * state == the batch global top-20. */
+  private def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+    val counts = src.select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val q = counts.writeStream.format("memory").queryName("stream_tok_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_tok_sink")
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+  }
+
+  private val tokenCountsSql =
+    s"""SELECT token, count(*) AS cnt
+       |FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** ST2/ST4 twin: event-time tumbling windows with a watermark. window()
+    * aligns to the epoch, so closed windows equal date_trunc('hour') —
+    * which is exactly what the oracle checks. */
+  private def windowedCounts(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val agg = src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("stream_win_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_win_sink")
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  private val windowedCountsSql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------- stateful dedup
+
+  // public: encoder-generated code cannot access private classes
+  case class ShinglePair(doc_id: Long, sh: String)
+  case class SeenFlag(doc_id: Long, seen: Double)
+
+  /** ST5 twin — the reference's check-then-insert Bloom dedup
+    * (duplicate_detector.py:52-61) as keyed streaming state: state per
+    * shingle is the lowest doc_id that has carried it; a document's shingle
+    * counts as "seen" iff some strictly-earlier document carried it
+    * (fidelity trap #1, SURVEY.md §7.4). Exact (per-shingle state) instead
+    * of approximate (one Bloom), hash-partitioned so state shards across
+    * executors — the scale path for stateful stream dedup.
+    */
+  private def statefulDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+    val pairs = src
+      .select(col("doc_id"), explode(array_distinct(Text.shingles3(Text.tokens(col("text"))))).as("sh"))
+      .as[ShinglePair]
+    val flags = pairs.groupByKey(_.sh)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[ShinglePair], state: GroupState[Long]) => {
+          val arrived = it.toSeq.sortBy(_.doc_id)
+          val priorMin = state.getOption.getOrElse(Long.MaxValue)
+          val batchMin = arrived.head.doc_id
+          val out = arrived.map { e =>
+            val earlier = math.min(priorMin, batchMin)
+            SeenFlag(e.doc_id, if (earlier < e.doc_id) 1.0 else 0.0)
+          }
+          state.update(math.min(priorMin, batchMin))
+          out.iterator
+        })
+    val q = flags.toDF().writeStream.format("memory").queryName("stream_dedup_sink")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val scores = s.table("stream_dedup_sink")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("seen")), 4).as("dup_score"))
+    graft.Tables.documents(s, d).select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup_score"), lit(0.0)).as("dup_score"))
+      .withColumn("is_dup", col("dup_score") >= 0.7)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same oracle as the batch twin text_dup_scores — the streaming stateful
+    * path must land on identical numbers. */
+  private val statefulDedupSql = {
+    val pairsSql =
+      s"""SELECT DISTINCT doc_id, unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
+         |FROM documents""".stripMargin
+    s"""WITH pairs AS ($pairsSql),
+       |first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM pairs GROUP BY sh),
+       |scores AS (
+       |  SELECT pairs.doc_id,
+       |    round(avg(CASE WHEN first_doc < pairs.doc_id THEN 1.0 ELSE 0.0 END), 4)
+       |      AS dup_score
+       |  FROM pairs JOIN first_seen USING (sh) GROUP BY pairs.doc_id)
+       |SELECT d.doc_id, coalesce(s.dup_score, 0.0) AS dup_score,
+       |  coalesce(s.dup_score, 0.0) >= 0.7 AS is_dup
+       |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("stream_token_counts", tokenCounts, Some(tokenCountsSql)),
+    QuerySpec("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
+    QuerySpec("stream_stateful_dedup", statefulDedup, Some(statefulDedupSql)))
+}

@@ -1,0 +1,53 @@
+package graft
+
+/** Operator-level checks for the dedup family over the sf0.001 corpus —
+  * semantic invariants, not golden values (the DuckDB oracle pins values). */
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH candidates agree with exact jaccard at the 0.5 threshold") {
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH at 4 bands × 4 rows catches jaccard ≳ 0.5 w.h.p.: every exact
+    // pair must be found; est-jaccard ≥ 0.5 pairs must be a superset-free
+    // match modulo banding noise — require symmetric difference small.
+    assert(exact.subsetOf(lsh), s"LSH missed exact pairs: ${exact -- lsh}")
+    assert((lsh -- exact).size <= exact.size, "LSH produced excessive false candidates")
+  }
+
+  test("exact dedup: keep flag marks exactly one doc per fingerprint group") {
+    val df = SparkEntry.queries("dedup_exact")(spark, sf001)
+    val byFp = df.collect().groupBy(_.getAs[String]("fp"))
+    byFp.foreach { case (_, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keep")) == 1)
+      assert(rows.forall(_.getAs[Long]("group_size") == rows.length))
+    }
+  }
+
+  test("simhash: docs with identical token multisets share a fingerprint") {
+    import org.apache.spark.sql.functions._
+    val fp = SparkEntry.queries("dedup_simhash")(spark, sf001)
+    val clean = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), md5(array_join(graft.functions.Text.tokens(col("text")), " ")).as("fp"))
+    val joined = clean.as("a").join(clean.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y")).collect()
+    val sim = fp.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    joined.foreach { r =>
+      assert(sim(r.getAs[Long]("x")) == sim(r.getAs[Long]("y")),
+        "identical-content docs must have equal simhash")
+    }
+  }
+
+  test("knn: brute-force rank-1 neighbor has the highest cosine; lsh is a subset of candidates") {
+    val bf = SparkEntry.queries("sim_knn_bruteforce")(spark, sf001).collect()
+    val byQuery = bf.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        "cosines must be non-increasing in rank")
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+/** Property-style tests for the sketch layer (SURVEY.md §5.2): bounds, not
+  * hash values — CMS never underestimates and overestimates ≤ ε·N w.h.p.
+  * (count_min_sketch.py:11-13's contract); Bloom has no false negatives
+  * (bloom_filter.py:10-15's contract). Seeded generators, 10 trials each. */
+class SketchSpec extends SparkSpec {
+
+  private val vocab = Vector("spark", "data", "query", "scan", "merge", "join",
+    "sort", "agg", "row", "col", "key", "val")
+
+  private def randomWords(seed: Int, n: Int = 300): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+  }
+
+  test("CMS: estimate >= true count and <= true + eps*N (reference dims 544x7)") {
+    (1 to 10).foreach { seed =>
+      val words = randomWords(seed)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.create(7, 544, 42)
+      words.foreach(cms.add)
+      words.groupBy(identity).view.mapValues(_.size.toLong).foreach { case (w, n) =>
+        val est = cms.estimateCount(w)
+        assert(est >= n, s"CMS underestimated $w (seed $seed)")
+        assert(est <= n + math.ceil(0.005 * words.size).toLong + 1,
+          s"CMS overestimate out of bound for $w: est=$est true=$n (seed $seed)")
+      }
+    }
+  }
+
+  test("CMS: merge of partials equals single-pass sketch (partial+final agg contract)") {
+    val a = org.apache.spark.util.sketch.CountMinSketch.create(7, 544, 42)
+    val b = org.apache.spark.util.sketch.CountMinSketch.create(7, 544, 42)
+    val whole = org.apache.spark.util.sketch.CountMinSketch.create(7, 544, 42)
+    val w1 = Seq("x", "y", "x"); val w2 = Seq("y", "z")
+    w1.foreach(a.add); w2.foreach(b.add); (w1 ++ w2).foreach(whole.add)
+    a.mergeInPlace(b)
+    Seq("x", "y", "z", "missing").foreach { w =>
+      assert(a.estimateCount(w) == whole.estimateCount(w))
+    }
+  }
+
+  test("Bloom: no false negatives at reference dims (100k capacity, 1% fpp)") {
+    (1 to 10).foreach { seed =>
+      val words = randomWords(seed).map(w => s"${w}_$seed")
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+      words.foreach(bloom.put)
+      words.foreach(w => assert(bloom.mightContain(w), s"Bloom false negative: $w"))
+    }
+  }
+
+  test("Bloom: observed fpp near configured bound") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(10000L, 0.01)
+    (0 until 10000).foreach(i => bloom.put(s"in_$i"))
+    val fp = (0 until 10000).count(i => bloom.mightContain(s"out_$i"))
+    assert(fp < 300, s"fpp way above configured 1%: $fp/10000")
+  }
+}

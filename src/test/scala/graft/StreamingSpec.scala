@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Cross-batch streaming-state semantics (SURVEY.md ST5): the single-batch
+  * AvailableNow run in Verify can't show state carrying across triggers, so
+  * drive a MemoryStream two batches apart and assert check-then-insert
+  * behavior — first sight never flags, later sights do (fidelity trap #1). */
+class StreamingSpec extends SparkSpec {
+  import graft.streaming.StreamingOps.{SeenFlag, ShinglePair}
+
+  test("stateful dedup: state persists across triggers (check-then-insert)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ShinglePair]
+    val flags = input.toDS().groupByKey(_.sh)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[ShinglePair], state: GroupState[Long]) => {
+          val arrived = it.toSeq.sortBy(_.doc_id)
+          val priorMin = state.getOption.getOrElse(Long.MaxValue)
+          val batchMin = arrived.head.doc_id
+          val out = arrived.map { e =>
+            SeenFlag(e.doc_id, if (math.min(priorMin, batchMin) < e.doc_id) 1.0 else 0.0)
+          }
+          state.update(math.min(priorMin, batchMin))
+          out.iterator
+        })
+    val q = flags.toDF().writeStream.format("memory").queryName("test_dedup_sink")
+      .outputMode("update").start()
+    try {
+      // batch 1: doc 1 introduces shingle "a b c"; doc 2 repeats it
+      input.addData(ShinglePair(1, "a b c"), ShinglePair(2, "a b c"))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats it from cold state; doc 4 introduces a new one
+      input.addData(ShinglePair(3, "a b c"), ShinglePair(4, "x y z"))
+      q.processAllAvailable()
+      val rows = spark.table("test_dedup_sink").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("seen")).toMap
+      assert(rows(1) == 0.0, "first sight must not flag")
+      assert(rows(2) == 1.0, "same-batch later sight must flag")
+      assert(rows(3) == 1.0, "cross-batch sight must flag (state persisted)")
+      assert(rows(4) == 0.0, "new shingle in batch 2 must not flag")
+    } finally q.stop()
+  }
+
+  test("streaming windowed counts equal the batch tumbling aggregation") {
+    val streamed = SparkEntry.queries("stream_windowed_counts")(spark, sf001)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.Tables.events(spark, sf001)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
