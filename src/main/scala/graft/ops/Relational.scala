@@ -629,6 +629,72 @@ object Relational {
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Global sort + limit fused to TakeOrderedAndProject (O1/O2 twin:
+    * the reference's time-ordered bounded stream, run_detectors.py:24-33). */
+  private def sortLimitEvents(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(200)
+
+  private val sortLimitEventsSql =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |FROM events ORDER BY ts, event_id LIMIT 200""".stripMargin
+
+  /** GROUPING SETS (beyond rollup/cube): independent subtotal shapes. */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  /** Schema-on-read JSON: from_json into a typed struct (vs the scalar
+    * get_json_object path in rel_json_extract). */
+  private def fromJsonStruct(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy((col("p.k") % 10).as("k_mod10"))
+      .agg(count(lit(1)).as("n"), sum(col("p.k")).as("sum_k"))
+      .orderBy(col("k_mod10"))
+
+  private val fromJsonStructSql =
+    """SELECT k % 10 AS k_mod10, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      |GROUP BY 1 ORDER BY k_mod10""".stripMargin
+
+  /** Array aggregation: collect + sort + rejoin per group (deterministic
+    * via array_sort; collect_list alone is order-nondeterministic). */
+  private def arrayAgg(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"))
+      .select(col("l_orderkey"),
+        array_join(col("lines"), ",").as("line_list"),
+        size(col("lines")).as("n_lines"),
+        element_at(col("lines"), -1).as("max_line"))
+      .orderBy(col("l_orderkey"))
+
+  private val arrayAggSql =
+    """SELECT l_orderkey,
+      |  array_to_string(list_sort(list(l_linenumber)), ',') AS line_list,
+      |  CAST(len(list(l_linenumber)) AS INT) AS n_lines,
+      |  list_sort(list(l_linenumber))[-1] AS max_line
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -661,5 +727,9 @@ object Relational {
     QuerySpec("rel_case_conditionals", caseConditionals, Some(caseConditionalsSql)),
     QuerySpec("rel_pivot", pivotAgg, Some(pivotAggSql)),
     QuerySpec("rel_sessionize", sessionize, Some(sessionizeSql)),
-    QuerySpec("rel_tumbling_window", tumblingWindow, Some(tumblingWindowSql)))
+    QuerySpec("rel_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    QuerySpec("rel_sort_limit_events", sortLimitEvents, Some(sortLimitEventsSql)),
+    QuerySpec("rel_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QuerySpec("rel_from_json_struct", fromJsonStruct, Some(fromJsonStructSql)),
+    QuerySpec("rel_array_agg", arrayAgg, Some(arrayAggSql)))
 }

@@ -45,6 +45,26 @@ object TextPipeline {
        |  CAST(len(${Text.toksSql}) AS INT) AS n_toks
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** T3 twin: preprocessing with the explicit lemma dictionary applied
+    * (map-literal transform in Spark ≡ CASE chain in the oracle —
+    * graft.functions.Lemmatizer documents why a fixed dictionary, not
+    * NLTK parity, is the contract). */
+  private def preprocessLemma(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .select(col("doc_id"),
+        array_join(graft.functions.Lemmatizer.lemmatizeArray(col("toks")), " ")
+          .as("clean_lemma"))
+      .orderBy(col("doc_id"))
+
+  private val preprocessLemmaSql = {
+    val caseChain = graft.functions.Lemmatizer.DICT
+      .map { case (w, l) => s"WHEN t = '$w' THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id,
+       |  array_to_string(list_transform(${Text.toksSql},
+       |    t -> CASE $caseChain ELSE t END), ' ') AS clean_lemma
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** T6/O3 twin + flagship: global top-20 tokens by exact count
     * (frequency_detector.py:69-80's top-N, exact instead of CMS-estimated).
     * explode → partial-agg groupBy → TakeOrdered: one shuffle, top-k merge
@@ -258,6 +278,7 @@ object TextPipeline {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("text_preprocess", preprocess, Some(preprocessSql)),
+    QuerySpec("text_preprocess_lemma", preprocessLemma, Some(preprocessLemmaSql)),
     QuerySpec("text_top_tokens", topTokens, Some(topTokensSql)),
     QuerySpec("text_shingle_stats", shingleStats, Some(shingleStatsSql)),
     QuerySpec("text_dup_scores", dupScores, Some(dupScoresSql)),
