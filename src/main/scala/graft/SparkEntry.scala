@@ -12,7 +12,8 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     ops.Relational.specs ++ ops.TextPipeline.specs ++ ops.Dedup.specs ++
       ops.Similarity.specs ++ ops.TextAnalysis.specs ++ ops.Sketches.specs ++
-      streaming.StreamingOps.specs ++ multimodal.Multimodal.specs
+      ops.MllibOps.specs ++ streaming.StreamingOps.specs ++
+      multimodal.Multimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's headline computation (top tokens of the preprocessed

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, BucketedRandomProjectionLSH}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables => T}
+import graft.functions.Text
+
+/** MLlib-backed variants of the dedup/similarity operators (SURVEY.md §7.2
+  * M5): the library paths a production pipeline would use at scale, next to
+  * the from-scratch md5/sign-LSH implementations that the DuckDB oracle can
+  * check. Seeded throughout, so outputs are deterministic run-to-run
+  * (rows-only driver check; cross-engine oracle is impossible for MLlib
+  * hash families).
+  */
+object MllibOps {
+
+  /** MinHashLSH near-dup candidates over shingle sets
+    * (CountVectorizer → binary vectors → approxSimilarityJoin).
+    *
+    * NOT registered as a driver query: MLlib's MinHashLSH amplifies OR-only
+    * (each hash table is a single minhash), so on a low-vocabulary corpus
+    * bucket sizes — and approxSimilarityJoin's candidate count — blow up
+    * quadratically; the engine's own banded MinHash (Dedup.minhashLsh,
+    * 4-row AND bands) is the scale path and the registered operator. This
+    * library variant is recall-checked against the exact Jaccard pairs in
+    * MllibSpec at sf0.001. */
+  def minhashMllib(s: SparkSession, d: String): DataFrame = {
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cv = new CountVectorizer().setInputCol("sh").setOutputCol("features")
+      .setBinary(true).fit(sh)
+    // persist = optimizer barrier: without it Catalyst inlines the hash UDF
+    // into a pushed-down join predicate and evaluates it on pre-filter rows
+    // (empty vectors → MinHash "at least 1 non zero entry" failure); also
+    // the MLlib-recommended pattern for LSH fit + self-join.
+    val vecs = cv.transform(sh).persist()
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L).fit(vecs)
+    lsh.approxSimilarityJoin(vecs, vecs, 0.5, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("id_a"), col("datasetB.doc_id").as("id_b"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Random-hyperplane (bucketed random projection) ANN join over the
+    * embeddings table — the MLlib twin of Similarity.knnLsh. */
+  private def annMllib(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+      .fit(e)
+    val queries = e.filter(col("vec_id") < 10)
+    brp.approxSimilarityJoin(queries, e, 8.0, "euclid_dist")
+      .select(col("datasetA.vec_id").as("query_id"), col("datasetB.vec_id").as("cand_id"),
+        round(col("euclid_dist"), 4).as("euclid_dist"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .orderBy(col("query_id"), col("euclid_dist"), col("cand_id"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("mllib_ann_join", annMllib, None))
+}

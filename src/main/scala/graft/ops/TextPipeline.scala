@@ -274,6 +274,40 @@ object TextPipeline {
        |FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents)
        |GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
+  /** End-to-end twin of the reference's final JSON summary
+    * (run_detectors.py:227-243): one row with the whole run's headline
+    * numbers — processed count, duplicate stats, vocabulary size, top
+    * token, burst count. Composes the other twins' logic in one plan. */
+  private def finalSummary(s: SparkSession, d: String): DataFrame = {
+    val toksTbl = withToks(s, d)
+    val tok = toksTbl.select(explode(col("toks")).as("token"))
+    val top = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(1)
+      .select(col("token").as("top_token"), col("cnt").as("top_count"))
+    val vocab = tok.agg(countDistinct(col("token")).as("n_distinct_tokens"),
+      count(lit(1)).as("n_tokens"))
+    val dups = dupScores(s, d)
+      .agg(count(lit(1)).as("n_processed"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        round(avg(col("dup_score")), 4).as("avg_dup_score"))
+    val bursts = burst(s, d).agg(count(lit(1)).as("n_bursts"))
+    dups.crossJoin(vocab).crossJoin(top).crossJoin(bursts)
+  }
+
+  private val finalSummarySql =
+    s"""WITH dup AS ($dupScoresSql),
+       |tok AS (SELECT unnest(${Text.toksSql}) AS token FROM documents),
+       |burstq AS ($burstSql)
+       |SELECT
+       |  (SELECT count(*) FROM dup) AS n_processed,
+       |  (SELECT CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) FROM dup) AS n_dups,
+       |  (SELECT round(avg(dup_score), 4) FROM dup) AS avg_dup_score,
+       |  (SELECT count(DISTINCT token) FROM tok) AS n_distinct_tokens,
+       |  (SELECT count(*) FROM tok) AS n_tokens,
+       |  (SELECT token FROM tok GROUP BY token ORDER BY count(*) DESC, token LIMIT 1) AS top_token,
+       |  (SELECT count(*) FROM tok GROUP BY token ORDER BY count(*) DESC, token LIMIT 1) AS top_count,
+       |  (SELECT count(*) FROM burstq) AS n_bursts""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -286,5 +320,6 @@ object TextPipeline {
     QuerySpec("text_burst", burst, Some(burstSql)),
     QuerySpec("text_snapshot_topk", snapshotTopk, Some(snapshotTopkSql)),
     QuerySpec("text_probe_freq", probeFreq, Some(probeFreqSql)),
-    QuerySpec("text_recent_distinct", recentDistinct, Some(recentDistinctSql)))
+    QuerySpec("text_recent_distinct", recentDistinct, Some(recentDistinctSql)),
+    QuerySpec("text_final_summary", finalSummary, Some(finalSummarySql)))
 }
