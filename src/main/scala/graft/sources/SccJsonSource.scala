@@ -111,4 +111,18 @@ object SccJsonSource {
     val Array(train, test) = df.randomSplit(Array(trainRatio, 1 - trainRatio), seed)
     (train, test)
   }
+
+  /** F6: seeded exact-n conversation sampling (scc_dataset_loader.py:53-54's
+    * random.sample). `orderBy(rand(seed)).limit(n)` gives exactly n rows
+    * like the reference; `df.sample(frac)` is approximate and wrong here
+    * (SURVEY.md F6). */
+  def sampleConversations(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed), col("src_file")).limit(n)
+
+  /** S3: the reference's stdout JSON report sink (run_detectors.py:245) —
+    * the result frame rendered as JSON lines. `.toJSON` streams through the
+    * executors; only the final strings are collected, and callers at scale
+    * use `df.write.json(path)` with the same row shape instead. */
+  def jsonReport(df: DataFrame): Seq[String] =
+    df.toJSON.collect().toSeq
 }

@@ -86,6 +86,21 @@ final class Dgim(windowSize: Int) {
   }
 
   def bucketCount: Int = buckets.length
+
+  /** Jump the clock forward to arrival index t (for streams clocked by an
+    * event index rather than unit ticks). */
+  def advanceTo(t: Long): Unit =
+    if (t > now) { now = t; expire() }
+
+  /** Serializable state: (clock, buckets) — the flatMapGroupsWithState
+    * round-trip encoding. */
+  def snapshot: (Long, List[(Long, Long)]) = (now, buckets.toList)
+
+  def restore(s: (Long, List[(Long, Long)])): Unit = {
+    now = s._1
+    buckets.clear()
+    buckets ++= s._2
+  }
 }
 
 /** One DGIM per bin (reference DGIMManager, dgim.py:66-80) — e.g. one per

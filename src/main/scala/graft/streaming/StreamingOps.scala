@@ -149,8 +149,62 @@ object StreamingOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- DGIM burst
+
+  case class TokenArrival(doc_id: Long, token: String)
+  case class BurstEstimate(token: String, recent_est: Long, prev_est: Long, ratio: Double)
+
+  /** ST2 streaming-fidelity path — the reference's burst detector with
+    * per-key DGIM state (burst_detector.py:43-77 over dgim.py): each token's
+    * group state is a [[Dgim]] clocked by arrival index (doc_id), the
+    * memory-bounded O(log² W) alternative to an exact ring buffer. Emits
+    * the final recent-vs-previous half-window estimates per token
+    * (recent = last 25 arrivals, prev = the 25 before, via the reference's
+    * subtraction trick, burst_detector.py:61-62, clamped ≥ 0).
+    *
+    * DGIM state serializes as (clock, buckets) through snapshot/restore.
+    * Divergence from the reference, documented: the reference ticks every
+    * DGIM once per message globally; keyed state can only advance a
+    * token's clock at that token's own arrivals, so estimates are "as of
+    * the token's last sighting". This never undercounts the true
+    * recent-window count (all of a token's recent arrivals are ≤ its
+    * clock), which DgimBurstStreamSpec asserts against exact counts.
+    */
+  private def dgimBurst(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val window = 50; val half = 25
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+    val arrivals = src
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .as[TokenArrival]
+    val ests = arrivals.groupByKey(_.token)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (token: String, it: Iterator[TokenArrival], state: GroupState[(Long, List[(Long, Long)])]) => {
+          // rebuild the DGIM from serialized buckets, replay this batch in
+          // arrival order, emit the end-of-batch estimate
+          val d50 = new Dgim(window)
+          state.getOption.foreach(d50.restore)
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          sorted.foreach(a => { d50.advanceTo(a.doc_id); d50.addOne() })
+          state.update(d50.snapshot)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val recent = d50.countLast(half)
+            val prev = math.max(0L, d50.countLast(window) - recent) // subtraction trick
+            val ratio = (recent + 1e-6) / (prev + 1e-6)
+            Iterator.single(BurstEstimate(token, recent, prev,
+              BigDecimal(ratio).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        })
+    val q = ests.toDF().writeStream.format("memory").queryName("stream_dgim_sink")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_dgim_sink").orderBy(col("token"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("stream_token_counts", tokenCounts, Some(tokenCountsSql)),
     QuerySpec("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
-    QuerySpec("stream_stateful_dedup", statefulDedup, Some(statefulDedupSql)))
+    QuerySpec("stream_stateful_dedup", statefulDedup, Some(statefulDedupSql)),
+    QuerySpec("stream_dgim_burst", dgimBurst, None))
 }

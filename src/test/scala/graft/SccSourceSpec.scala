@@ -50,6 +50,21 @@ class SccSourceSpec extends SparkSpec {
     assert(c == a && computes == 2, "different config key must recompute")
   }
 
+  test("F6: seeded sampling returns exactly n rows, deterministically") {
+    val df = SccJsonSource.preprocessedMessages(spark, fixture)
+    val a = SccJsonSource.sampleConversations(df, 2).collect().map(_.getString(df.columns.indexOf("body")))
+    val b = SccJsonSource.sampleConversations(df, 2).collect().map(_.getString(df.columns.indexOf("body")))
+    assert(a.length == 2 && a.sameElements(b), "exact-n seeded sample must be stable")
+  }
+
+  test("S3: JSON report renders rows as parseable JSON lines") {
+    val df = SccJsonSource.preprocessedMessages(spark, fixture)
+      .select(col("body"), col("time"))
+    val lines = SccJsonSource.jsonReport(df)
+    assert(lines.nonEmpty)
+    lines.foreach(l => assert(l.startsWith("{") && l.contains("\"body\":")))
+  }
+
   test("S4: seeded 70/30 split is deterministic, disjoint, complete") {
     val df = SccJsonSource.preprocessedMessages(spark, fixture)
     val (tr1, te1) = SccJsonSource.trainTestSplit(df)
