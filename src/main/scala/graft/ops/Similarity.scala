@@ -117,6 +117,37 @@ object Similarity {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-style ANN: a coarse quantizer (seeded MLlib KMeans over the
+    * corpus) assigns every vector to a cell; queries search only their own
+    * cell — the inverted-file layout ANN indexes use at scale (cells ≈
+    * partitions; a cluster deployment would partition the corpus by cell id
+    * so each probe touches one partition). Centroids are model-derived, so
+    * no DuckDB oracle (rows-only); recall is asserted against brute force
+    * in SimilaritySpec. */
+  private def knnIvf(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = T.embeddings(s, d)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e)
+    val cells = km.transform(e).select(col("vec_id"), col("embedding"), col("cell")).persist()
+    val q = cells.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    val c = cells.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine_sim(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cell"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-vector feature stats — exercises array higher-order functions
     * (norm/mean via fold, min/max via array builtins). */
   private def vectorStats(s: SparkSession, d: String): DataFrame =
@@ -144,5 +175,6 @@ object Similarity {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     QuerySpec("sim_knn_lsh", knnLsh, Some(knnLshSql)),
+    QuerySpec("sim_knn_ivf", knnIvf, None),
     QuerySpec("sim_vector_stats", vectorStats, Some(vectorStatsSql)))
 }

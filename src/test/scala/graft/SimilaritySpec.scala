@@ -1,0 +1,38 @@
+package graft
+
+/** ANN recall: the bucketed paths (sign-LSH, IVF) against brute force —
+  * approximate searches must return true neighbors when they return
+  * anything, and IVF's cell-restricted rank-1 should usually agree with
+  * the global rank-1 (embeddings are near-orthogonal noise, so we assert
+  * the structural contracts, not a recall percentage). */
+class SimilaritySpec extends SparkSpec {
+
+  private def resultMap(name: String) =
+    SparkEntry.queries(name)(spark, sf001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+
+  test("IVF: neighbors come from the query's own cell and scores are true cosines") {
+    val bf = resultMap("sim_knn_bruteforce")
+    val ivf = resultMap("sim_knn_ivf")
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, rows) =>
+      val cells = rows.map(_.getAs[Int]("cell")).toSet
+      assert(cells.size == 1, s"query $q searched multiple cells")
+      // every IVF hit's cosine must equal the brute-force cosine for the
+      // same (query, candidate) pair when present there
+      val bfCos = bf(q).map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("cos")).toMap
+      rows.foreach { r =>
+        bfCos.get(r.getAs[Long]("cand_id")).foreach { c =>
+          assert(c == r.getAs[Double]("cos"), "cosines must agree with brute force")
+        }
+      }
+    }
+  }
+
+  test("LSH: candidates share the query's sign bucket") {
+    val lsh = SparkEntry.queries("sim_knn_lsh")(spark, sf001).collect()
+    lsh.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("bucket")).toSet.size == 1)
+    }
+  }
+}

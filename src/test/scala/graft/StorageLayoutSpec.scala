@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout scale mechanics: bucketed co-located joins (no shuffle of
+  * either side) and partition-pruned reads — the plan shapes that matter at
+  * 100 TB, asserted on the actual physical plans. */
+class StorageLayoutSpec extends SparkSpec {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf; use the default (gitignored) one and
+    // clear both catalog entries and any orphaned table directories
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Seq("li_b", "ord_b").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Tables.lineitem(spark, sf001)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf001)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    // force the sort-merge path (at sf0.001 orders would be broadcast,
+    // which bypasses bucketing entirely)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = physicalPlan(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      // the bucketed sides must not re-shuffle on the join keys
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not re-shuffle join keys:\n$plan")
+      // and it still computes the right answer
+      val n = joined.agg(sum(col("n"))).collect()(0).getLong(0)
+      assert(n == Tables.lineitem(spark, sf001).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sf001)
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"read must push the partition filter:\n$plan")
+    val full = Tables.documents(spark, sf001).filter(col("lang") === "en").count()
+    assert(pruned.count() == full)
+  }
+
+  test("selective scans push predicates into the parquet reader") {
+    val df = SparkEntry.queries("rel_scan_filter")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,45.0)"),
+      s"filter must reach the scan:\n$plan")
+  }
+}
