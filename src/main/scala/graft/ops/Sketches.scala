@@ -47,8 +47,11 @@ object Sketches {
     * — the approximate version of text_dup_scores' first-half membership.
     * No false negatives by construction; fpp bounds the score inflation. */
   private def bloomShingleDedup(s: SparkSession, d: String): DataFrame = {
+    // persist: the shingle frame feeds two actions (bloom build, probe);
+    // caching saves a full re-tokenize/re-shingle scan
     val sh = T.documents(s, d)
       .select(col("doc_id"), explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+      .persist()
     val half = 250L
     val history = sh.filter(col("doc_id") < half)
     // Reference defaults: capacity 100 000, fpp 0.01 (duplicate_detector.py:27-30)
