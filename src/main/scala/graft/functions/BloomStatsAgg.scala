@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Custom typed Aggregator exposing what Spark's built-in Bloom aggregation
+  * does not: the fill ratio (popcount/m) and insert count — SURVEY.md A6
+  * (reference bloom_filter.py:65-73's `fill_ratio`). Spark's `BloomFilter`
+  * has `bitSize()` but no popcount accessor, so `finish` serializes the
+  * filter once and counts bits in the bit-array section.
+  *
+  * Buffer design: the filter rides as a Kryo-encoded OBJECT, mutated in
+  * place by `reduce` — Spark's object-aggregation path only serializes the
+  * buffer at shuffle boundaries, so per-row cost is the 7 hash probes, not
+  * a 117 KiB round-trip. `merge` ORs two filters (exact for same m,k — the
+  * same mergeability the reference's double-hash scheme has).
+  */
+object BloomStatsAgg {
+
+  case class BloomStats(
+      bit_size: Long, set_bits: Long, fill_ratio: Double,
+      inserted: Long, approx_fpp: Double)
+
+  private val CAPACITY = 100000L // reference defaults (duplicate_detector.py:27-30)
+  private val FPP = 0.01
+  private val K = 7              // hash count at these dims (bloom_filter.py:28)
+
+  final class Buf(var filter: BloomFilter, var inserted: Long) extends Serializable
+
+  val agg: Aggregator[String, Buf, BloomStats] =
+    new Aggregator[String, Buf, BloomStats] {
+      override def zero: Buf = new Buf(BloomFilter.create(CAPACITY, FPP), 0L)
+
+      override def reduce(b: Buf, a: String): Buf = {
+        b.filter.put(a)
+        b.inserted += 1
+        b
+      }
+
+      override def merge(x: Buf, y: Buf): Buf = {
+        x.filter.mergeInPlace(y.filter)
+        x.inserted += y.inserted
+        x
+      }
+
+      override def finish(b: Buf): BloomStats = {
+        val bos = new java.io.ByteArrayOutputStream()
+        b.filter.writeTo(bos)
+        val bytes = bos.toByteArray
+        // serialized layout: version(4) + numHashFunctions(4) + numWords(4)
+        // + data words; popcount over the word section only
+        val bits = bytes.drop(12).map(x => java.lang.Integer.bitCount(x & 0xff)).sum.toLong
+        val m = b.filter.bitSize()
+        val fill = bits.toDouble / m
+        BloomStats(m, bits, fill, b.inserted, math.pow(fill, K))
+      }
+
+      override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+      override def outputEncoder: Encoder[BloomStats] = Encoders.product[BloomStats]
+    }
+}

@@ -472,6 +472,35 @@ object Relational {
       |  string_split(p_type, ' ')[1] AS type_head
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** String function family #2: translate/reverse/position/repeat/slices,
+    * printf-style formatting, and edit distance (the fuzzy-match primitive
+    * under approximate joins). */
+  private def stringFuncs2(s: SparkSession, d: String): DataFrame =
+    T.part(s, d)
+      .select(
+        col("p_partkey"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
+        reverse(col("p_name")).as("rev_name"),
+        instr(col("p_name"), "a").as("first_a"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        substring(col("p_name"), 1, 3).as("l3"),
+        col("p_name").substr(length(col("p_name")) - 2, lit(3)).as("r3"),
+        format_string("%05d", col("p_size")).as("size5"),
+        levenshtein(col("p_name"), col("p_type")).as("edit_dist"))
+      .orderBy(col("p_partkey"))
+
+  private val stringFuncs2Sql =
+    """SELECT p_partkey,
+      |  translate(p_brand, '#', '-') AS brand_dash,
+      |  reverse(p_name) AS rev_name,
+      |  CAST(strpos(p_name, 'a') AS INT) AS first_a,
+      |  repeat(p_brand, 2) AS brand2,
+      |  left(p_name, 3) AS l3,
+      |  right(p_name, 3) AS r3,
+      |  printf('%05d', p_size) AS size5,
+      |  levenshtein(p_name, p_type) AS edit_dist
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Date/time function family over orders. */
   private def dateFuncs(s: SparkSession, d: String): DataFrame =
     T.orders(s, d)
@@ -721,6 +750,7 @@ object Relational {
     QuerySpec("rel_set_ops", setOps, Some(setOpsSql)),
     QuerySpec("rel_distinct", distinctPairs, Some(distinctPairsSql)),
     QuerySpec("rel_string_funcs", stringFuncs, Some(stringFuncsSql)),
+    QuerySpec("rel_string_funcs2", stringFuncs2, Some(stringFuncs2Sql)),
     QuerySpec("rel_date_funcs", dateFuncs, Some(dateFuncsSql)),
     QuerySpec("rel_math_funcs", mathFuncs, Some(mathFuncsSql)),
     QuerySpec("rel_json_extract", jsonExtract, Some(jsonExtractSql)),

@@ -79,8 +79,24 @@ object Sketches {
         approx_count_distinct(col("token"), 0.01).as("approx_distinct"))
       .orderBy(col("snapshot"))
 
+  /** A6 twin via the custom [[graft.functions.BloomStatsAgg]] Aggregator:
+    * corpus-wide Bloom stats with the fill ratio the built-in aggregation
+    * cannot report. One partial+final pass. */
+  private def bloomStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = T.documents(s, d)
+      .select(explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+      .as[String]
+    sh.select(graft.functions.BloomStatsAgg.agg.toColumn).toDF()
+      .select(col("bit_size"), col("set_bits"),
+        round(col("fill_ratio"), 6).as("fill_ratio"),
+        col("inserted"),
+        round(col("approx_fpp"), 8).as("approx_fpp"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sketch_cms_token_freq", cmsTokenFreq, None),
     QuerySpec("sketch_bloom_dedup", bloomShingleDedup, None),
+    QuerySpec("sketch_bloom_stats", bloomStats, None),
     QuerySpec("sketch_hll_distinct", hllDistinct, None))
 }

@@ -49,6 +49,23 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("BloomStatsAgg: fill ratio consistent with direct filter construction") {
+    import spark.implicits._
+    val words = randomWords(7, 2000).zipWithIndex.map { case (w, i) => s"${w}_$i" }
+    val stats0 = words.toDS()
+      .select(graft.functions.BloomStatsAgg.agg.toColumn).collect()(0)
+    val direct = org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+    words.foreach(direct.put)
+    val bos = new java.io.ByteArrayOutputStream(); direct.writeTo(bos)
+    val directBits = bos.toByteArray.drop(12)
+      .map(x => java.lang.Integer.bitCount(x & 0xff)).sum.toLong
+    assert(stats0.inserted == words.length)
+    assert(stats0.set_bits == directBits,
+      "distributed partial+final build must OR to the same bit pattern")
+    assert(stats0.fill_ratio > 0.0 && stats0.fill_ratio < 0.2,
+      s"2k inserts into ~1M bits: fill=${stats0.fill_ratio}")
+  }
+
   test("Bloom: observed fpp near configured bound") {
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(10000L, 0.01)
     (0 until 10000).foreach(i => bloom.put(s"in_$i"))
