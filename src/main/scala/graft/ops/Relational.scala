@@ -724,6 +724,62 @@ object Relational {
       |  list_sort(list(l_linenumber))[-1] AS max_line
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** Z-score outlier detection per event_type (windowed mean/std so the
+    * stats and the scoring happen in one pass — no self-join). */
+  private def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    T.events(s, d)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 2))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"),
+        col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  private val zscoreOutliersSql =
+    """SELECT event_id, event_type, round(value, 4) AS value, z FROM (
+      |  SELECT event_id, event_type, value,
+      |    round((value - avg(value) OVER (PARTITION BY event_type))
+      |      / stddev_samp(value) OVER (PARTITION BY event_type), 2) AS z
+      |  FROM events)
+      |WHERE abs(z) >= 2.5 ORDER BY event_id""".stripMargin
+
+  /** Funnel analysis: per user, did signup → view → purchase occur in
+    * order? One groupBy computing the first arrival of each stage, then
+    * ordered-stage flags — no joins, one shuffle. */
+  private def funnel(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("event_id"))).as("first_signup"),
+        min(when(col("event_type") === "view", col("event_id"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("event_id"))).as("first_purchase"))
+      .withColumn("reached_view",
+        col("first_signup").isNotNull && col("first_view") > col("first_signup"))
+      .withColumn("converted",
+        col("reached_view") && col("first_purchase") > col("first_view"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("first_signup").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
+        sum(when(col("reached_view"), 1L).otherwise(0L)).as("n_reached_view"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+
+  private val funnelSql =
+    """SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+      |  CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_view > first_signup
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_reached_view,
+      |  CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_view > first_signup
+      |       AND first_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN event_id END) AS first_signup,
+      |    min(CASE WHEN event_type = 'view' THEN event_id END) AS first_view,
+      |    min(CASE WHEN event_type = 'purchase' THEN event_id END) AS first_purchase
+      |  FROM events GROUP BY user_id)""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -761,5 +817,7 @@ object Relational {
     QuerySpec("rel_sort_limit_events", sortLimitEvents, Some(sortLimitEventsSql)),
     QuerySpec("rel_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QuerySpec("rel_from_json_struct", fromJsonStruct, Some(fromJsonStructSql)),
-    QuerySpec("rel_array_agg", arrayAgg, Some(arrayAggSql)))
+    QuerySpec("rel_array_agg", arrayAgg, Some(arrayAggSql)),
+    QuerySpec("rel_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
+    QuerySpec("rel_funnel", funnel, Some(funnelSql)))
 }

@@ -144,7 +144,51 @@ object TextAnalysis {
        |WHERE length(clean) > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Bigram collocation mining: top pairs by pointwise mutual information
+    * (log p(xy) − log p(x) − log p(y)), min support 10 — the classic
+    * phrase-detection pass of a corpus pipeline. Counts are exact; PMI is
+    * a deterministic function of exact integers, so it oracles bit-for-bit. */
+  private def bigramPmi(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("w1"), element_at(col("t"), col("i") + 2).as("w2"))
+    val n = bigrams.count().toDouble
+    val uni = bigrams.select(col("w1").as("w")).union(bigrams.select(col("w2").as("w")))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 10)
+    bi.join(uni.select(col("w").as("w1"), col("wc").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("wc").as("c2")), "w2")
+      .withColumn("pmi", round(
+        log(col("c") * lit(2.0) * n / (col("c1") * col("c2"))), 4))
+      .select(col("w1"), col("w2"), col("c"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  private val bigramPmiSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Text.toksSql} AS t FROM documents
+       |  WHERE len(${Text.toksSql}) >= 2),
+       |bigrams AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) u(i)),
+       |n AS (SELECT count(*) AS total FROM bigrams),
+       |uni AS (SELECT w, count(*) AS wc FROM (
+       |  SELECT w1 AS w FROM bigrams UNION ALL SELECT w2 AS w FROM bigrams)
+       |  GROUP BY w),
+       |bi AS (SELECT w1, w2, count(*) AS c FROM bigrams GROUP BY w1, w2
+       |       HAVING count(*) >= 10)
+       |SELECT w1, w2, c,
+       |  round(ln(c * 2.0 * (SELECT total FROM n) / (c1.wc * c2.wc)), 4) AS pmi
+       |FROM bi JOIN uni c1 ON c1.w = w1 JOIN uni c2 ON c2.w = w2
+       |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ta_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QuerySpec("ta_lang_id", langId, Some(langIdSql)),
     QuerySpec("ta_quality", quality, Some(qualitySql)),
     QuerySpec("ta_token_count", tokenCount, Some(tokenCountSql)),
