@@ -724,6 +724,26 @@ object Relational {
       |  list_sort(list(l_linenumber))[-1] AS max_line
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** Bivariate statistics: correlation / covariance / regression slope of
+    * discount vs quantity per return flag. */
+  private def corrStats(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_discount")), 4).as("corr_qty_disc"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("price_per_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val corrStatsSql =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Z-score outlier detection per event_type (windowed mean/std so the
     * stats and the scoring happen in one pass — no self-join). */
   private def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
@@ -819,5 +839,6 @@ object Relational {
     QuerySpec("rel_from_json_struct", fromJsonStruct, Some(fromJsonStructSql)),
     QuerySpec("rel_array_agg", arrayAgg, Some(arrayAggSql)),
     QuerySpec("rel_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
-    QuerySpec("rel_funnel", funnel, Some(funnelSql)))
+    QuerySpec("rel_funnel", funnel, Some(funnelSql)),
+    QuerySpec("rel_corr_stats", corrStats, Some(corrStatsSql)))
 }

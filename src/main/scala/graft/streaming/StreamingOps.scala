@@ -24,14 +24,17 @@ object StreamingOps {
   /** The file streaming source requires a directory; stage the single
     * parquet file into a temp dir (in production the source is already a
     * directory of arriving files — this is test-layout shim, not design). */
-  private def stageAsDir(d: String, name: String): String = {
-    import java.nio.file._
-    val dir = Files.createTempDirectory(s"graft_stream_$name")
-    dir.toFile.deleteOnExit()
-    Files.copy(Paths.get(s"$d/$name.parquet"), dir.resolve(s"$name.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    dir.toString
-  }
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def stageAsDir(d: String, name: String): String =
+    stagedDirs.getOrElseUpdate((d, name), {
+      import java.nio.file._
+      val dir = Files.createTempDirectory(s"graft_stream_$name")
+      dir.toFile.deleteOnExit()
+      Files.copy(Paths.get(s"$d/$name.parquet"), dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
