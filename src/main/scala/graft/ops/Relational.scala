@@ -390,6 +390,25 @@ object Relational {
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg_last4
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Value-RANGE frame (vs the row frames above): peers within 1000
+    * price units backward — frame membership depends on values, not
+    * positions. */
+  private def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, Window.currentRow)
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"),
+        count(lit(1)).over(w).as("n_within_1000"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val windowRangeFrameSql =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+      |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** ntile + rank family over a global order. */
   private def windowNtile(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
@@ -823,6 +842,7 @@ object Relational {
     QuerySpec("rel_window_lag_gap", windowLagGap, Some(windowLagGapSql)),
     QuerySpec("rel_window_sliding_frame", windowSlidingFrame, Some(windowSlidingFrameSql)),
     QuerySpec("rel_window_ntile", windowNtile, Some(windowNtileSql)),
+    QuerySpec("rel_window_range_frame", windowRangeFrame, Some(windowRangeFrameSql)),
     QuerySpec("rel_set_ops", setOps, Some(setOpsSql)),
     QuerySpec("rel_distinct", distinctPairs, Some(distinctPairsSql)),
     QuerySpec("rel_string_funcs", stringFuncs, Some(stringFuncsSql)),

@@ -187,7 +187,45 @@ object TextAnalysis {
        |FROM bi JOIN uni c1 ON c1.w = w1 JOIN uni c2 ON c2.w = w2
        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf · ln(N/df), row_number tie-break — the classic relevance scoring a
+    * corpus pipeline feeds into retrieval/labeling. Exact counts, one
+    * deterministic log, bit-exact oracle. */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val nDocs = T.documents(s, d).count().toDouble
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val tfidfSql =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Text.toksSql}) AS term FROM documents),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
+       |       GROUP BY term)
+       |SELECT doc_id, rank, term, tf, df, tfidf FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df), 4) AS tfidf,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df), 4) DESC,
+       |               tf.term) AS rank
+       |  FROM tf JOIN df ON tf.term = df.term)
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ta_tfidf", tfidf, Some(tfidfSql)),
     QuerySpec("ta_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QuerySpec("ta_lang_id", langId, Some(langIdSql)),
     QuerySpec("ta_quality", quality, Some(qualitySql)),
