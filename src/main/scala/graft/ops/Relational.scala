@@ -743,6 +743,31 @@ object Relational {
       |  list_sort(list(l_linenumber))[-1] AS max_line
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** Unpivot (melt): wide measures → long (measure, value) rows, then a
+    * per-measure profile. */
+  private def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+        round(avg(col("value")), 4).as("mean"))
+      .orderBy(col("measure"))
+
+  private val unpivotMeasuresSql =
+    """SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
+      |  round(avg(value), 4) AS mean
+      |FROM (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |GROUP BY measure ORDER BY measure""".stripMargin
+
   /** Bivariate statistics: correlation / covariance / regression slope of
     * discount vs quantity per return flag. */
   private def corrStats(s: SparkSession, d: String): DataFrame =
@@ -860,5 +885,6 @@ object Relational {
     QuerySpec("rel_array_agg", arrayAgg, Some(arrayAggSql)),
     QuerySpec("rel_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QuerySpec("rel_funnel", funnel, Some(funnelSql)),
-    QuerySpec("rel_corr_stats", corrStats, Some(corrStatsSql)))
+    QuerySpec("rel_corr_stats", corrStats, Some(corrStatsSql)),
+    QuerySpec("rel_unpivot", unpivotMeasures, Some(unpivotMeasuresSql)))
 }

@@ -152,6 +152,77 @@ object StreamingOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Stream-stream inner join with event-time range + watermarks: each
+    * purchase joined to same-user views in the preceding hour. Both sides
+    * buffer keyed state bounded by the watermark; AvailableNow over a
+    * bounded input makes the result equal the batch range join — which is
+    * exactly what the oracle checks. */
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(views, expr(
+      """v_user = user_id AND
+        |view_ts >= purchase_ts - INTERVAL 1 HOUR AND
+        |view_ts < purchase_ts""".stripMargin))
+    val q = joined.select(col("purchase_id"), col("view_id"), col("user_id"))
+      .writeStream.format("memory").queryName("stream_ssj_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_ssj_sink").orderBy(col("purchase_id"), col("view_id"))
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+      |FROM events p JOIN events v
+      |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.user_id = p.user_id
+      | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+      |ORDER BY purchase_id, view_id""".stripMargin
+
+  /** Native session windows (session_window, 30-minute gap) on a stream —
+    * per-user session counts; must land on rel_sessionize's numbers, which
+    * the oracle checks. */
+  private def sessionWindow(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val sessions = src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("stream_sess_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_sess_sink")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val sessionWindowSql =
+    """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id,
+      |      CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+      |             OVER (PARTITION BY user_id ORDER BY event_id) > 1800000
+      |           OR lag(epoch_ms(ts))
+      |             OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------- DGIM burst
 
   case class TokenArrival(doc_id: Long, token: String)
@@ -209,5 +280,7 @@ object StreamingOps {
     QuerySpec("stream_token_counts", tokenCounts, Some(tokenCountsSql)),
     QuerySpec("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
     QuerySpec("stream_stateful_dedup", statefulDedup, Some(statefulDedupSql)),
+    QuerySpec("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    QuerySpec("stream_session_window", sessionWindow, Some(sessionWindowSql)),
     QuerySpec("stream_dgim_burst", dgimBurst, None))
 }
