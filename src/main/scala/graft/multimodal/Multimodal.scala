@@ -114,7 +114,32 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  /** Frame sampling over the raw binary (no decode): the first 8 bytes of
+    * each of the first 3 256-byte frames, hex-encoded — the bytes a real
+    * keyframe sampler would hand to the decoder. Pure binary slicing, so
+    * fully oracle-able. */
+  private def frameSample(s: SparkSession, d: String): DataFrame = {
+    val media = col("text").cast("binary")
+    def frame(i: Int) =
+      when(length(media) > i * 256,
+        hex(substring(media, i * 256 + 1, 8))).otherwise(lit(null))
+    T.documents(s, d)
+      .select(col("doc_id"),
+        ceil(length(media).cast("double") / 256).as("n_frames"),
+        frame(0).as("frame0_hdr"), frame(1).as("frame1_hdr"), frame(2).as("frame2_hdr"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val frameSampleSql = {
+    def f(i: Int) =
+      s"CASE WHEN length(text) > ${i * 256} THEN hex(substring(text, ${i * 256 + 1}, 8)) END AS frame${i}_hdr"
+    s"""SELECT doc_id, CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_frames,
+       |  ${f(0)}, ${f(1)}, ${f(2)}
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("mm_binary_stats", binaryStats, Some(binaryStatsSql)),
+    QuerySpec("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QuerySpec("mm_decode_features", decodeFeatures, None))
 }
