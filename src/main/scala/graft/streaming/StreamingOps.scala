@@ -103,6 +103,10 @@ object StreamingOps {
     */
   private def statefulDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // ~250k shingle keys at sf0.1: RocksDB state store handles large keyed
+    // state without the default provider's per-batch in-memory map copies
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
     val pairs = src
       .select(col("doc_id"), explode(array_distinct(Text.shingles3(Text.tokens(col("text"))))).as("sh"))
