@@ -16,6 +16,22 @@ class DedupSpec extends SparkSpec {
     assert((lsh -- exact).size <= exact.size, "LSH produced excessive false candidates")
   }
 
+  test("minhash estimate approximates exact jaccard within binomial bounds") {
+    val est = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // 16 permutations: sd of the estimate is sqrt(j(1-j)/16) <= 0.125;
+    // allow 3 sd. Every exact pair was recovered (asserted above), so the
+    // estimates must also be numerically sane.
+    exact.foreach { case (pair, j) =>
+      est.get(pair).foreach { e =>
+        assert(math.abs(e - j) <= 3 * 0.125 + 0.01,
+          s"pair $pair: est=$e exact=$j diverges beyond 3sd")
+      }
+    }
+  }
+
   test("exact dedup: keep flag marks exactly one doc per fingerprint group") {
     val df = SparkEntry.queries("dedup_exact")(spark, sf001)
     val byFp = df.collect().groupBy(_.getAs[String]("fp"))
