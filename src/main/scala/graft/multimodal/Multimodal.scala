@@ -138,8 +138,35 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Waveform-style stats over raw bytes-as-samples (mean amplitude, RMS,
+    * peak) — the shape of an audio feature pass, done portably on the
+    * byte values so it oracles exactly (explicit left folds + round). */
+  private def waveformStats(s: SparkSession, d: String): DataFrame = {
+    val samples = transform(split(col("text"), ""), c => ascii(c).cast("double"))
+    T.documents(s, d)
+      .withColumn("n", size(samples))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n").as("n_samples"),
+        round(aggregate(samples, lit(0.0), (a, x) => a + x) / col("n"), 4).as("mean_amp"),
+        round(sqrt(aggregate(samples, lit(0.0), (a, x) => a + x * x) / col("n")), 4).as("rms"),
+        array_max(transform(split(col("text"), ""), c => ascii(c))).as("peak"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val waveformStatsSql =
+    """SELECT doc_id, CAST(len(string_split(text, '')) AS INT) AS n_samples,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS DOUBLE))),
+      |      (a, x) -> a + x) / len(string_split(text, '')), 4) AS mean_amp,
+      |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS DOUBLE))),
+      |      (a, x) -> a + x * x) / len(string_split(text, ''))), 4) AS rms,
+      |  CAST(list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS INT) AS peak
+      |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("mm_binary_stats", binaryStats, Some(binaryStatsSql)),
     QuerySpec("mm_frame_sample", frameSample, Some(frameSampleSql)),
+    QuerySpec("mm_waveform_stats", waveformStats, Some(waveformStatsSql)),
     QuerySpec("mm_decode_features", decodeFeatures, None))
 }

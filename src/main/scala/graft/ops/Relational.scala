@@ -743,6 +743,83 @@ object Relational {
       |  list_sort(list(l_linenumber))[-1] AS max_line
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** first/last/nth analytic window functions over full-partition frames. */
+  private def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val windowFirstLastSql =
+    """SELECT o_orderkey, o_custkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS last_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Date/time function family #2: month-end, epoch seconds, month deltas. */
+  private def dateFuncs2(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_orderkey"),
+        last_day(col("o_orderdate")).as("month_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+          - (1995 * 12 + 1)).as("months_since"),
+        (col("o_orderdate").cast("date") - lit("1995-01-01").cast("date"))
+          .cast("string").as("age_interval"))
+      .orderBy(col("o_orderkey"))
+
+  private val dateFuncs2Sql =
+    """SELECT o_orderkey,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      |  (year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS months_since,
+      |  concat('INTERVAL ''', CAST(o_orderdate AS DATE) - DATE '1995-01-01',
+      |         ''' DAY') AS age_interval
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** IN (subquery) predicate — Catalyst rewrites to a semi-join. */
+  private def inSubquery(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("orders_in_v")
+    T.customer(s, d).createOrReplaceTempView("customer_in_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n FROM orders_in_v
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer_in_v
+        |                    WHERE c_mktsegment = 'AUTOMOBILE')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val inSubquerySql =
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'AUTOMOBILE')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Multiset INTERSECT ALL / EXCEPT ALL (duplicate-preserving set ops). */
+  private def multisetOps(s: SparkSession, d: String): DataFrame = {
+    val a = T.lineitem(s, d).select(col("l_suppkey").as("k"))
+    val b = T.supplier(s, d).select(col("s_suppkey").as("k"))
+    val ia = a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
+    val ea = a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
+    ia.crossJoin(ea)
+  }
+
+  private val multisetOpsSql =
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT l_suppkey AS k FROM lineitem
+      |     INTERSECT ALL SELECT s_suppkey FROM supplier)) AS n_intersect_all,
+      |  (SELECT count(*) FROM (SELECT l_suppkey AS k FROM lineitem
+      |     EXCEPT ALL SELECT s_suppkey FROM supplier)) AS n_except_all""".stripMargin
+
   /** Unpivot (melt): wide measures → long (measure, value) rows, then a
     * per-measure profile. */
   private def unpivotMeasures(s: SparkSession, d: String): DataFrame =
@@ -886,5 +963,9 @@ object Relational {
     QuerySpec("rel_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql)),
     QuerySpec("rel_funnel", funnel, Some(funnelSql)),
     QuerySpec("rel_corr_stats", corrStats, Some(corrStatsSql)),
-    QuerySpec("rel_unpivot", unpivotMeasures, Some(unpivotMeasuresSql)))
+    QuerySpec("rel_unpivot", unpivotMeasures, Some(unpivotMeasuresSql)),
+    QuerySpec("rel_window_firstlast", windowFirstLast, Some(windowFirstLastSql)),
+    QuerySpec("rel_date_funcs2", dateFuncs2, Some(dateFuncs2Sql)),
+    QuerySpec("rel_in_subquery", inSubquery, Some(inSubquerySql)),
+    QuerySpec("rel_multiset_ops", multisetOps, Some(multisetOpsSql)))
 }

@@ -224,7 +224,37 @@ object TextAnalysis {
        |  FROM tf JOIN df ON tf.term = df.term)
        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Zipf's-law fit: regression slope of ln(count) on ln(rank) over the
+    * exact token frequency table — the corpus-health diagnostic (natural
+    * text ≈ −1; this synthetic near-uniform corpus sits near 0, which is
+    * itself the signal). */
+  private def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = T.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    ranked.agg(
+      count(lit(1)).as("n_types"),
+      round(expr("regr_slope(ln(cnt), ln(rank))"), 3).as("zipf_slope"),
+      round(expr("corr(ln(cnt), ln(rank))"), 3).as("log_log_corr"))
+  }
+
+  private val zipfSlopeSql =
+    s"""WITH counts AS (
+       |  SELECT token, count(*) AS cnt
+       |  FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)
+       |  GROUP BY token),
+       |ranked AS (SELECT cnt,
+       |  row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM counts)
+       |SELECT count(*) AS n_types,
+       |  round(regr_slope(ln(cnt), ln(rank)), 3) AS zipf_slope,
+       |  round(corr(ln(cnt), ln(rank)), 3) AS log_log_corr
+       |FROM ranked""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QuerySpec("ta_tfidf", tfidf, Some(tfidfSql)),
     QuerySpec("ta_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QuerySpec("ta_lang_id", langId, Some(langIdSql)),
