@@ -263,6 +263,64 @@ object Dedup {
        |      (acc, v) -> acc + v) / (a.norm * b.norm), 4) >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-duplicate clusters: connected components over the LSH pair graph
+    * by iterative min-label propagation (3 rounds — enough for the pair/
+    * triangle components LSH produces; at web scale this is the standard
+    * large-star/small-star loop, each round one join + groupBy-min). The
+    * cluster id is the smallest member, i.e. the survivor a keep-one
+    * dedup pass retains. Pure integer mins — bit-exact oracle. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .union(pairs.select(col("id_a"), col("id_a").as("id_b")))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_b")))
+      .distinct()
+    var labels = edges.groupBy(col("id_a").as("node"))
+      .agg(min(col("id_b")).as("label"))
+    (1 to 2).foreach { _ =>
+      labels = edges
+        .join(labels, col("id_b") === col("node"))
+        .groupBy(col("id_a").as("n2"))
+        .agg(min(col("label")).as("label"))
+        .withColumnRenamed("n2", "node")
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClustersSql =
+    s"""WITH sh_sets AS ($shingleSetsSql),
+       |sig AS (
+       |  $signaturesSql),
+       |bands AS (
+       |  ${(0 until B).map { b =>
+            val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+            s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+          }.mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand JOIN sig a ON a.doc_id = id_a
+       |    JOIN sig b ON b.doc_id = id_b
+       |  WHERE round((${(0 until P).map(p => s"CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0, 4) >= 0.5),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |  UNION SELECT id_a, id_a FROM pairs
+       |  UNION SELECT id_b, id_b FROM pairs),
+       |l0 AS (SELECT id_a AS node, min(id_b) AS label FROM edges GROUP BY id_a),
+       |l1 AS (SELECT e.id_a AS node, min(l.label) AS label
+       |       FROM edges e JOIN l0 l ON e.id_b = l.node GROUP BY e.id_a),
+       |l2 AS (SELECT e.id_a AS node, min(l.label) AS label
+       |       FROM edges e JOIN l1 l ON e.id_b = l.node GROUP BY e.id_a)
+       |SELECT node AS doc_id, label AS cluster_id,
+       |  node = label AS is_survivor
+       |FROM l2 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -270,5 +328,6 @@ object Dedup {
     QuerySpec("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QuerySpec("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QuerySpec("dedup_simhash", simhash, Some(simhashSql)),
-    QuerySpec("dedup_embed_cosine", embedNearDup, Some(embedNearDupSql)))
+    QuerySpec("dedup_embed_cosine", embedNearDup, Some(embedNearDupSql)),
+    QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
 }

@@ -253,7 +253,76 @@ object TextAnalysis {
        |  round(corr(ln(cnt), ln(rank)), 3) AS log_log_corr
        |FROM ranked""".stripMargin
 
+  /** PageRank over the token co-occurrence graph (bigram edges, symmetric,
+    * weighted), 3 power iterations, damping 0.85 — graph-mining over text.
+    * Each iteration is one join + groupBy (the standard distributed PR
+    * step). Intermediate ranks are rounded to 12 decimals every iteration
+    * so both engines re-synchronize before ulp drift can accumulate;
+    * output rounds to 6. */
+  private def tokenPagerank(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(graft.functions.Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("w1"), element_at(col("t"), col("i") + 2).as("w2"))
+    val edges = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("w"))
+      .union(bigrams.groupBy(col("w2").as("w1"), col("w1").as("w2"))
+        .agg(count(lit(1)).as("w")))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("w")).as("w"))
+      .persist()
+    val out = edges.groupBy(col("w1")).agg(sum(col("w")).as("out_w"))
+    val n = out.count().toDouble
+    var pr = out.select(col("w1").as("node"), round(lit(1.0 / n), 12).as("pr"))
+    (1 to 3).foreach { _ =>
+      pr = edges
+        .join(out, "w1")
+        .join(pr, col("node") === col("w1"))
+        .select(col("w2"), (col("pr") / col("out_w") * col("w")).as("contrib"))
+        .groupBy(col("w2").as("node2"))
+        .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("contrib")), 12).as("pr"))
+        .withColumnRenamed("node2", "node")
+    }
+    pr.select(col("node").as("token"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("token"))
+      .limit(15)
+  }
+
+  private val tokenPagerankSql = {
+    val toks = Text.toksSql
+    s"""WITH t AS (SELECT $toks AS t FROM documents WHERE len($toks) >= 2),
+       |bigrams AS (SELECT t[i] AS w1, t[i+1] AS w2
+       |            FROM t, unnest(range(1, len(t))) u(i)),
+       |edges AS (
+       |  SELECT w1, w2, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT w1, w2, count(*) AS w FROM bigrams GROUP BY w1, w2
+       |    UNION ALL
+       |    SELECT w2 AS w1, w1 AS w2, count(*) AS w FROM bigrams GROUP BY w1, w2)
+       |  GROUP BY w1, w2),
+       |outw AS (SELECT w1, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY w1),
+       |n AS (SELECT count(*) AS n FROM outw),
+       |p0 AS (SELECT w1 AS node, round(1.0 / (SELECT n FROM n), 12) AS pr FROM outw),
+       |p1 AS (SELECT e.w2 AS node,
+       |         round(0.15 / (SELECT n FROM n)
+       |           + 0.85 * sum(p.pr / o.out_w * e.w), 12) AS pr
+       |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN p0 p ON p.node = e.w1
+       |       GROUP BY e.w2),
+       |p2 AS (SELECT e.w2 AS node,
+       |         round(0.15 / (SELECT n FROM n)
+       |           + 0.85 * sum(p.pr / o.out_w * e.w), 12) AS pr
+       |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN p1 p ON p.node = e.w1
+       |       GROUP BY e.w2),
+       |p3 AS (SELECT e.w2 AS node,
+       |         round(0.15 / (SELECT n FROM n)
+       |           + 0.85 * sum(p.pr / o.out_w * e.w), 12) AS pr
+       |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN p2 p ON p.node = e.w1
+       |       GROUP BY e.w2)
+       |SELECT node AS token, round(pr, 6) AS pagerank
+       |FROM p3 ORDER BY pagerank DESC, token LIMIT 15""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
     QuerySpec("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QuerySpec("ta_tfidf", tfidf, Some(tfidfSql)),
     QuerySpec("ta_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
