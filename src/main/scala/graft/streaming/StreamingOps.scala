@@ -156,6 +156,28 @@ object StreamingOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Built-in streaming dedup: dropDuplicates keyed state keeps the first
+    * arrival per shingle across batches; the surviving-row count equals
+    * the batch COUNT(DISTINCT) — which the oracle checks. (The richer
+    * check-then-insert scoring is stream_stateful_dedup; this covers the
+    * built-in operator itself.) */
+  private def dropDupStream(s: SparkSession, d: String): DataFrame = {
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+    val firstSeen = src
+      .select(explode(array_distinct(Text.shingles3(Text.tokens(col("text"))))).as("sh"))
+      .dropDuplicates("sh")
+    val q = firstSeen.writeStream.format("memory").queryName("stream_dropdup_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_dropdup_sink")
+      .agg(count(lit(1)).as("n_distinct_shingles"))
+  }
+
+  private val dropDupStreamSql =
+    s"""SELECT count(DISTINCT sh) AS n_distinct_shingles
+       |FROM (SELECT unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
+       |      FROM documents)""".stripMargin
+
   /** Stream-stream inner join with event-time range + watermarks: each
     * purchase joined to same-user views in the preceding hour. Both sides
     * buffer keyed state bounded by the watermark; AvailableNow over a
@@ -285,6 +307,7 @@ object StreamingOps {
     QuerySpec("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
     QuerySpec("stream_stateful_dedup", statefulDedup, Some(statefulDedupSql)),
     QuerySpec("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    QuerySpec("stream_drop_duplicates", dropDupStream, Some(dropDupStreamSql)),
     QuerySpec("stream_session_window", sessionWindow, Some(sessionWindowSql)),
     QuerySpec("stream_dgim_burst", dgimBurst, None))
 }
