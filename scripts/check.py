@@ -56,9 +56,21 @@ def main():
             print(f"FAIL {name}: {str(e)[:300]}")
             n_fail += 1
             continue
+        # dtype strictness BEFORE normalization: int32 vs int64 etc. would
+        # hash-mismatch under a type-strict driver compare
+        sd_t = {c: str(spark_df[c].dtype) for c in spark_df.columns}
+        dd_t = {c: str(duck_df[c].dtype) for c in duck_df.columns}
+        tmism = [f"{c}: spark={sd_t[c]} duck={dd_t[c]}"
+                 for c in sorted(set(sd_t) & set(dd_t))
+                 if sd_t[c] != dd_t[c] and not (
+                     sd_t[c] == "object" or dd_t[c] == "object")]
         s, d = normalize(spark_df), normalize(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            n_fail += 1
+            continue
+        if tmism:
+            print(f"FAIL {name}: dtype mismatch — " + "; ".join(tmism))
             n_fail += 1
             continue
         if len(s) != len(d):

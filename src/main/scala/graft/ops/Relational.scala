@@ -332,7 +332,7 @@ object Relational {
   }
 
   private val windowTopnPerGroupSql =
-    """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS price FROM (
+    """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, round(o_totalprice, 2) AS price FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -423,7 +423,7 @@ object Relational {
   }
 
   private val windowNtileSql =
-    """SELECT quartile, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal,
+    """SELECT CAST(quartile AS INT) AS quartile, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal,
       |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
       |FROM (SELECT c_acctbal,
       |        ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
@@ -481,7 +481,7 @@ object Relational {
       .orderBy(col("p_partkey"))
 
   private val stringFuncsSql =
-    """SELECT p_partkey, upper(p_name) AS up, length(p_name) AS len,
+    """SELECT p_partkey, upper(p_name) AS up, CAST(length(p_name) AS INT) AS len,
       |  substring(p_name, 1, 5) AS pre5,
       |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
       |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
@@ -517,7 +517,7 @@ object Relational {
       |  left(p_name, 3) AS l3,
       |  right(p_name, 3) AS r3,
       |  printf('%05d', p_size) AS size5,
-      |  levenshtein(p_name, p_type) AS edit_dist
+      |  CAST(levenshtein(p_name, p_type) AS INT) AS edit_dist
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** Date/time function family over orders. */
@@ -530,18 +530,20 @@ object Relational {
         dayofmonth(col("o_orderdate")).as("dom"),
         quarter(col("o_orderdate")).as("qtr"),
         (weekday(col("o_orderdate")) + lit(1)).as("isodow"),
-        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"),
         datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
-        date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"))
       .orderBy(col("o_orderkey"))
 
   private val dateFuncsSql =
-    """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-      |  dayofmonth(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
-      |  isodow(o_orderdate) AS isodow,
-      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-      |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
-      |  CAST(o_orderdate AS DATE) + 30 AS plus30
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(isodow(o_orderdate) AS INT) AS isodow,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+      |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Math function family. */
@@ -668,12 +670,12 @@ object Relational {
     * windowed count, SURVEY.md ST2/ST4). */
   private def tumblingWindow(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
   private val tumblingWindowSql =
-    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
@@ -681,12 +683,16 @@ object Relational {
     * the reference's time-ordered bounded stream, run_detectors.py:24-33). */
   private def sortLimitEvents(s: SparkSession, d: String): DataFrame =
     T.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("ts"), col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
       .limit(200)
+      .drop("ts")
 
   private val sortLimitEventsSql =
-    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      |  user_id, event_type
       |FROM events ORDER BY ts, event_id LIMIT 200""".stripMargin
 
   /** GROUPING SETS (beyond rollup/cube): independent subtotal shapes. */
@@ -770,7 +776,7 @@ object Relational {
   private def dateFuncs2(s: SparkSession, d: String): DataFrame =
     T.orders(s, d)
       .select(col("o_orderkey"),
-        last_day(col("o_orderdate")).as("month_end"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
           - (1995 * 12 + 1)).as("months_since"),
@@ -780,9 +786,9 @@ object Relational {
 
   private val dateFuncs2Sql =
     """SELECT o_orderkey,
-      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
       |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-      |  (year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS months_since,
+      |  CAST((year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS INT) AS months_since,
       |  concat('INTERVAL ''', CAST(o_orderdate AS DATE) - DATE '1995-01-01',
       |         ''' DAY') AS age_interval
       |FROM orders ORDER BY o_orderkey""".stripMargin

@@ -67,7 +67,7 @@ object Similarity {
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
        |    ($dotSqlFrag) / (q.norm * c.norm) AS cos
        |  FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id)
-       |SELECT query_id, rank, cand_id, round(cos, 4) AS cos FROM (
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, round(cos, 4) AS cos FROM (
        |  SELECT query_id, cand_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
        |  FROM scored)
@@ -110,7 +110,7 @@ object Similarity {
        |    ($dotSqlFrag) / (q.norm * c.norm) AS cos
        |  FROM e q JOIN e c ON q.bucket = c.bucket
        |    AND q.vec_id < $NQ AND q.vec_id <> c.vec_id)
-       |SELECT query_id, rank, cand_id, bucket, round(cos, 4) AS cos FROM (
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id, bucket, round(cos, 4) AS cos FROM (
        |  SELECT query_id, cand_id, bucket, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
        |  FROM scored)

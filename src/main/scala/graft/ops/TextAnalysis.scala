@@ -215,7 +215,7 @@ object TextAnalysis {
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
        |       GROUP BY term)
-       |SELECT doc_id, rank, term, tf, df, tfidf FROM (
+       |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf FROM (
        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
        |    round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df), 4) AS tfidf,
        |    row_number() OVER (PARTITION BY tf.doc_id

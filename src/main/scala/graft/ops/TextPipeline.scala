@@ -228,7 +228,7 @@ object TextPipeline {
   }
 
   private val snapshotTopkSql =
-    s"""SELECT snapshot, rank, token, cnt FROM (
+    s"""SELECT snapshot, CAST(rank AS INT) AS rank, token, cnt FROM (
        |  SELECT snapshot, token, cnt,
        |    row_number() OVER (PARTITION BY snapshot ORDER BY cnt DESC, token) AS rank
        |  FROM (SELECT doc_id // 100 AS snapshot, token, count(*) AS cnt

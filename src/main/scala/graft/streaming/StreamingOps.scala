@@ -78,12 +78,13 @@ object StreamingOps {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table("stream_win_sink")
-      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
   }
 
   private val windowedCountsSql =
-    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 

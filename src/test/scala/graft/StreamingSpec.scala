@@ -47,11 +47,12 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming windowed counts equal the batch tumbling aggregation") {
     val streamed = SparkEntry.queries("stream_windowed_counts")(spark, sf001)
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val batch = graft.Tables.events(spark, sf001)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
 }
