@@ -164,9 +164,63 @@ object Multimodal {
       |  CAST(list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS INT) AS peak
       |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
 
+  /** Perceptual average-hash over the raw bytes (the aHash scheme image
+    * dedup uses, applied to byte blocks): 16 equal blocks, bit i set iff
+    * block i's mean exceeds the overall mean. Means are compared through
+    * cross-multiplied integer sums (16·blockSum > totalSum), so the whole
+    * hash is exact integer arithmetic — bit-exact oracle. Equal hashes →
+    * near-dup media candidates (bucket_size). */
+  private def avgHash(s: SparkSession, d: String): DataFrame = {
+    val codes = transform(split(col("text"), ""), c => ascii(c).cast("long"))
+    val blockSum = (i: Int) =>
+      aggregate(slice(col("codes"), col("blk") * i + 1, col("blk")), lit(0L), (a, x) => a + x)
+    val base = T.documents(s, d)
+      .filter(length(col("text")) >= 16)
+      .withColumn("codes", codes)
+      .withColumn("blk", (length(col("text")) / 16).cast("int"))
+    val withSums = (0 until 16).foldLeft(base) { (df, i) =>
+      df.withColumn(s"b$i", blockSum(i))
+    }
+    val total = (0 until 16).map(i => col(s"b$i")).reduce(_ + _)
+    val hash = (0 until 16).map(i =>
+      when(col(s"b$i") * 16 > col("total"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val hashed = withSums.withColumn("total", total)
+      .select(col("doc_id"), hash.as("avg_hash"))
+    hashed
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("avg_hash"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val avgHashSql = {
+    val sums = (0 until 16).map(i =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(blk*$i+1):(blk*$i+blk)]), (a,x) -> a+x) AS b$i")
+      .mkString(",\n    ")
+    val total = (0 until 16).map(i => s"b$i").mkString(" + ")
+    val hash = (0 until 16).map(i =>
+      s"CASE WHEN b$i * 16 > total THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+       |    CAST(length(text) // 16 AS INT) AS blk
+       |  FROM documents WHERE length(text) >= 16),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM base),
+       |hashed AS (
+       |  SELECT doc_id, CAST($hash AS BIGINT) AS avg_hash
+       |  FROM (SELECT doc_id, ${(0 until 16).map(i => s"b$i").mkString(", ")},
+       |          $total AS total FROM sums))
+       |SELECT doc_id, avg_hash,
+       |  count(*) OVER (PARTITION BY avg_hash) AS bucket_size
+       |FROM hashed ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("mm_binary_stats", binaryStats, Some(binaryStatsSql)),
     QuerySpec("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QuerySpec("mm_waveform_stats", waveformStats, Some(waveformStatsSql)),
+    QuerySpec("mm_avg_hash", avgHash, Some(avgHashSql)),
     QuerySpec("mm_decode_features", decodeFeatures, None))
 }

@@ -826,6 +826,38 @@ object Relational {
       |  (SELECT count(*) FROM (SELECT l_suppkey AS k FROM lineitem
       |     EXCEPT ALL SELECT s_suppkey FROM supplier)) AS n_except_all""".stripMargin
 
+  /** Fixed-width histogram of event values per type (floor bucketing —
+    * width_bucket has no DuckDB 1.0 twin, so the formula is explicit). */
+  private def histogram(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .withColumn("bucket", floor(col("value") / 25).cast("int"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("mean_in_bucket"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  private val histogramSql =
+    """SELECT event_type, CAST(floor(value / 25) AS INT) AS bucket,
+      |  count(*) AS n, round(avg(value), 4) AS mean_in_bucket
+      |FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin
+
+  /** percent_rank + cume_dist (relative-rank analytics). */
+  private def relativeRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val relativeRanksSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Unpivot (melt): wide measures → long (measure, value) rows, then a
     * per-measure profile. */
   private def unpivotMeasures(s: SparkSession, d: String): DataFrame =
@@ -973,5 +1005,7 @@ object Relational {
     QuerySpec("rel_window_firstlast", windowFirstLast, Some(windowFirstLastSql)),
     QuerySpec("rel_date_funcs2", dateFuncs2, Some(dateFuncs2Sql)),
     QuerySpec("rel_in_subquery", inSubquery, Some(inSubquerySql)),
-    QuerySpec("rel_multiset_ops", multisetOps, Some(multisetOpsSql)))
+    QuerySpec("rel_multiset_ops", multisetOps, Some(multisetOpsSql)),
+    QuerySpec("rel_histogram", histogram, Some(histogramSql)),
+    QuerySpec("rel_relative_ranks", relativeRanks, Some(relativeRanksSql)))
 }

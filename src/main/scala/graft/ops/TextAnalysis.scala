@@ -321,7 +321,26 @@ object TextAnalysis {
        |FROM p3 ORDER BY pagerank DESC, token LIMIT 15""".stripMargin
   }
 
+  /** Character trigram profile — the substrate of n-gram language ID and
+    * OCR-noise detection: top 20 char-3grams of the raw text. */
+  private def charNgrams(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(explode(transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tri"))
+      .limit(20)
+
+  private val charNgramsSql =
+    """SELECT tri, count(*) AS cnt
+      |FROM (SELECT unnest(list_transform(range(1, length(text) - 1),
+      |        i -> substring(text, i, 3))) AS tri
+      |      FROM documents WHERE length(text) >= 3)
+      |GROUP BY tri ORDER BY cnt DESC, tri LIMIT 20""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
     QuerySpec("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QuerySpec("ta_tfidf", tfidf, Some(tfidfSql)),
