@@ -321,6 +321,57 @@ object Dedup {
        |  node = label AS is_survivor
        |FROM l2 ORDER BY doc_id""".stripMargin
 
+  /** Two-stage fuzzy dedup: LSH candidates validated by edit distance on
+    * the normalized text — the candidate-then-verify pattern production
+    * fuzzy dedup uses (cheap recall stage, exact precision stage). */
+  private def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
+    val cand = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+    val clean = T.documents(s, d)
+      .select(col("doc_id"), array_join(Text.tokens(col("text")), " ").as("clean"))
+    cand
+      .join(clean.select(col("doc_id").as("id_a"), col("clean").as("text_a")), "id_a")
+      .join(clean.select(col("doc_id").as("id_b"), col("clean").as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        length(col("text_a")).as("len_a"), length(col("text_b")).as("len_b"))
+      .withColumn("rel_dist",
+        round(col("edit_dist").cast("double") / greatest(col("len_a"), col("len_b")), 4))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val levenshteinPairsSql = {
+    val matches = (0 until P).map(p =>
+      s"CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END").mkString(" + ")
+    val bandRows = (0 until B).map { b =>
+      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh_sets AS ($shingleSetsSql),
+       |sig AS (
+       |  $signaturesSql),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand JOIN sig a ON a.doc_id = id_a
+       |    JOIN sig b ON b.doc_id = id_b
+       |  WHERE round(($matches) / 16.0, 4) >= 0.5),
+       |clean AS (SELECT doc_id, array_to_string(${Text.toksSql}, ' ') AS clean
+       |          FROM documents)
+       |SELECT id_a, id_b,
+       |  CAST(levenshtein(ca.clean, cb.clean) AS INT) AS edit_dist,
+       |  CAST(length(ca.clean) AS INT) AS len_a,
+       |  CAST(length(cb.clean) AS INT) AS len_b,
+       |  round(levenshtein(ca.clean, cb.clean) * 1.0
+       |        / greatest(length(ca.clean), length(cb.clean)), 4) AS rel_dist
+       |FROM pairs JOIN clean ca ON ca.doc_id = id_a
+       |           JOIN clean cb ON cb.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -329,5 +380,6 @@ object Dedup {
     QuerySpec("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QuerySpec("dedup_simhash", simhash, Some(simhashSql)),
     QuerySpec("dedup_embed_cosine", embedNearDup, Some(embedNearDupSql)),
-    QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
+    QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QuerySpec("dedup_levenshtein", levenshteinPairs, Some(levenshteinPairsSql)))
 }

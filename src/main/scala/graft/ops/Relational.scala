@@ -826,6 +826,61 @@ object Relational {
       |  (SELECT count(*) FROM (SELECT l_suppkey AS k FROM lineitem
       |     EXCEPT ALL SELECT s_suppkey FROM supplier)) AS n_except_all""".stripMargin
 
+  /** Exponentially-weighted moving average over the last 10 events per
+    * user (explicit lag-term expansion: EWMA's recursion unrolled to a
+    * fixed window so the formula is identical in both engines). */
+  private def ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val alpha = 0.8
+    val terms = (0 until 10).map(k =>
+      coalesce(lag(col("value"), k).over(w), lit(0.0)) * math.pow(alpha, k))
+    val weights = (0 until 10).map(k =>
+      when(lag(col("value"), k).over(w).isNotNull, math.pow(alpha, k)).otherwise(0.0))
+    T.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"),
+        round(terms.reduce(_ + _) / weights.reduce(_ + _), 4).as("ewma10"))
+      .orderBy(col("event_id"))
+  }
+
+  private val ewmaSql = {
+    val terms = (0 until 10).map(k =>
+      s"coalesce(lag(value, $k) OVER w, 0.0) * ${math.pow(0.8, k)}").mkString(" + ")
+    val weights = (0 until 10).map(k =>
+      s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN ${math.pow(0.8, k)} ELSE 0.0 END")
+      .mkString(" + ")
+    s"""SELECT event_id, user_id, round(value, 4) AS value,
+       |  round(($terms) / ($weights), 4) AS ewma10
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** Data-quality completeness profile: null/blank counts per column. */
+  private def nullProfile(s: SparkSession, d: String): DataFrame = {
+    val e = T.events(s, d)
+    e.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_type").isNull || col("event_type") === "", 1L).otherwise(0L))
+        .as("null_event_type"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_value"),
+      sum(when(col("props").isNull ||
+        get_json_object(col("props"), "$.k").isNull, 1L).otherwise(0L))
+        .as("null_or_badjson_props"),
+      countDistinct(col("event_id")).as("distinct_ids"))
+  }
+
+  private val nullProfileSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN event_type IS NULL OR event_type = '' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS null_event_type,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+      |  CAST(sum(CASE WHEN props IS NULL
+      |       OR json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS null_or_badjson_props,
+      |  count(DISTINCT event_id) AS distinct_ids
+      |FROM events""".stripMargin
+
   /** Fixed-width histogram of event values per type (floor bucketing —
     * width_bucket has no DuckDB 1.0 twin, so the formula is explicit). */
   private def histogram(s: SparkSession, d: String): DataFrame =
@@ -1007,5 +1062,7 @@ object Relational {
     QuerySpec("rel_in_subquery", inSubquery, Some(inSubquerySql)),
     QuerySpec("rel_multiset_ops", multisetOps, Some(multisetOpsSql)),
     QuerySpec("rel_histogram", histogram, Some(histogramSql)),
-    QuerySpec("rel_relative_ranks", relativeRanks, Some(relativeRanksSql)))
+    QuerySpec("rel_relative_ranks", relativeRanks, Some(relativeRanksSql)),
+    QuerySpec("rel_ewma", ewma, Some(ewmaSql)),
+    QuerySpec("rel_null_profile", nullProfile, Some(nullProfileSql)))
 }
