@@ -217,7 +217,28 @@ object Multimodal {
        |FROM hashed ORDER BY doc_id""".stripMargin
   }
 
+  /** Metadata-vs-payload integrity: declared size (n_chars) against actual
+    * byte length — the validation pass a media pipeline runs before
+    * spending decode cycles. */
+  private def metaIntegrity(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("actual", length(col("text")))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("n_chars") =!= col("actual"), 1L).otherwise(0L)).as("n_mismatched"),
+        max(abs(col("n_chars") - col("actual"))).as("max_abs_diff"),
+        sum(when(col("actual") === 0, 1L).otherwise(0L)).as("n_empty"))
+
+  private val metaIntegritySql =
+    """SELECT count(*) AS n_total,
+      |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mismatched,
+      |  CAST(max(abs(n_chars - length(text))) AS BIGINT) AS max_abs_diff,
+      |  CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+      |FROM documents""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("mm_meta_integrity", metaIntegrity, Some(metaIntegritySql)),
     QuerySpec("mm_binary_stats", binaryStats, Some(binaryStatsSql)),
     QuerySpec("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QuerySpec("mm_waveform_stats", waveformStats, Some(waveformStatsSql)),

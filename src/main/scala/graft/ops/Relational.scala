@@ -826,6 +826,32 @@ object Relational {
       |  (SELECT count(*) FROM (SELECT l_suppkey AS k FROM lineitem
       |     EXCEPT ALL SELECT s_suppkey FROM supplier)) AS n_except_all""".stripMargin
 
+  /** Calendar-spine gap filling: a generated 100-day date spine left-joined
+    * to daily order counts so missing days surface as explicit zeros — the
+    * standard time-series densification pattern. */
+  private def calendarSpine(s: SparkSession, d: String): DataFrame = {
+    val spine = s.range(100)
+      .select(date_add(lit("1995-01-01").cast("date"), col("id").cast("int")).as("day"))
+    val daily = T.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("total"), lit(0.0)).as("total_price"))
+      .orderBy(col("day"))
+  }
+
+  private val calendarSpineSql =
+    """SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+      |  coalesce(d.n, 0) AS n_orders, coalesce(d.total, 0.0) AS total_price
+      |FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+      |        DATE '1995-01-01' + 99, INTERVAL 1 DAY))::DATE AS day) spine
+      |LEFT JOIN (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+      |             round(sum(o_totalprice), 2) AS total
+      |           FROM orders GROUP BY 1) d USING (day)
+      |ORDER BY day""".stripMargin
+
   /** Exponentially-weighted moving average over the last 10 events per
     * user (explicit lag-term expansion: EWMA's recursion unrolled to a
     * fixed window so the formula is identical in both engines). */
@@ -1064,5 +1090,6 @@ object Relational {
     QuerySpec("rel_histogram", histogram, Some(histogramSql)),
     QuerySpec("rel_relative_ranks", relativeRanks, Some(relativeRanksSql)),
     QuerySpec("rel_ewma", ewma, Some(ewmaSql)),
-    QuerySpec("rel_null_profile", nullProfile, Some(nullProfileSql)))
+    QuerySpec("rel_null_profile", nullProfile, Some(nullProfileSql)),
+    QuerySpec("rel_calendar_spine", calendarSpine, Some(calendarSpineSql)))
 }
