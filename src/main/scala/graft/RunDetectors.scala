@@ -16,13 +16,34 @@ import graft.sources.SccJsonSource
   *     [--freq-query term]... [--exclude-duplicates] [--all-messages]
   *     [--show-text]
   *
+  * Faithful semantics pinned here (run_detectors.py:155-210):
+  *  - `pipeline.process_message` runs BEFORE the `--exclude-duplicates`
+  *    check, so every detector (CMS frequency, DGIM burst, Bloom dedup)
+  *    observes EVERY streamed message — excluded ones included. Hence all
+  *    detector statistics (frequency_estimates, top-token counts, burst
+  *    window counts) are computed over the full stream (`scored`), while
+  *    `processed`, snapshot cadence, duplicate totals, and the messages
+  *    output use kept messages only.
+  *  - The top-token TRACKED SET, however, is fed by `recent_tokens`, which
+  *    is updated after the exclusion check (run_detectors.py:174-176) — so
+  *    candidate tokens come from kept messages, their counts from all.
+  *  - `--all-messages` bypasses the F1 medium filter and F2 inbound filter
+  *    but keeps the F4 boilerplate scrub and the full preprocessing chain
+  *    (scc_dataset_loader.py:38-45).
+  *  - Summary keys follow the reference verbatim, including the
+  *    space-containing `"final burst"` and `"final top_tokens"`
+  *    (run_detectors.py:227-243); `messages` entries nest
+  *    `duplicate`/`burst` dicts (run_detectors.py:178-185); snapshot
+  *    `top_10_tokens` report cumulative-to-date counts (CMS state at
+  *    snapshot time), not per-interval counts.
+  *
   * Differences, documented (SURVEY.md §7.3): token counts and probe
   * estimates are exact (the reference reports CMS estimates — same
-  * quantities, error removed); burst ratios use exact half-window counts
-  * (the reference reads DGIM estimates). Everything else — filters, scrub,
-  * preprocessing, check-then-insert dedup scoring, exclusion-after-scoring
-  * (trap #2: excluded messages still feed detectors; snapshot cadence
-  * counts kept messages only), snapshot shape — follows the reference.
+  * quantities, error removed); burst entries are per-token, not per-CMS-bin
+  * (`bin` omitted, `representative` = the token, counts exact instead of
+  * DGIM-approximate); `duplicate` dicts omit the Bloom-internal
+  * `fill_ratio`; ratio values are unrounded doubles; ties in token rankings
+  * break by token text (the reference inherits dict insertion order).
   */
 object RunDetectors {
 
@@ -62,23 +83,23 @@ object RunDetectors {
     go(args.toList, Config())
   }
 
+  // DGIM window (StreamingPipeline window_size=50) and burst defaults
+  // (detect_spikes: recent_k = window//2, threshold 2.0, min_count 1) —
+  // streaming_pipeline.py:23, burst_detector.py:43-55.
+  private val WindowSize = 50
+  private val RecentK = WindowSize / 2
+  private val BurstThreshold = 2.0
+  private val BurstEps = 1e-6
+
   /** The whole run as one Spark program; returns the summary as a JSON
     * string (the reference's stdout payload). */
   def run(spark: SparkSession, c: Config): String = {
     val splitDir =
       s"${c.dataDir}/${if (c.split == "train") c.trainSubdir else c.testSubdir}"
 
-    // ingest + preprocess + stream order (S1, F1–F5, T1–T5, O1/O2)
-    val msgs = (if (c.allMessages)
-        SccJsonSource.readConversations(spark, splitDir)
-          .select(explode(col("messages")).as("m"))
-          .select(col("m.body").as("body"), col("m.time").as("time"))
-          .filter(col("body").isNotNull && col("body") =!= "")
-          .withColumn("raw_body", col("body"))
-          .withColumn("body", array_join(Text.tokens(col("body")), " "))
-          .filter(col("body") =!= "")
-      else
-        SccJsonSource.preprocessedMessages(spark, splitDir))
+    // ingest + preprocess + stream order (S1, F1–F5, T1–T5, O1/O2);
+    // msg_idx is the FULL-stream arrival index — what the detectors see
+    val msgs = SccJsonSource.preprocessedMessages(spark, splitDir, c.allMessages)
       .orderBy(col("time").asc_nulls_last, col("body"))
       .limit(c.maxMessages)
       .withColumn("msg_idx",
@@ -100,84 +121,153 @@ object RunDetectors {
       .persist()
 
     // exclusion happens AFTER detectors saw the message (trap #2): kept
-    // messages drive `processed` and the snapshot cadence
+    // messages drive `processed`, the snapshot cadence, and counters —
+    // detector state keeps every message
     val kept = (if (c.excludeDuplicates) scored.filter(!col("is_duplicate")) else scored)
       .withColumn("kept_idx",
         row_number().over(Window.orderBy(col("msg_idx"))) - 1)
       .persist()
 
+    val streamed = scored.count()
     val processed = kept.count()
-    val excluded = if (c.excludeDuplicates) scored.count() - processed else 0L
+    val excluded = if (c.excludeDuplicates) streamed - processed else 0L
     val dupRow = kept.agg(
       sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("total"),
       avg(when(col("is_duplicate"), 1.0).otherwise(0.0)).as("rate"),
       avg(col("dup_score")).as("avg_score")).collect()(0)
 
-    val tokens = kept.select(col("kept_idx"), explode(split(col("body"), " ")).as("token"))
+    // detector-statistics token frame: ALL streamed messages (trap #2)
+    val tokensAll = scored
+      .select(col("msg_idx"), explode(split(col("body"), " ")).as("token"))
+      .filter(col("token") =!= "").persist()
+    // tracked-set / cadence token frame: kept messages only
+    val tokensKept = kept
+      .select(col("kept_idx"), col("msg_idx"), explode(split(col("body"), " ")).as("token"))
       .filter(col("token") =!= "").persist()
 
-    // per-snapshot top tokens + duplicates-so-far (ST4/O6)
-    val snapshotOf = (expr(s"kept_idx div ${c.updateInterval}"))
-    val snapCounts = tokens.withColumn("snapshot", snapshotOf)
-      .groupBy(col("snapshot"), col("token")).agg(count(lit(1)).as("cnt"))
-    val wSnap = Window.partitionBy(col("snapshot")).orderBy(col("cnt").desc, col("token"))
-    val snapTop = snapCounts.withColumn("rank", row_number().over(wSnap))
-      .filter(col("rank") <= c.topFrequency)
-      .orderBy(col("snapshot"), col("rank")).collect()
-      .groupBy(_.getAs[Long]("snapshot"))
-    val dupsSoFar = kept.withColumn("snapshot", snapshotOf)
+    // snapshot boundaries: the msg_idx at which each completed interval's
+    // last kept message arrived (run_detectors.py:193 — a snapshot exists
+    // only when `processed % update_interval == 0` fired)
+    val boundaries = kept
+      .filter((col("kept_idx") + 1) % c.updateInterval === 0)
+      .select(((col("kept_idx") + 1) / c.updateInterval - 1).cast("long").as("snap"),
+        col("kept_idx"), col("msg_idx"))
+      .collect()
+      .map(r => (r.getAs[Long]("snap"), r.getAs[Int]("kept_idx"), r.getAs[Int]("msg_idx")))
+      .sortBy(_._1)
+
+    // per-snapshot top tokens: candidate set = kept tokens so far
+    // (recent_tokens → periodic_update), counts = CMS state = cumulative
+    // over ALL messages so far (run_detectors.py:195-198)
+    val snapTop: Map[Long, Seq[(String, Long)]] = if (boundaries.isEmpty) Map.empty else {
+      val bdf = spark.createDataFrame(boundaries.toSeq)
+        .toDF("snap", "kept_bound", "msg_bound")
+      val tracked = tokensKept.join(broadcast(bdf),
+          col("kept_idx") <= col("kept_bound"))
+        .select(col("snap"), col("token")).distinct()
+      val cum = tokensAll.join(broadcast(bdf), col("msg_idx") <= col("msg_bound"))
+        .groupBy(col("snap").as("csnap"), col("token").as("ctoken"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("snap")).orderBy(col("cnt").desc, col("token"))
+      tracked.join(cum,
+          tracked("snap") === cum("csnap") && tracked("token") === cum("ctoken"))
+        .select(col("snap"), col("token"), col("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= c.topFrequency)
+        .orderBy(col("snap"), col("rank")).collect()
+        .groupBy(_.getAs[Long]("snap"))
+        .map { case (s, rows) =>
+          s -> rows.toSeq.map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))) }
+    }
+
+    /** Token-level burst twin of detect_spikes over the full-stream window
+      * ending at msg_idx = bound: recent = last `RecentK` messages, prev =
+      * the `RecentK` before them (burst_detector.py:43-77). */
+    def burstAt(bound: Long): Seq[(String, Long, Long, Double)] =
+      tokensAll
+        .filter(col("msg_idx") > bound - 2L * RecentK && col("msg_idx") <= bound)
+        .withColumn("recent", col("msg_idx") > bound - RecentK)
+        .groupBy(col("token"))
+        .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("recent_cnt"),
+          sum(when(!col("recent"), 1L).otherwise(0L)).as("prev_cnt"))
+        .withColumn("ratio",
+          (col("recent_cnt") + lit(BurstEps)) / (col("prev_cnt") + lit(BurstEps)))
+        .filter(col("recent_cnt") >= 1 && col("ratio") >= BurstThreshold)
+        .orderBy(col("ratio").desc, col("recent_cnt").desc, col("token"))
+        .collect()
+        .map(r => (r.getAs[String]("token"), r.getAs[Long]("recent_cnt"),
+          r.getAs[Long]("prev_cnt"), r.getAs[Double]("ratio"))).toSeq
+
+    val snapBurst: Map[Long, Seq[(String, Long, Long, Double)]] =
+      boundaries.map { case (s, _, msgBound) => s -> burstAt(msgBound.toLong) }.toMap
+
+    val dupsSoFar = kept
+      .withColumn("snapshot", expr(s"kept_idx div ${c.updateInterval}"))
       .groupBy(col("snapshot"))
       .agg(sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("d"))
       .collect().map(r => r.getAs[Long]("snapshot") -> r.getAs[Long]("d"))
       .sortBy(_._1)
 
-    // burst (W2): recent vs previous half-interval counts at stream end
-    val half = math.max(1, 25)
-    val maxIdx = processed - 1
-    val burstRows = tokens
-      .filter(col("kept_idx") > maxIdx - 2L * half)
-      .withColumn("recent", col("kept_idx") > maxIdx - half)
-      .groupBy(col("token"))
-      .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("recent_cnt"),
-        sum(when(!col("recent"), 1L).otherwise(0L)).as("prev_cnt"))
-      .withColumn("ratio", (col("recent_cnt") + lit(1e-6)) / (col("prev_cnt") + lit(1e-6)))
-      .filter(col("recent_cnt") >= 1 && col("ratio") >= 2.0)
-      .orderBy(col("ratio").desc, col("recent_cnt").desc, col("token"))
-      .collect()
+    // final burst (W2): window over the FULL stream at its end
+    val finalBurst = if (streamed > 0) burstAt(streamed - 1) else Nil
 
-    // probe estimates (A12; exact, probe lowercased — T8)
+    // probe estimates (A12): CMS state = all streamed messages' tokens;
+    // probe lowercased (T8, frequency_detector.py:93-96)
     val probes =
       if (c.freqQueries.isEmpty) Map.empty[String, Long]
       else {
-        val counts = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val counts = tokensAll.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         c.freqQueries.map(q => q -> counts.getOrElse(q.toLowerCase, 0L)).toMap
       }
 
-    // final top tokens (O3)
-    val finalTop = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // final top tokens (O3): tracked set = kept tokens (incl. the trailing
+    // partial period's final periodic_update — run_detectors.py:212-214),
+    // counts = cumulative over all streamed messages
+    val keptVocab = tokensKept.select(col("token")).distinct()
+    val finalTop = tokensAll.join(keptVocab, "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(c.topFrequency).collect()
 
-    val messagesOut =
-      if (c.showText)
-        kept.orderBy(col("kept_idx"))
-          .select(col("body"), col("dup_score"), col("is_duplicate")).collect()
-      else Array.empty[org.apache.spark.sql.Row]
+    // per-message output (kept only — run_detectors.py:178-185): duplicate
+    // dict + the burst summary as of that message's arrival
+    val messagesOut: Seq[(String, Double, Boolean, Seq[(String, Long, Long, Double)])] =
+      if (c.showText) {
+        val rows = kept.orderBy(col("kept_idx"))
+          .select(col("body"), col("dup_score"), col("is_duplicate"), col("msg_idx"))
+          .collect()
+        // one bounded self-join instead of a per-message query: for each
+        // kept message, spikes over the 50-message window ending at it
+        val byMsg = perMessageBurst(spark, tokensAll,
+          rows.map(_.getAs[Int]("msg_idx").toLong))
+        rows.toSeq.map { r =>
+          (r.getAs[String]("body"), r.getAs[Double]("dup_score"),
+            r.getAs[Boolean]("is_duplicate"),
+            byMsg.getOrElse(r.getAs[Int]("msg_idx").toLong, Nil))
+        }
+      } else Nil
 
     // ---- render the reference's summary JSON (run_detectors.py:227-243)
+    import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
-    // a snapshot exists only when its full interval completed
-    // (run_detectors.py:193: `if processed % update_interval == 0`);
-    // the trailing partial period feeds the final analysis instead
-    val snapshotsJson = dupsSoFar
-      .filter { case (snap, _) => (snap + 1) * c.updateInterval <= processed }
-      .map { case (snap, _) =>
-      val cumDups = dupsSoFar.takeWhile(_._1 <= snap).map(_._2).sum
+    // the reference's top-token payloads are ORDERED dicts (token -> count,
+    // run_detectors.py:196,216) — render as JObject to preserve both shape
+    // and ranking order
+    def tokenDict(entries: Seq[(String, Long)]): JObject =
+      JObject(entries.toList.map { case (t, c) => JField(t, JInt(c)) })
+    def burstJson(entries: Seq[(String, Long, Long, Double)]) =
+      entries.toList.map { case (token, recent, prev, ratio) =>
+        ("ratio" -> ratio) ~
+          ("recent_count" -> recent) ~
+          ("prev_count" -> prev) ~
+          ("representative" -> token)
+      }
+    val snapshotsJson = boundaries.map { case (snap, _, _) =>
+      val cumDups = dupsSoFar.filter(_._1 <= snap).map(_._2).sum
       ("message_count" -> ((snap + 1) * c.updateInterval)) ~
-        ("top_10_tokens" -> snapTop.getOrElse(snap, Array.empty).toList.map(r =>
-          (r.getAs[String]("token"), r.getAs[Long]("cnt")))) ~
-        ("burst" -> List.empty[String]) ~
+        ("top_10_tokens" -> tokenDict(snapTop.getOrElse(snap, Nil))) ~
+        ("burst" -> burstJson(snapBurst.getOrElse(snap, Nil))) ~
         ("duplicates_so_far" -> cumDups)
     }.toList
     val json =
@@ -191,19 +281,46 @@ object RunDetectors {
             ("rate" -> (if (processed > 0) dupRow.getAs[Double]("rate") else 0.0)) ~
             ("avg_score" -> (if (processed > 0) dupRow.getAs[Double]("avg_score") else 0.0))) ~
         ("periodic_snapshots" -> snapshotsJson) ~
-        ("final_burst" -> burstRows.toList.map(r =>
-          ("token" -> r.getAs[String]("token")) ~
-            ("recent_count" -> r.getAs[Long]("recent_cnt")) ~
-            ("previous_count" -> r.getAs[Long]("prev_cnt")) ~
-            ("ratio" -> BigDecimal(r.getAs[Double]("ratio"))
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))) ~
-        ("final_top_tokens" -> finalTop.toList.map(r =>
-          (r.getAs[String]("token"), r.getAs[Long]("cnt")))) ~
-        ("messages" -> (if (c.showText) Some(messagesOut.toList.map(r =>
-          ("text" -> r.getAs[String]("body")) ~
-            ("duplicate_score" -> r.getAs[Double]("dup_score")) ~
-            ("is_duplicate" -> r.getAs[Boolean]("is_duplicate")))) else None))
+        ("final burst" -> burstJson(finalBurst)) ~
+        ("final top_tokens" -> tokenDict(finalTop.toSeq.map(r =>
+          (r.getAs[String]("token"), r.getAs[Long]("cnt"))))) ~
+        ("messages" -> (if (c.showText) Some(messagesOut.toList.map {
+          case (body, score, isDup, burst) =>
+            ("text" -> body) ~
+              ("duplicate" ->
+                (("is_duplicate" -> isDup) ~ ("duplicate_score" -> score))) ~
+              ("burst" -> burstJson(burst))
+        }) else None))
     pretty(render(json))
+  }
+
+  /** Burst summaries for many window-ends in one pass: each token event at
+    * msg_idx j is "recent" for window-ends in [j, j+RecentK) and "previous"
+    * for [j+RecentK, j+2*RecentK). One shuffle, bounded fan-out of
+    * 2*RecentK rows per event — no per-message jobs. */
+  private def perMessageBurst(spark: SparkSession, tokensAll: DataFrame,
+      ends: Seq[Long]): Map[Long, Seq[(String, Long, Long, Double)]] = {
+    if (ends.isEmpty) return Map.empty
+    import spark.implicits._
+    val endsDf = broadcast(ends.toDF("w_end"))
+    val contrib = tokensAll
+      .withColumn("w_end_lo", col("msg_idx").cast("long"))
+      .withColumn("w_end_hi", col("msg_idx").cast("long") + 2L * RecentK - 1L)
+      .join(endsDf, col("w_end").between(col("w_end_lo"), col("w_end_hi")))
+      .withColumn("recent", col("w_end") < col("msg_idx") + RecentK)
+      .groupBy(col("w_end"), col("token"))
+      .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("recent_cnt"),
+        sum(when(!col("recent"), 1L).otherwise(0L)).as("prev_cnt"))
+      .withColumn("ratio",
+        (col("recent_cnt") + lit(BurstEps)) / (col("prev_cnt") + lit(BurstEps)))
+      .filter(col("recent_cnt") >= 1 && col("ratio") >= BurstThreshold)
+      .orderBy(col("w_end"), col("ratio").desc, col("recent_cnt").desc, col("token"))
+      .collect()
+    contrib.groupBy(_.getAs[Long]("w_end")).map { case (e, rows) =>
+      e -> rows.toSeq.map(r => (r.getAs[String]("token"),
+        r.getAs[Long]("recent_cnt"), r.getAs[Long]("prev_cnt"),
+        r.getAs[Double]("ratio")))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -217,7 +334,14 @@ object RunDetectors {
     spark.sparkContext.setLogLevel("WARN")
     val out = run(spark, c)
     println(out)                                         // S3: stdout JSON
-    System.err.println(s"Processed messages from split '${c.split}'.")
+    // stderr trailer (run_detectors.py:247-250)
+    val parsed = org.json4s.jackson.JsonMethods.parse(out)
+    val processed = (parsed \ "processed").values
+    System.err.println(s"Processed $processed messages from split '${c.split}'.")
+    if (c.excludeDuplicates) {
+      val excluded = (parsed \ "excluded_duplicates").values
+      System.err.println(s"Excluded $excluded duplicate messages.")
+    }
     spark.stop()
   }
 }

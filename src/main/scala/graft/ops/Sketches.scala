@@ -52,7 +52,10 @@ object Sketches {
     val sh = T.documents(s, d)
       .select(col("doc_id"), explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
       .persist()
-    val half = 250L
+    // "first half" derived from the data, not a pinned constant — doc_ids
+    // are dense from 0, so count()/2 is the median split at every scale
+    // factor (500 docs at sf0.01, 5000 at sf0.1, …)
+    val half = T.documents(s, d).count() / 2
     val history = sh.filter(col("doc_id") < half)
     // Reference defaults: capacity 100 000, fpp 0.01 (duplicate_detector.py:27-30)
     val bloom = history.stat.bloomFilter("sh", 100000L, 0.01)

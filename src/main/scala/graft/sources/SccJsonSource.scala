@@ -47,28 +47,39 @@ object SccJsonSource {
     "This message contains files. If the description for a file does not " +
       "make sense, ignore it.Here are descriptions of those files:"
 
-  /** S1 + F1: conversations with label/dataset defaults, Instagram/Telegram
-    * conversations dropped whole. */
-  def readConversations(s: SparkSession, dir: String): DataFrame =
-    s.read.schema(convSchema)
+  /** S1 + F1: conversations with label/dataset defaults. The F1 medium
+    * filter (drop the WHOLE conversation if ANY message is Instagram/
+    * Telegram) applies only in the default mode — the reference skips it
+    * under `all_messages` (scc_dataset_loader.py:38-43). */
+  def readConversations(s: SparkSession, dir: String,
+      allMessages: Boolean = false): DataFrame = {
+    val raw = s.read.schema(convSchema)
       .option("multiLine", "true")
       .option("recursiveFileLookup", "true")
       .json(dir)
       .withColumn("src_file", input_file_name())
       .withColumn("label", coalesce(col("label"), lit("scam")))
       .withColumn("dataset", coalesce(col("dataset"), lit("scc")))
-      .filter(!exists(col("messages"),
-        m => m.getField("medium").isin("Instagram", "Telegram")))
+    if (allMessages) raw
+    else raw.filter(!exists(col("messages"),
+      m => m.getField("medium").isin("Instagram", "Telegram")))
+  }
 
-  /** F2–F5 + T1–T5: the preprocessed inbound message frame. */
-  def preprocessedMessages(s: SparkSession, dir: String): DataFrame = {
-    val exploded = readConversations(s, dir)
+  /** F2–F5 + T1–T5: the preprocessed message frame. In the default mode
+    * only inbound (scammer) messages survive (F2); with `allMessages` the
+    * F1/F2 filters are bypassed but the F4 scrub and full preprocessing
+    * chain (incl. lemmatization) still apply, exactly like the reference
+    * (scc_dataset_loader.py:38-45 — `remove_file_description` and
+    * `preprocess_messages` sit outside the `if not all_messages` branch). */
+  def preprocessedMessages(s: SparkSession, dir: String,
+      allMessages: Boolean = false): DataFrame = {
+    val exploded = readConversations(s, dir, allMessages)
       .select(col("src_file"), col("label"), col("dataset"),
         explode(col("messages")).as("m"))
       .select(col("src_file"), col("label"), col("dataset"),
         col("m.body").as("body"), col("m.time").as("time"),
         col("m.medium").as("medium"), col("m.is_inbound").as("is_inbound"))
-      .filter(col("is_inbound"))                                      // F2
+      .filter(if (allMessages) lit(true) else col("is_inbound"))      // F2
       .filter(col("body").isNotNull && col("body") =!= "")            // F3
     val scrubbed = exploded
       .withColumn("raw_body", col("body"))                            // F5

@@ -215,8 +215,12 @@ object StreamingOps {
       |ORDER BY purchase_id, view_id""".stripMargin
 
   /** Native session windows (session_window, 30-minute gap) on a stream —
-    * per-user session counts; must land on rel_sessionize's numbers, which
-    * the oracle checks. */
+    * per-user session counts. Boundary semantics: Spark's session window
+    * end is EXCLUSIVE, so an inter-event gap of exactly 30 minutes starts a
+    * new session; the oracle therefore splits on `gap >= 1800000 ms`. This
+    * differs from the batch twin rel_sessionize (strict `>`), whose
+    * lag-based definition keeps an exact-gap event in the same session —
+    * both are checked against oracles with their own predicate. */
   private def sessionWindow(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
@@ -243,7 +247,7 @@ object StreamingOps {
       |  FROM (
       |    SELECT user_id, event_id,
       |      CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-      |             OVER (PARTITION BY user_id ORDER BY event_id) > 1800000
+      |             OVER (PARTITION BY user_id ORDER BY event_id) >= 1800000
       |           OR lag(epoch_ms(ts))
       |             OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
       |           THEN 1 ELSE 0 END AS new_session
