@@ -31,7 +31,14 @@ object Text {
       t => t.rlike("^[a-z]+$") && !t.isInCollection(STOPWORDS))
 
   /** k=3 shingles joined by spaces (duplicate_detector.py:7-13): the i-th
-    * shingle is tokens[i..i+2]; fewer than 3 tokens → no shingles. */
+    * shingle is tokens[i..i+2]; fewer than 3 tokens → no shingles.
+    *
+    * PERFORMANCE: pass a PROJECTED column (`.select(tokens(col("text"))
+    * .as("toks"))` first, then `shingles3(col("toks"))`), never the nested
+    * `shingles3(tokens(col("text")))`. The `toks` expression appears inside
+    * the transform lambda, where codegen re-evaluates it per array element —
+    * nesting the tokenizer (a per-token regex) there turns an O(n) row into
+    * O(n²) regex calls (measured 12× slower at sf0.1). */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2),

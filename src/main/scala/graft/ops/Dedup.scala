@@ -132,7 +132,8 @@ object Dedup {
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle (equi-join on the
     * shingle — candidates ∝ Σ_sh df(sh)², not n²), thresholded at 0.5. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d)
+    // three consumers (sizes + both self-join sides): one materialization
+    val sh = shingleSets(s, d).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -28,7 +28,8 @@ object MllibOps {
     * MllibSpec at sf0.001. */
   def minhashMllib(s: SparkSession, d: String): DataFrame = {
     val sh = T.documents(s, d)
-      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Text.shingles3(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
     val cv = new CountVectorizer().setInputCol("sh").setOutputCol("features")
       .setBinary(true).fit(sh)

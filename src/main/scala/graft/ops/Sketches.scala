@@ -50,7 +50,8 @@ object Sketches {
     // persist: the shingle frame feeds two actions (bloom build, probe);
     // caching saves a full re-tokenize/re-shingle scan
     val sh = T.documents(s, d)
-      .select(col("doc_id"), explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("sh"))
       .persist()
     // "first half" derived from the data, not a pinned constant — doc_ids
     // are dense from 0, so count()/2 is the median split at every scale
@@ -88,7 +89,8 @@ object Sketches {
   private def bloomStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = T.documents(s, d)
-      .select(explode(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+      .select(Text.tokens(col("text")).as("toks"))
+      .select(explode(Text.shingles3(col("toks"))).as("sh"))
       .as[String]
     sh.select(graft.functions.BloomStatsAgg.agg.toColumn).toDF()
       .select(col("bit_size"), col("set_bits"),
