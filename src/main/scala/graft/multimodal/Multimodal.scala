@@ -170,7 +170,7 @@ object Multimodal {
     * cross-multiplied integer sums (16·blockSum > totalSum), so the whole
     * hash is exact integer arithmetic — bit-exact oracle. Equal hashes →
     * near-dup media candidates (bucket_size). */
-  private def avgHash(s: SparkSession, d: String): DataFrame = {
+  private def hashedFrame(s: SparkSession, d: String): DataFrame = {
     val codes = transform(split(col("text"), ""), c => ascii(c).cast("long"))
     val blockSum = (i: Int) =>
       aggregate(slice(col("codes"), col("blk") * i + 1, col("blk")), lit(0L), (a, x) => a + x)
@@ -184,13 +184,15 @@ object Multimodal {
     val total = (0 until 16).map(i => col(s"b$i")).reduce(_ + _)
     val hash = (0 until 16).map(i =>
       when(col(s"b$i") * 16 > col("total"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    val hashed = withSums.withColumn("total", total)
+    withSums.withColumn("total", total)
       .select(col("doc_id"), hash.as("avg_hash"))
-    hashed
+  }
+
+  private def avgHash(s: SparkSession, d: String): DataFrame =
+    hashedFrame(s, d)
       .withColumn("bucket_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("avg_hash"))))
       .orderBy(col("doc_id"))
-  }
 
   private val avgHashSql = {
     val sums = (0 until 16).map(i =>
@@ -215,6 +217,65 @@ object Multimodal {
        |SELECT doc_id, avg_hash,
        |  count(*) OVER (PARTITION BY avg_hash) AS bucket_size
        |FROM hashed ORDER BY doc_id""".stripMargin
+  }
+
+  /** Near-dup media pairs by perceptual-hash Hamming distance 1..3, found
+    * via LSH banding, not all-pairs: the 16-bit aHash splits into four
+    * 4-bit bands; by pigeonhole any pair within distance 3 agrees on at
+    * least one band, so a self-join bucketed on (band_id, band_value)
+    * finds every such pair while candidate counts stay bucket-bounded —
+    * the scale path for media dedup at 100 TB. Distance-0 pairs (equal
+    * hashes) are mm_avg_hash's bucket view and are excluded here. */
+  private def hashHamming(s: SparkSession, d: String): DataFrame = {
+    val hashed = hashedFrame(s, d).persist()
+    val bands = hashed.select(col("doc_id"), col("avg_hash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("avg_hash"), 4 * b).bitwiseAND(15).as("band_val"))): _*)).as("band"))
+      .select(col("doc_id"), col("avg_hash"),
+        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.avg_hash").as("hash_a"), col("b.avg_hash").as("hash_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
+      .filter(col("hamming").between(1, 3))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle goes exact all-pairs (fine at sf0.01) — the banded Spark plan
+    * must find the identical pair set. */
+  private val hashHammingSql = {
+    val sums = (0 until 16).map(i =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(blk*$i+1):(blk*$i+blk)]), (a,x) -> a+x) AS b$i")
+      .mkString(",\n    ")
+    val total = (0 until 16).map(i => s"b$i").mkString(" + ")
+    val hash = (0 until 16).map(i =>
+      s"CASE WHEN b$i * 16 > total THEN ${1 << i} ELSE 0 END").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+       |    CAST(length(text) // 16 AS INT) AS blk
+       |  FROM documents WHERE length(text) >= 16),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM base),
+       |hashed AS (
+       |  SELECT doc_id, CAST($hash AS BIGINT) AS avg_hash
+       |  FROM (SELECT doc_id, ${(0 until 16).map(i => s"b$i").mkString(", ")},
+       |          $total AS total FROM sums))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.avg_hash, b.avg_hash)) AS INT) AS hamming
+       |FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.avg_hash, b.avg_hash)) BETWEEN 1 AND 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Metadata-vs-payload integrity: declared size (n_chars) against actual
@@ -243,5 +304,6 @@ object Multimodal {
     QuerySpec("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QuerySpec("mm_waveform_stats", waveformStats, Some(waveformStatsSql)),
     QuerySpec("mm_avg_hash", avgHash, Some(avgHashSql)),
-    QuerySpec("mm_decode_features", decodeFeatures, None))
+    QuerySpec("mm_decode_features", decodeFeatures, None),
+    QuerySpec("mm_hash_hamming", hashHamming, Some(hashHammingSql)))
 }

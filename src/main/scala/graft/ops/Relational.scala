@@ -1042,6 +1042,82 @@ object Relational {
 
   // ---------------------------------------------------------------- registry
 
+  // ------------------------------------------------- quantiles & sampling
+
+  /** Exact interpolated quantiles per group (percentile ≡ DuckDB
+    * quantile_cont): the distribution profile read before choosing clipping
+    * and outlier thresholds. Exact percentile sorts within each group
+    * partition; at 100 TB the same query shape swaps in approx_percentile
+    * (t-digest-style sketch, partial+final merge, no per-group sort). */
+  private def quantiles(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("q75_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
+  private val quantilesSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.75), 4) AS q75_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Deterministic, engine-portable sampling: md5 of the key's decimal
+    * string, keep the 1/8 of orders whose first hex digit is 0 or 1.
+    * Unlike rand(seed)/TABLESAMPLE, the selected set is identical on any
+    * engine, partitioning, and parallelism — the reproducible-sample
+    * primitive a pipeline uses for eval splits and data audits. Map-only
+    * filter (no shuffle) feeding a partial agg. */
+  private def hashSample(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private val hashSampleSql =
+    """SELECT o_orderpriority, count(*) AS n_sampled,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Null-safe scalar surface: nullif-guarded division (try-division),
+    * null-safe equality (<=> / IS NOT DISTINCT FROM), count-skips-nulls,
+    * and coalesce imputation. Ratio aggregates use max/min (order-
+    * independent), not sum, so the oracle compare is float-exact. */
+  private def nullSafeOps(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .withColumn("disc_n", expr("nullif(l_discount, 0.0)"))
+      .withColumn("tax_n", expr("nullif(l_tax, 0.0)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("disc_n")).as("n_discounted"),
+        sum(when(col("disc_n") <=> col("tax_n"), 1L).otherwise(0L)).as("n_same_rate"),
+        round(max(col("l_extendedprice") / col("disc_n")), 4).as("max_price_per_disc"),
+        round(min(col("l_extendedprice") / col("disc_n")), 4).as("min_price_per_disc"),
+        round(avg(coalesce(col("disc_n"), lit(0.05))), 4).as("avg_disc_imputed"))
+      .orderBy(col("l_returnflag"))
+
+  private val nullSafeOpsSql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  count(nullif(l_discount, 0.0)) AS n_discounted,
+      |  CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_same_rate,
+      |  round(max(l_extendedprice / nullif(l_discount, 0.0)), 4) AS max_price_per_disc,
+      |  round(min(l_extendedprice / nullif(l_discount, 0.0)), 4) AS min_price_per_disc,
+      |  round(avg(coalesce(nullif(l_discount, 0.0), 0.05)), 4) AS avg_disc_imputed
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
@@ -1091,5 +1167,8 @@ object Relational {
     QuerySpec("rel_relative_ranks", relativeRanks, Some(relativeRanksSql)),
     QuerySpec("rel_ewma", ewma, Some(ewmaSql)),
     QuerySpec("rel_null_profile", nullProfile, Some(nullProfileSql)),
-    QuerySpec("rel_calendar_spine", calendarSpine, Some(calendarSpineSql)))
+    QuerySpec("rel_calendar_spine", calendarSpine, Some(calendarSpineSql)),
+    QuerySpec("rel_quantiles", quantiles, Some(quantilesSql)),
+    QuerySpec("rel_hash_sample", hashSample, Some(hashSampleSql)),
+    QuerySpec("rel_null_safe", nullSafeOps, Some(nullSafeOpsSql)))
 }

@@ -339,6 +339,63 @@ object TextAnalysis {
       |      FROM documents WHERE length(text) >= 3)
       |GROUP BY tri ORDER BY cnt DESC, tri LIMIT 20""".stripMargin
 
+  /** Per-document token Shannon entropy — the information-density signal
+    * quality filters use to drop boilerplate/keyboard-mash documents (low
+    * entropy = repetitive, high = diverse). Two partial-agg shuffles on
+    * (doc_id, tok) then doc_id; entropy itself is order-safe at round(4)
+    * (terms are magnitude ~1e0 against double's 1e-16 relative error). */
+  private def entropy(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val cnts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
+    cnts.join(tot, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(
+        round(-sum((col("cnt") / col("n")) * log2(col("cnt") / col("n"))), 4).as("entropy"),
+        max(col("n_distinct")).as("n_distinct"),
+        max(col("n")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val entropySql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(cnt) AS n, count(*) AS n_distinct FROM cnts GROUP BY 1)
+      |SELECT c.doc_id,
+      |  round(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 4) AS entropy,
+      |  CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+      |  CAST(max(n) AS BIGINT) AS n_tokens
+      |FROM cnts c JOIN tot t USING (doc_id)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // GPT-2-style pre-tokenizer (contractions | letter runs | digit runs |
+  // punct runs | spaces), restricted to ASCII classes so the Java-regex and
+  // RE2 engines agree byte-for-byte.
+  private val BpePattern = "[sdmt]|ll|ve|re| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+  /** BPE-ish token accounting per document: the token-count estimate a
+    * training pipeline bills by (letters/digits/punct split like a BPE
+    * pre-tokenizer, whitespace attached to the following word). Map-only. */
+  private def bpeTokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"),
+        length(col("text")).as("n_bytes"))
+      .withColumn("bytes_per_token",
+        round(col("n_bytes") / nullif(col("n_bpe_tokens"), lit(0)), 4))
+      .orderBy(col("doc_id"))
+
+  private val bpeTokensSql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe_tokens,
+       |  CAST(length(text) AS INT) AS n_bytes,
+       |  round(length(text) * 1.0 / nullif(len(regexp_extract_all(text, '$BpePattern')), 0), 4)
+       |    AS bytes_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
@@ -348,5 +405,7 @@ object TextAnalysis {
     QuerySpec("ta_lang_id", langId, Some(langIdSql)),
     QuerySpec("ta_quality", quality, Some(qualitySql)),
     QuerySpec("ta_token_count", tokenCount, Some(tokenCountSql)),
-    QuerySpec("ta_rolling_hash", rollingHash, Some(rollingHashSql)))
+    QuerySpec("ta_rolling_hash", rollingHash, Some(rollingHashSql)),
+    QuerySpec("ta_entropy", entropy, Some(entropySql)),
+    QuerySpec("ta_bpe_tokens", bpeTokens, Some(bpeTokensSql)))
 }

@@ -326,6 +326,52 @@ object StreamingOps {
     s.table("stream_dgim_sink").orderBy(col("token"))
   }
 
+  // ------------------------------------------- transformWithState counter
+
+  case class SourceRow(source: String)
+  case class SourceCount(source: String, n_docs: Long)
+
+  /** Per-source running document counts on the arbitrary-state v2 API
+    * (transformWithState + ValueState, Spark 4's successor to
+    * [flat]mapGroupsWithState): typed per-key state in RocksDB, emitted on
+    * every update. The final state equals the batch groupBy count — which
+    * the oracle checks. */
+  private class SourceCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, SourceRow, SourceCount] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", E.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SourceRow],
+        tv: TimerValues): Iterator[SourceCount] = {
+      val total = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(total)
+      Iterator.single(SourceCount(key, total))
+    }
+  }
+
+  private def twsCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+      .select(col("source")).as[SourceRow]
+    val counts = src.groupByKey(_.source)
+      .transformWithState(new SourceCountProcessor, TimeMode.None(), OM.Update())
+    val q = counts.toDF().writeStream.format("memory").queryName("stream_tws_sink")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode re-emits a key's running total each batch; the final
+    // total per key is the max
+    s.table("stream_tws_sink")
+      .groupBy(col("source")).agg(max(col("n_docs")).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val twsCountsSql =
+    """SELECT source, count(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("stream_token_counts", tokenCounts, Some(tokenCountsSql)),
     QuerySpec("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
@@ -333,5 +379,6 @@ object StreamingOps {
     QuerySpec("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QuerySpec("stream_drop_duplicates", dropDupStream, Some(dropDupStreamSql)),
     QuerySpec("stream_session_window", sessionWindow, Some(sessionWindowSql)),
-    QuerySpec("stream_dgim_burst", dgimBurst, None))
+    QuerySpec("stream_dgim_burst", dgimBurst, None),
+    QuerySpec("stream_tws_counts", twsCounts, Some(twsCountsSql)))
 }

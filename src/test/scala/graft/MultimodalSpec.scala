@@ -29,4 +29,21 @@ class MultimodalSpec extends SparkSpec {
       assert(f.entropy_milli >= 0)
     }
   }
+
+  test("banded hamming pairs equal the brute-force pair set") {
+    import org.apache.spark.sql.functions._
+    val banded = SparkEntry.queries("mm_hash_hamming")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same hashes
+    val hashed = SparkEntry.queries("mm_avg_hash")(spark, sf001)
+      .select(col("doc_id"), col("avg_hash"))
+    val brute = hashed.as("a").join(hashed.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.avg_hash").bitwiseXOR(col("b.avg_hash"))).cast("int").as("h"))
+      .filter(col("h").between(1, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, "LSH banding must find exactly the brute-force pairs")
+    assert(banded.nonEmpty)
+  }
 }

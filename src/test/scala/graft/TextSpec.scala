@@ -36,4 +36,30 @@ class TextSpec extends SparkSpec {
     assert(sh3(Seq.empty) == Seq.empty)
     assert(sh3(Seq("a", "b", "c")) == Seq("a b c"))
   }
+
+  test("token entropy: zero for constant docs, log2(n) for all-distinct docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "x x x x x x x x"), (1L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val cnts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n"))
+    val ent = cnts.join(tot, "doc_id").groupBy(col("doc_id"))
+      .agg(round(-sum((col("cnt") / col("n")) * log2(col("cnt") / col("n"))), 4).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ent(0L) == 0.0)
+    assert(ent(1L) == 3.0) // log2(8)
+  }
+
+  test("bpe pre-tokenizer splits letter/digit/punct runs with attached spaces") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, "hello world 42!?")).toDF("doc_id", "text")
+    val n = df.select(size(regexp_extract_all(col("text"),
+      lit("[sdmt]|ll|ve|re| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"), lit(0))).as("n"))
+      .head.getInt(0)
+    // "hello", " world", " 42", "!?" -> 4
+    assert(n == 4)
+  }
 }
