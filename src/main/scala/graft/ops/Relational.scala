@@ -1118,6 +1118,39 @@ object Relational {
       |  round(avg(coalesce(nullif(l_discount, 0.0), 0.05)), 4) AS avg_disc_imputed
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Type-2 slowly-changing-dimension build (the CDC/snapshot pattern):
+    * collapse each user's event stream into contiguous event_type regimes
+    * with [valid_from, valid_to) ranges — lag() finds the change points,
+    * lead() closes each interval, open intervals get a sentinel end. One
+    * shuffle on user_id serving both window passes. */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"), col("valid_to"), col("event_type"))
+  }
+
+  private val scd2Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts, event_id FROM marked
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  coalesce(strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |    '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to
+      |FROM changes
+      |ORDER BY user_id, valid_from, valid_to, event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
@@ -1170,5 +1203,6 @@ object Relational {
     QuerySpec("rel_calendar_spine", calendarSpine, Some(calendarSpineSql)),
     QuerySpec("rel_quantiles", quantiles, Some(quantilesSql)),
     QuerySpec("rel_hash_sample", hashSample, Some(hashSampleSql)),
-    QuerySpec("rel_null_safe", nullSafeOps, Some(nullSafeOpsSql)))
+    QuerySpec("rel_null_safe", nullSafeOps, Some(nullSafeOpsSql)),
+    QuerySpec("rel_scd2", scd2, Some(scd2Sql)))
 }

@@ -372,6 +372,37 @@ object StreamingOps {
     """SELECT source, count(*) AS n_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Sliding (hopping) event-time windows: 1-hour windows every 30
+    * minutes, so each event lands in exactly two windows — the overlap
+    * structure burst/rate monitors use. The oracle replays the window
+    * assignment arithmetic (epoch div on the hop, two starts per event). */
+  private def slidingWindow(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val agg = src.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("stream_slide_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_slide_sink")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  private val slidingWindowSql =
+    """WITH wins AS (
+      |  SELECT event_type, value,
+      |    unnest([make_timestamp(epoch_us(ts) // 1800000000 * 1800000000),
+      |            make_timestamp(epoch_us(ts) // 1800000000 * 1800000000 - 1800000000)])
+      |      AS wstart
+      |  FROM events)
+      |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM wins GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("stream_token_counts", tokenCounts, Some(tokenCountsSql)),
     QuerySpec("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
@@ -380,5 +411,6 @@ object StreamingOps {
     QuerySpec("stream_drop_duplicates", dropDupStream, Some(dropDupStreamSql)),
     QuerySpec("stream_session_window", sessionWindow, Some(sessionWindowSql)),
     QuerySpec("stream_dgim_burst", dgimBurst, None),
-    QuerySpec("stream_tws_counts", twsCounts, Some(twsCountsSql)))
+    QuerySpec("stream_tws_counts", twsCounts, Some(twsCountsSql)),
+    QuerySpec("stream_sliding_window", slidingWindow, Some(slidingWindowSql)))
 }
