@@ -172,9 +172,31 @@ object Similarity {
        |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS mx
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** ANN quality metric: recall@K of the IVF path against the exact
+    * brute-force top-K, per query and overall — the evaluation loop an ANN
+    * deployment runs before trading accuracy for speed. No oracle (kmeans
+    * cells are MLlib-internal); SimilaritySpec bounds the recall floor and
+    * pins determinism. */
+  private def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteforce(s, d).select(col("query_id"), col("cand_id"))
+    val approx = knnIvf(s, d).select(col("query_id").as("q2"), col("cand_id").as("c2"))
+    val hits = exact.join(approx,
+        exact("query_id") === col("q2") && exact("cand_id") === col("c2"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("q2").isNotNull, 1L).otherwise(0L)).as("found"))
+      .withColumn("recall", round(col("found") / col("k"), 4))
+    hits.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("recall")), 4).as("avg_recall"),
+      round(min(col("recall")), 4).as("min_recall"),
+      round(max(col("recall")), 4).as("max_recall"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     QuerySpec("sim_knn_lsh", knnLsh, Some(knnLshSql)),
     QuerySpec("sim_knn_ivf", knnIvf, None),
-    QuerySpec("sim_vector_stats", vectorStats, Some(vectorStatsSql)))
+    QuerySpec("sim_vector_stats", vectorStats, Some(vectorStatsSql)),
+    QuerySpec("sim_ivf_recall", ivfRecall, None))
 }

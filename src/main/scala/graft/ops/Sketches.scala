@@ -99,9 +99,27 @@ object Sketches {
         round(col("approx_fpp"), 8).as("approx_fpp"))
   }
 
+  /** Approximate quantiles (t-digest-style GK sketch, partial+final — the
+    * 100 TB path rel_quantiles' scaladoc points at) side-by-side with the
+    * exact interpolated percentile and the realized absolute error. No
+    * oracle (sketch-internal); SketchSpec enforces the accuracy contract
+    * (error ≤ the requested 1/accuracy rank fraction). */
+  private def approxQuantiles(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_median"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("approx_median"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"),
+        round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4).as("approx_p99"))
+      .withColumn("median_abs_err", round(abs(col("approx_median") - col("exact_median")), 4))
+      .withColumn("p99_abs_err", round(abs(col("approx_p99") - col("exact_p99")), 4))
+      .orderBy(col("l_returnflag"))
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sketch_cms_token_freq", cmsTokenFreq, None),
     QuerySpec("sketch_bloom_dedup", bloomShingleDedup, None),
     QuerySpec("sketch_bloom_stats", bloomStats, None),
-    QuerySpec("sketch_hll_distinct", hllDistinct, None))
+    QuerySpec("sketch_hll_distinct", hllDistinct, None),
+    QuerySpec("sketch_approx_quantiles", approxQuantiles, None))
 }

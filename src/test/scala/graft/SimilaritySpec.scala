@@ -35,4 +35,13 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("bucket")).toSet.size == 1)
     }
   }
+
+  test("IVF recall metric: deterministic, bounded, and non-trivial") {
+    val r1 = SparkEntry.queries("sim_ivf_recall")(spark, sf001).collect()(0)
+    val r2 = SparkEntry.queries("sim_ivf_recall")(spark, sf001).collect()(0)
+    assert(r1 == r2, "seeded kmeans must make the metric deterministic")
+    val avg = r1.getAs[Double]("avg_recall")
+    assert(avg > 0.2 && avg <= 1.0, s"IVF probe-1 recall out of range: $avg")
+    assert(r1.getAs[Long]("n_queries") > 0)
+  }
 }

@@ -72,4 +72,17 @@ class SketchSpec extends SparkSpec {
     val fp = (0 until 10000).count(i => bloom.mightContain(s"out_$i"))
     assert(fp < 300, s"fpp way above configured 1%: $fp/10000")
   }
+
+  test("approx_percentile honors its accuracy contract vs exact percentile") {
+    val rows = SparkEntry.queries("sketch_approx_quantiles")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // accuracy 10000 => rank error <= n/10000; on sf0.001 (~6k rows split
+      // over 3 groups) that is sub-row, so approx must equal an adjacent
+      // order statistic -- bound the value error loosely by 1% of the scale
+      val scale = math.max(1.0, math.abs(r.getAs[Double]("exact_p99")))
+      assert(r.getAs[Double]("median_abs_err") <= 0.01 * scale)
+      assert(r.getAs[Double]("p99_abs_err") <= 0.01 * scale)
+    }
+  }
 }
