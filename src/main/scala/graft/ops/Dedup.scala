@@ -272,11 +272,14 @@ object Dedup {
     * dedup pass retains. Pure integer mins — bit-exact oracle. */
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+    // persist: every label-propagation iteration re-reads the edge set;
+    // without it the whole LSH candidate pipeline re-executes per iteration
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .union(pairs.select(col("id_a"), col("id_a").as("id_b")))
       .union(pairs.select(col("id_b").as("id_a"), col("id_b")))
       .distinct()
+      .persist()
     var labels = edges.groupBy(col("id_a").as("node"))
       .agg(min(col("id_b")).as("label"))
     (1 to 2).foreach { _ =>
