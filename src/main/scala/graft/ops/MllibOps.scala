@@ -53,6 +53,14 @@ object MllibOps {
   private def annMllib(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    // LSH.fit rejects an empty dataset; an empty corpus has no neighbors
+    if (e.isEmpty)
+      return e.sparkSession.createDataFrame(
+        e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("euclid_dist", org.apache.spark.sql.types.DoubleType))))
     val brp = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)

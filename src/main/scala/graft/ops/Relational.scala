@@ -1151,6 +1151,40 @@ object Relational {
       |FROM changes
       |ORDER BY user_id, valid_from, valid_to, event_type""".stripMargin
 
+  /** Distinct-count over a running window via the first-sighting rewrite:
+    * window aggregates cannot take DISTINCT (in Spark or DuckDB), so mark
+    * each (user, event_type)'s first arrival with row_number()==1 and
+    * running-sum the marks — the standard O(n) rewrite that replaces an
+    * O(n·k) collect_set. One user_id shuffle serves both windows. */
+  private def distinctWindow(s: SparkSession, d: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .withColumn("first_sight",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_so_far", sum(col("first_sight")).over(wRun))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("n_types_so_far"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val distinctWindowSql =
+    """SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  CAST(sum(first_sight) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_types_so_far
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |           ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_sight
+      |  FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
@@ -1204,5 +1238,6 @@ object Relational {
     QuerySpec("rel_quantiles", quantiles, Some(quantilesSql)),
     QuerySpec("rel_hash_sample", hashSample, Some(hashSampleSql)),
     QuerySpec("rel_null_safe", nullSafeOps, Some(nullSafeOpsSql)),
-    QuerySpec("rel_scd2", scd2, Some(scd2Sql)))
+    QuerySpec("rel_scd2", scd2, Some(scd2Sql)),
+    QuerySpec("rel_distinct_window", distinctWindow, Some(distinctWindowSql)))
 }

@@ -130,6 +130,17 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val e = T.embeddings(s, d)
       .withColumn("features", array_to_vector(col("embedding")))
+    // KMeans.fit rejects an empty dataset; the IVF of an empty corpus is
+    // the empty result, not an error (incremental runs start there)
+    if (e.isEmpty)
+      return e.sparkSession.createDataFrame(
+        e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
     val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(e)

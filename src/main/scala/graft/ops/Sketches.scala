@@ -58,10 +58,14 @@ object Sketches {
     // factor (500 docs at sf0.01, 5000 at sf0.1, …)
     val half = T.documents(s, d).count() / 2
     val history = sh.filter(col("doc_id") < half)
-    // Reference defaults: capacity 100 000, fpp 0.01 (duplicate_detector.py:27-30)
-    val bloom = history.stat.bloomFilter("sh", 100000L, 0.01)
+    // Reference defaults: capacity 100 000, fpp 0.01 (duplicate_detector.py:27-30).
+    // stat.bloomFilter over zero rows yields an unusable (null-buffer)
+    // sketch; an empty history means nothing was ever seen.
+    val bloom =
+      if (history.isEmpty) null
+      else history.stat.bloomFilter("sh", 100000L, 0.01)
     val bc = s.sparkContext.broadcast(bloom)
-    val seen = udf((x: String) => bc.value.mightContain(x))
+    val seen = udf((x: String) => bc.value != null && bc.value.mightContain(x))
     sh.filter(col("doc_id") >= half)
       .withColumn("seen", seen(col("sh")))
       .groupBy(col("doc_id"))

@@ -396,6 +396,53 @@ object TextAnalysis {
        |    AS bytes_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition filter: top-token dominance and duplicate
+    * bigram ratio per document, with keep/drop flags at the published
+    * thresholds — the repetition rules an LLM-data pipeline applies after
+    * exact dedup. Two partial-agg shuffles keyed by doc_id. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+    val tokStats = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), max(col("c")).as("top_c"))
+    val bg = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("doc_id"), concat_ws(" ", col("w1"),
+        element_at(col("t"), col("i") + 2)).as("bg"))
+    val bgStats = bg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("bg")).as("n_bg_distinct"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        round(col("top_c").cast("double") / col("n_tok"), 4).as("top_token_ratio"),
+        round(lit(1.0) - col("n_bg_distinct").cast("double") / col("n_bg"), 4)
+          .as("dup_bigram_ratio"))
+      .withColumn("flag_repetitive",
+        col("top_token_ratio") > 0.2 || col("dup_bigram_ratio") > 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok_stats AS (
+      |  SELECT doc_id, sum(c) AS n_tok, max(c) AS top_c
+      |  FROM (SELECT doc_id, tok, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |bg_stats AS (
+      |  SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS n_bg_distinct
+      |  FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      |        FROM toks, unnest(range(1, len(t))) AS u(i))
+      |  GROUP BY doc_id)
+      |SELECT ts.doc_id, CAST(ts.n_tok AS BIGINT) AS n_tok,
+      |  round(top_c * 1.0 / ts.n_tok, 4) AS top_token_ratio,
+      |  round(1.0 - n_bg_distinct * 1.0 / n_bg, 4) AS dup_bigram_ratio,
+      |  (round(top_c * 1.0 / ts.n_tok, 4) > 0.2
+      |   OR round(1.0 - n_bg_distinct * 1.0 / n_bg, 4) > 0.5) AS flag_repetitive
+      |FROM tok_stats ts LEFT JOIN bg_stats USING (doc_id)
+      |ORDER BY ts.doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
@@ -407,5 +454,6 @@ object TextAnalysis {
     QuerySpec("ta_token_count", tokenCount, Some(tokenCountSql)),
     QuerySpec("ta_rolling_hash", rollingHash, Some(rollingHashSql)),
     QuerySpec("ta_entropy", entropy, Some(entropySql)),
-    QuerySpec("ta_bpe_tokens", bpeTokens, Some(bpeTokensSql)))
+    QuerySpec("ta_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    QuerySpec("ta_repetition", repetition, Some(repetitionSql)))
 }
