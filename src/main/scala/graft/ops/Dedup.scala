@@ -376,6 +376,47 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Semantic near-dup clusters: connected components over the
+    * embedding-cosine graph (edges = embedNearDup pairs, cos >= 0.45) via
+    * two min-label propagation rounds — the "keep one per meaning" pass
+    * that runs after lexical dedup. Same propagation kernel as
+    * dedup_clusters, different edge generator. */
+  private def semanticClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = embedNearDup(s, d).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .union(T.embeddings(s, d).select(col("vec_id").as("id_a"), col("vec_id").as("id_b")))
+      .distinct()
+      .persist()
+    var labels = edges.groupBy(col("id_a").as("node"))
+      .agg(min(col("id_b")).as("label"))
+    (1 to 2).foreach { _ =>
+      labels = edges
+        .join(labels, col("id_b") === col("node"))
+        .groupBy(col("id_a").as("n2"))
+        .agg(min(col("label")).as("label"))
+        .withColumnRenamed("n2", "node")
+    }
+    labels.select(col("node").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("is_survivor", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticClustersSql =
+    s"""WITH pairs AS ($embedNearDupSql),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |  UNION SELECT vec_id, vec_id FROM embeddings),
+       |l0 AS (SELECT id_a AS node, min(id_b) AS label FROM edges GROUP BY 1),
+       |l1 AS (SELECT e.id_a AS node, min(l.label) AS label
+       |       FROM edges e JOIN l0 l ON e.id_b = l.node GROUP BY 1),
+       |l2 AS (SELECT e.id_a AS node, min(l.label) AS label
+       |       FROM edges e JOIN l1 l ON e.id_b = l.node GROUP BY 1)
+       |SELECT node AS vec_id, label AS cluster_id,
+       |  node = label AS is_survivor
+       |FROM l2 ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -385,5 +426,6 @@ object Dedup {
     QuerySpec("dedup_simhash", simhash, Some(simhashSql)),
     QuerySpec("dedup_embed_cosine", embedNearDup, Some(embedNearDupSql)),
     QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
-    QuerySpec("dedup_levenshtein", levenshteinPairs, Some(levenshteinPairsSql)))
+    QuerySpec("dedup_levenshtein", levenshteinPairs, Some(levenshteinPairsSql)),
+    QuerySpec("dedup_semantic_clusters", semanticClusters, Some(semanticClustersSql)))
 }

@@ -443,6 +443,53 @@ object TextAnalysis {
       |FROM tok_stats ts LEFT JOIN bg_stats USING (doc_id)
       |ORDER BY ts.doc_id""".stripMargin
 
+  /** Triangle count on the token co-occurrence graph: canonical (w1<w2)
+    * bigram edges, three-way self-join a<b<c — the clustering-coefficient
+    * primitive of graph analytics, here surfacing tightly-bound token
+    * communities. Edge set is vocabulary-bounded, so the join fan-out
+    * stays tiny even at corpus scale (edges grow with vocab², not rows). */
+  private def tokenTriangles(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(graft.functions.Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks.select(posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+      .filter(col("i") < size(col("t")) - 1)
+      .select(col("w1"), element_at(col("t"), col("i") + 2).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = bigrams
+      .select(least(col("w1"), col("w2")).as("u"), greatest(col("w1"), col("w2")).as("v"))
+      .distinct()
+      .persist()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("token"))
+      .limit(15)
+  }
+
+  private val tokenTrianglesSql = {
+    val toks = Text.toksSql
+    s"""WITH toks AS (
+       |  SELECT $toks AS t FROM documents WHERE len($toks) >= 2),
+       |bigrams AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS u(i)
+       |  WHERE t[i] <> t[i + 1]),
+       |edges AS (
+       |  SELECT DISTINCT least(w1, w2) AS u, greatest(w1, w2) AS v FROM bigrams),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+       |    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT token, count(*) AS n_triangles
+       |FROM (SELECT unnest([a, b, c]) AS token FROM tri)
+       |GROUP BY token ORDER BY n_triangles DESC, token LIMIT 15""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
@@ -455,5 +502,6 @@ object TextAnalysis {
     QuerySpec("ta_rolling_hash", rollingHash, Some(rollingHashSql)),
     QuerySpec("ta_entropy", entropy, Some(entropySql)),
     QuerySpec("ta_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
-    QuerySpec("ta_repetition", repetition, Some(repetitionSql)))
+    QuerySpec("ta_repetition", repetition, Some(repetitionSql)),
+    QuerySpec("ta_token_triangles", tokenTriangles, Some(tokenTrianglesSql)))
 }
