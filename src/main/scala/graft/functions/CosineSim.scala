@@ -92,5 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    // tier-(c) custom operator: the native as-of join's planner strategy
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1185,6 +1185,45 @@ object Relational {
       |  FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** The native as-of join (graft.plans.AsOfJoin — custom LogicalPlan +
+    * Strategy + SparkPlan): each purchase picks the latest view of the same
+    * user with view_ts <= purchase_ts, LEFT OUTER. One hash exchange +
+    * sort per side, then a streaming two-pointer merge per co-partition —
+    * no candidate blow-up (compare rel_range_join, which materializes
+    * every in-window pair first). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  private def asofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    graft.plans.AsOfJoin(purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTime = "ts", rightTime = "view_ts",
+        leftTie = "purchase_id", rightTie = "view_id")
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts_s"),
+        col("view_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts_s"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val asofNativeSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts
+      |  FROM events WHERE event_type = 'view')
+      |SELECT purchase_id, user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+      |  view_id,
+      |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts_s
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.v_user AND v.view_ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
@@ -1239,5 +1278,6 @@ object Relational {
     QuerySpec("rel_hash_sample", hashSample, Some(hashSampleSql)),
     QuerySpec("rel_null_safe", nullSafeOps, Some(nullSafeOpsSql)),
     QuerySpec("rel_scd2", scd2, Some(scd2Sql)),
-    QuerySpec("rel_distinct_window", distinctWindow, Some(distinctWindowSql)))
+    QuerySpec("rel_distinct_window", distinctWindow, Some(distinctWindowSql)),
+    QuerySpec("rel_asof_native", asofNative, Some(asofNativeSql)))
 }
