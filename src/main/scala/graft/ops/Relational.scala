@@ -1224,6 +1224,40 @@ object Relational {
       |  ON p.user_id = v.v_user AND v.view_ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Array scalar-function surface over the token arrays: set algebra
+    * (intersect/union/except), membership, slicing, sort, dedup — the
+    * list-manipulation toolkit mirrored against DuckDB's list functions.
+    * Map-only. */
+  private def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val probe = array(lit("data"), lit("query"), lit("table"), lit("spark"))
+    T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).as("n"),
+        size(array_distinct(col("t"))).as("n_distinct"),
+        array_join(slice(array_sort(array_distinct(col("t"))), 1, 3), ",").as("first3_sorted"),
+        size(array_intersect(array_distinct(col("t")), probe)).as("n_probe_hits"),
+        array_contains(col("t"), "spark").as("has_spark"),
+        size(array_except(probe, col("t"))).as("n_probe_missing"),
+        element_at(col("t"), 1).as("first_tok"),
+        element_at(col("t"), -1).as("last_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val arrayFuncsSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |probe AS (SELECT ['data', 'query', 'table', 'spark'] AS p)
+      |SELECT doc_id,
+      |  CAST(len(t) AS INT) AS n,
+      |  CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+      |  array_to_string(list_sort(list_distinct(t))[1:3], ',') AS first3_sorted,
+      |  CAST(len(list_intersect(list_distinct(t), p)) AS INT) AS n_probe_hits,
+      |  list_contains(t, 'spark') AS has_spark,
+      |  CAST(len(list_filter(p, x -> NOT list_contains(t, x))) AS INT) AS n_probe_missing,
+      |  t[1] AS first_tok,
+      |  t[-1] AS last_tok
+      |FROM t, probe ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
@@ -1279,5 +1313,6 @@ object Relational {
     QuerySpec("rel_null_safe", nullSafeOps, Some(nullSafeOpsSql)),
     QuerySpec("rel_scd2", scd2, Some(scd2Sql)),
     QuerySpec("rel_distinct_window", distinctWindow, Some(distinctWindowSql)),
-    QuerySpec("rel_asof_native", asofNative, Some(asofNativeSql)))
+    QuerySpec("rel_asof_native", asofNative, Some(asofNativeSql)),
+    QuerySpec("rel_array_funcs", arrayFuncs, Some(arrayFuncsSql)))
 }
