@@ -1258,6 +1258,40 @@ object Relational {
       |  t[-1] AS last_tok
       |FROM t, probe ORDER BY doc_id""".stripMargin
 
+  /** Z-order (Morton) clustering key: interleave the low 8 bits of part
+    * and supplier keys so multi-dimensional range predicates map to
+    * contiguous key ranges — the data-layout primitive behind z-ordered
+    * table formats. Laying files out in z order lets min/max file stats
+    * prune BOTH dimensions at once (StorageLayoutSpec demonstrates the
+    * file-skipping effect); this query pins the key arithmetic bit-exact.
+    * Pure integer expression, map-only. */
+  private def zorderKey(s: SparkSession, d: String): DataFrame = {
+    // interleave: bit i of x -> bit 2i, bit i of y -> bit 2i+1
+    def spread(c: Column): Column = (0 until 8).map(i =>
+      shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i)).reduce(_ + _)
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"))
+      .withColumn("zval", spread(col("px")) + spread(col("sy")) * 2)
+      .groupBy((col("zval") / 4096).cast("long").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zval")).as("z_min"), max(col("zval")).as("z_max"),
+        countDistinct(col("px")).as("n_px"), countDistinct(col("sy")).as("n_sy"))
+      .orderBy(col("z_bucket"))
+  }
+
+  private val zorderKeySql = {
+    val spreadX = (0 until 8).map(i => s"(((px >> $i) & 1) << ${2 * i})").mkString(" + ")
+    val spreadY = (0 until 8).map(i => s"(((sy >> $i) & 1) << ${2 * i})").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy FROM lineitem),
+       |z AS (SELECT px, sy, ($spreadX) + ($spreadY) * 2 AS zval FROM base)
+       |SELECT CAST(zval // 4096 AS BIGINT) AS z_bucket, count(*) AS n,
+       |  CAST(min(zval) AS BIGINT) AS z_min, CAST(max(zval) AS BIGINT) AS z_max,
+       |  count(DISTINCT px) AS n_px, count(DISTINCT sy) AS n_sy
+       |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
@@ -1314,5 +1348,6 @@ object Relational {
     QuerySpec("rel_scd2", scd2, Some(scd2Sql)),
     QuerySpec("rel_distinct_window", distinctWindow, Some(distinctWindowSql)),
     QuerySpec("rel_asof_native", asofNative, Some(asofNativeSql)),
-    QuerySpec("rel_array_funcs", arrayFuncs, Some(arrayFuncsSql)))
+    QuerySpec("rel_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
+    QuerySpec("rel_zorder_key", zorderKey, Some(zorderKeySql)))
 }

@@ -72,4 +72,35 @@ class StorageLayoutSpec extends SparkSpec {
       plan.contains("GreaterThanOrEqual(l_quantity,45.0)"),
       s"filter must reach the scan:\n$plan")
   }
+
+  test("z-order layout touches fewer files than linear sort for 2-dim ranges") {
+    import org.apache.spark.sql.functions._
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 8).map(i => shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i)).reduce(_ + _)
+    // two dimensions that both spread at sf0.001 (suppkey spans only 0..9)
+    val base = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), (col("l_partkey") % 64).as("px"),
+        (col("l_orderkey") % 64).as("sy"))
+      .withColumn("zval", spread(col("px")) + spread(col("sy")) * 2)
+    def filesTouched(sorted: org.apache.spark.sql.DataFrame): Long = {
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      sorted.coalesce(1)
+        .sortWithinPartitions(col("sortkey"))
+        .withColumn("chunk", spark_partition_id()) // single sorted stream...
+        .drop("chunk")
+        .repartitionByRange(16, col("sortkey"))    // ...split into 16 ordered files
+        .sortWithinPartitions(col("sortkey"))
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+        .filter(col("sy").between(10, 20))
+        .select(input_file_name().as("f")).distinct().count()
+    }
+    val zFiles = filesTouched(base.withColumn("sortkey", col("zval")))
+    // linear layout sorted px-major: perfect for px ranges, but a range on
+    // the SECOND dimension scatters across every file — the failure mode
+    // z-order exists to fix (both dimensions stay partially clustered)
+    val linFiles = filesTouched(base.withColumn("sortkey", col("px") * 256 + col("sy")))
+    assert(zFiles < linFiles,
+      s"z-order should localize the non-leading dimension: z=$zFiles vs linear=$linFiles files")
+  }
 }
