@@ -79,7 +79,10 @@ object Dedup {
     * is the scale path: candidate generation is linear in bucket sizes. */
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)
+    // three consumers (band explosion + both signature-fetch join sides):
+    // persist or the 16-md5-per-shingle signature pass runs three times
     val sigArr = sig.withColumn("sig", array((0 until P).map(p => col(s"mh$p")): _*))
+      .persist()
     val bands = sigArr.select(col("doc_id"),
       explode(array((0 until B).map { b =>
         struct(lit(b).as("band"),

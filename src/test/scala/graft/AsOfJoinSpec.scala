@@ -94,4 +94,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native == composed)
     assert(native.nonEmpty)
   }
+
+  test("property: agrees with the composed twin on random data (dups, ties, hot keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { round =>
+      // key space 4 incl. one hot key; times in 0..20 => plenty of
+      // duplicate (key, time) pairs on the right, exercising the tie-break
+      val nl = 50 + rnd.nextInt(100)
+      val nr = 50 + rnd.nextInt(100)
+      def key() = if (rnd.nextInt(3) == 0) 7L else rnd.nextInt(4).toLong
+      val l = (1 to nl).map(i => (i.toLong, key(), rnd.nextInt(20).toLong)).toDF("pid", "user", "pts")
+      val r = (1 to nr).map(i => (i.toLong + 1000, key(), rnd.nextInt(20).toLong)).toDF("vid", "vuser", "vts")
+      val native = AsOfJoin(l, r, "user", "vuser", "pts", "vts", "pid", "vid")
+        .select(col("pid"), col("vid")).collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("vts").desc, col("vid").desc)
+      val composed = l.join(r, col("user") === col("vuser") && col("vts") <= col("pts"), "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("pid"), col("vid")).collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      assert(native == composed, s"round $round mismatch")
+      assert(native.size == nl)
+    }
+  }
 }
