@@ -182,6 +182,12 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    // the merge compares projected key/time rows with a single ordering
+    // built from the LEFT types — mixed types would compare garbage
+    require(attr(lp, leftKey).dataType == attr(rp, rightKey).dataType,
+      s"as-of key types differ: ${attr(lp, leftKey).dataType} vs ${attr(rp, rightKey).dataType}")
+    require(attr(lp, leftTime).dataType == attr(rp, rightTime).dataType,
+      s"as-of time types differ: ${attr(lp, leftTime).dataType} vs ${attr(rp, rightTime).dataType}")
     GraftSqlShim.ofRows(leftDf.sparkSession,
       AsOfJoinPlan(lp, rp,
         Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
