@@ -1292,6 +1292,32 @@ object Relational {
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
 
+  /** Cohort retention matrix: users grouped by first-activity week, then
+    * distinct actives per (cohort, week offset) — the standard retention
+    * triangle. Two shuffles (user dedup, matrix agg); week arithmetic is
+    * exact because both engines truncate weeks to Monday. */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val weeks = T.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    weeks.join(cohort, "user_id")
+      .withColumn("week_offset", (datediff(col("w"), col("cw")) / 7).cast("int"))
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+      |cohort AS (SELECT user_id, min(w) AS cw FROM weeks GROUP BY 1)
+      |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+      |  CAST(datediff('day', cw, w) // 7 AS INT) AS week_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM weeks JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
@@ -1349,5 +1375,6 @@ object Relational {
     QuerySpec("rel_distinct_window", distinctWindow, Some(distinctWindowSql)),
     QuerySpec("rel_asof_native", asofNative, Some(asofNativeSql)),
     QuerySpec("rel_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
-    QuerySpec("rel_zorder_key", zorderKey, Some(zorderKeySql)))
+    QuerySpec("rel_zorder_key", zorderKey, Some(zorderKeySql)),
+    QuerySpec("rel_cohort_retention", cohortRetention, Some(cohortRetentionSql)))
 }
