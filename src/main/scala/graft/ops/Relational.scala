@@ -409,11 +409,43 @@ object Relational {
       |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
-  /** ntile + rank family over a global order. */
+  /** ntile + rank family over a global order — WITHOUT a global Window.
+    *
+    * `Window.orderBy` with no partitionBy funnels every row through one
+    * task (Spark warns; the classic single-reducer scale-killer). Instead:
+    * range-repartition on the sort key, rank within each partition in
+    * parallel, then shift ranks by broadcast per-partition offsets — the
+    * distributed zipWithIndex layout. NTILE(k) is then pure arithmetic on
+    * the global rank: the first n mod k tiles get ⌈n/k⌉ rows, the rest
+    * ⌊n/k⌋ — exactly SQL NTILE semantics, so the oracle is unchanged.
+    * The only driver-scale structure is the (≤ #partitions)-row offset
+    * table; no fact-table row ever leaves its executor. */
   private def windowNtile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    T.customer(s, d)
-      .withColumn("quartile", ntile(4).over(w))
+    val k = 4
+    val sorted = T.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist() // two consumers (offset table + ranked rows) must see the
+                 // SAME range boundaries; also avoids a second source scan
+    val tiny = Window.partitionBy(lit(1)) // over the ≤32-row offset table only
+    val offs = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum(col("pn"))
+        .over(tiny.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("pn")).over(tiny))
+      .select(col("pid"), col("off"), col("n"))
+    val wPart = Window.partitionBy(col("pid"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    sorted.withColumn("pr", row_number().over(wPart))
+      .join(broadcast(offs), Seq("pid"))
+      .withColumn("rank", col("pr") + col("off"))
+      .withColumn("quartile", expr(
+        s"""CAST(CASE WHEN rank <= (n % $k) * (n div $k + 1)
+           |  THEN (rank - 1) div (n div $k + 1) + 1
+           |  ELSE (n % $k) + (rank - (n % $k) * (n div $k + 1) - 1) div (n div $k) + 1
+           |END AS INT)""".stripMargin))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_cust"),
         round(avg(col("c_acctbal")), 4).as("avg_bal"),

@@ -87,6 +87,33 @@ object Sketches {
         approx_count_distinct(col("token"), 0.01).as("approx_distinct"))
       .orderBy(col("snapshot"))
 
+  /** HLL accuracy contract, oracle-checkable: the approx value itself is
+    * hash-family-internal (rows-only in sketch_hll_distinct), but whether
+    * it lands inside the advertised error envelope is deterministic for a
+    * fixed dataset — the HLL estimate is a pure function of the merged
+    * register set, independent of partitioning or merge order. The oracle
+    * asserts the exact column and `within_5pct = true` (rsd 0.01 ⇒ 5% is a
+    * 5σ envelope); an estimate outside it fails the driver compare, giving
+    * the sketch family a hard correctness gate alongside its property
+    * specs. */
+  private def hllContract(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(expr("doc_id div 100").as("snapshot"),
+        explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("snapshot"))
+      .agg(countDistinct(col("token")).as("exact_distinct"),
+        approx_count_distinct(col("token"), 0.01).as("approx"))
+      .select(col("snapshot"), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")) <=
+          col("exact_distinct") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("snapshot"))
+
+  private val hllContractSql =
+    s"""SELECT doc_id // 100 AS snapshot, count(DISTINCT token) AS exact_distinct,
+       |  TRUE AS within_5pct
+       |FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents)
+       |GROUP BY snapshot ORDER BY snapshot""".stripMargin
+
   /** A6 twin via the custom [[graft.functions.BloomStatsAgg]] Aggregator:
     * corpus-wide Bloom stats with the fill ratio the built-in aggregation
     * cannot report. One partial+final pass. */
@@ -125,5 +152,6 @@ object Sketches {
     QuerySpec("sketch_bloom_dedup", bloomShingleDedup, None),
     QuerySpec("sketch_bloom_stats", bloomStats, None),
     QuerySpec("sketch_hll_distinct", hllDistinct, None),
+    QuerySpec("sketch_hll_contract", hllContract, Some(hllContractSql)),
     QuerySpec("sketch_approx_quantiles", approxQuantiles, None))
 }

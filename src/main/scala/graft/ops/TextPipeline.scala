@@ -167,22 +167,25 @@ object TextPipeline {
   // ------------------------------------------------------------ burst twin
 
   /** W2 twin — burst detection (burst_detector.py:43-77): token counts per
-    * 25-doc half-window on a dense token×window grid (so silent windows
-    * count zero, as the DGIM window genuinely would), ratio of a window vs
-    * the previous one with the reference's ε=1e-6, flagged at ratio ≥ 2 with
-    * ≥ 2 recent occurrences. */
+    * 25-doc half-window, ratio of a window vs the previous one (a silent
+    * previous window counts zero) with the reference's ε=1e-6, flagged at
+    * ratio ≥ 2 with ≥ 2 recent occurrences.
+    *
+    * Scale note: only rows with cnt ≥ 2 can flag, and `prev` only needs the
+    * (token, win−1) count — so this is a sparse self-left-join of the
+    * counts frame on (token, win−1), O(nnz) rows, NOT a dense
+    * windows×vocabulary grid (which at 100× docs would materialize billions
+    * of zero rows before the lag). Output is identical: absent (token,
+    * win−1) coalesces to 0 exactly as a dense-grid lag would. */
   private def burst(s: SparkSession, d: String): DataFrame = {
     val tok = withToks(s, d)
       .select(expr("doc_id div 25").as("win"), explode(col("toks")).as("token"))
     val counts = tok.groupBy(col("win"), col("token")).agg(count(lit(1)).as("cnt"))
-    val wins = docs(s, d).select(expr("doc_id div 25").as("win")).distinct()
-    val tokensD = tok.select(col("token")).distinct()
-    val grid = wins.crossJoin(tokensD)
-    val dense = grid.join(counts, Seq("win", "token"), "left")
-      .select(col("win"), col("token"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-    val w = Window.partitionBy(col("token")).orderBy(col("win"))
-    dense
-      .withColumn("prev", coalesce(lag(col("cnt"), 1).over(w), lit(0L)))
+    val prev = counts.select((col("win") + 1).as("win"), col("token"),
+      col("cnt").as("prev"))
+    counts.join(prev, Seq("win", "token"), "left")
+      .select(col("win"), col("token"), col("cnt"),
+        coalesce(col("prev"), lit(0L)).as("prev"))
       .withColumn("ratio",
         round((col("cnt") + lit(1e-6)) / (col("prev") + lit(1e-6)), 4))
       .filter(col("cnt") >= 2 && col("ratio") >= 2.0)
@@ -196,15 +199,10 @@ object TextPipeline {
        |  SELECT doc_id // 25 AS win, unnest(${Text.toksSql}) AS token
        |  FROM documents),
        |counts AS (SELECT win, token, count(*) AS cnt FROM tok GROUP BY win, token),
-       |dense AS (
-       |  SELECT w.win, t.token, coalesce(c.cnt, 0) AS cnt
-       |  FROM (SELECT DISTINCT doc_id // 25 AS win FROM documents) w
-       |  CROSS JOIN (SELECT DISTINCT token FROM tok) t
-       |  LEFT JOIN counts c ON c.win = w.win AND c.token = t.token),
        |scored AS (
-       |  SELECT win, token, cnt,
-       |    coalesce(lag(cnt) OVER (PARTITION BY token ORDER BY win), 0) AS prev
-       |  FROM dense)
+       |  SELECT c.win, c.token, c.cnt, coalesce(p.cnt, 0) AS prev
+       |  FROM counts c LEFT JOIN counts p
+       |    ON p.token = c.token AND p.win = c.win - 1)
        |SELECT win, token, cnt AS recent, CAST(prev AS BIGINT) AS prev,
        |  round((cnt + 0.000001) / (prev + 0.000001), 4) AS ratio
        |FROM scored

@@ -83,6 +83,42 @@ class DedupSpec extends SparkSpec {
       "disjoint content must not be closer than a near-duplicate")
   }
 
+  test("components reaches fixpoint on a chain deeper than any fixed round count") {
+    import spark.implicits._
+    // a 6-node path graph has diameter 5: the old fixed-3-round propagation
+    // left the tail labeled by an intermediate node (split component); the
+    // fixpoint loop must converge every node to the component min
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val nodes = (1L to 6L).toDF("id")
+    val labels = ops.Dedup.components(pairs, nodes).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels == (1L to 6L).map(_ -> 1L).toMap,
+      s"chain must collapse to one cluster rooted at 1, got $labels")
+  }
+
+  test("embed near-dup: LSH-banded pairs are exact-threshold pairs with high recall") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSim.register(spark)
+    // exact all-pairs twin, test-only (fixture scale): every pair at cos>=0.45
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        graft.functions.CosineSim.cosine_sim(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_embed_cosine")(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction (candidates are cosine-verified)...
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // ...and the 16-band x 4-bit scheme must recover nearly all true pairs
+    assert(exact.isEmpty || (exact & lsh).size.toDouble / exact.size >= 0.9,
+      s"recall too low: found ${(exact & lsh).size}/${exact.size}")
+  }
+
   test("knn: brute-force rank-1 neighbor has the highest cosine; lsh is a subset of candidates") {
     val bf = SparkEntry.queries("sim_knn_bruteforce")(spark, sf001).collect()
     val byQuery = bf.groupBy(_.getAs[Long]("query_id"))
