@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors break that: the logger prefixes forked-child
+// output with "[info] ", and sbt appends its own "[success] Total time..."
+// line after the app exits. StdoutOutput passes the child's stdout through
+// raw; showSuccess drops the trailing line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

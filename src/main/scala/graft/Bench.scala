@@ -25,7 +25,13 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries legitimately persist() intermediates but can't unpersist
+      // before the action runs; without this, ~10 cached frames accumulate
+      // over the 118-query run and evict each other (r3: untouched queries
+      // slowed 3-4x mid-run from cache churn). Drop them between queries.
+      spark.catalog.clearCache()
+      name -> dt
     }
     // The driver captures a bounded output TAIL, so the parseable summary
     // must be the LAST line printed. Per-query detail goes on its own
