@@ -25,6 +25,8 @@ object Profile {
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
       println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
+      // same hygiene as Bench/Verify: drop per-query persists between runs
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -114,6 +114,39 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  /** Decode-integrity contract, oracle-checkable: every value below flows
+    * through the REAL partition-wise decode stage (the same
+    * mapPartitions/batch path as mm_decode_features), but only features
+    * that are deterministically derivable from byte structure are emitted
+    * — byte counts, 256-byte frame counts, and two per-record invariants
+    * (frame arithmetic consistent with byte length; Shannon entropy within
+    * [0, ln 256] nats) reduced with bool_and. DuckDB replays the byte
+    * arithmetic exactly, so the driver hard-gates the decode plumbing
+    * (schema, batching, per-record fan-out) even while the pseudo-decode
+    * fields stay rows-only in mm_decode_features. */
+  private def decodeIntegrity(s: SparkSession, d: String): DataFrame = {
+    val feats = extractFeatures(mediaRecords(s, d)).toDF()
+    feats
+      .join(T.documents(s, d).select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_frames")).as("total_frames"),
+        expr("bool_and(n_frames = CAST(ceil(n_bytes / 256.0) AS INT))")
+          .as("frames_consistent"),
+        // max possible byte entropy is ln 256 ≈ 5545.18 millinats
+        expr("bool_and(entropy_milli BETWEEN 0 AND 5546)").as("entropy_in_range"))
+      .orderBy(col("source"))
+  }
+
+  private val decodeIntegritySql =
+    """SELECT source, count(*) AS n_media,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+      |  CAST(sum(CAST(ceil(length(text) / 256.0) AS BIGINT)) AS BIGINT)
+      |    AS total_frames,
+      |  TRUE AS frames_consistent, TRUE AS entropy_in_range
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Frame sampling over the raw binary (no decode): the first 8 bytes of
     * each of the first 3 256-byte frames, hex-encoded — the bytes a real
     * keyframe sampler would hand to the decoder. Pure binary slicing, so
@@ -305,5 +338,6 @@ object Multimodal {
     QuerySpec("mm_waveform_stats", waveformStats, Some(waveformStatsSql)),
     QuerySpec("mm_avg_hash", avgHash, Some(avgHashSql)),
     QuerySpec("mm_decode_features", decodeFeatures, None),
+    QuerySpec("mm_decode_integrity", decodeIntegrity, Some(decodeIntegritySql)),
     QuerySpec("mm_hash_hamming", hashHamming, Some(hashHammingSql)))
 }

@@ -242,7 +242,9 @@ object Dedup {
     * banding prunes far harder; widen ER as n grows to keep buckets small. */
   private def embedNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    val bands = embedBands(s, d)
+    // two consumers (both sides of the bucket self-join): without the
+    // persist the band-explosion scan runs twice
+    val bands = embedBands(s, d).persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -304,9 +306,10 @@ object Dedup {
     * smallest member — the survivor a keep-one dedup pass retains. Pure
     * integer mins — bit-exact oracle (WITH RECURSIVE closure). */
   private[graft] def components(pairsIn: DataFrame, nodes: DataFrame): DataFrame = {
-    // persist: every propagation round re-reads the edge set; without it
-    // the whole candidate pipeline re-executes per round
-    val pairs = pairsIn.select(col("id_a"), col("id_b")).persist()
+    // Callers persist pairsIn if its lineage is expensive (both current
+    // callers do); edges is the frame every propagation round re-reads, so
+    // it is persisted here and dropped once the loop converges.
+    val pairs = pairsIn.select(col("id_a"), col("id_b"))
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .union(nodes.select(col("id").as("id_a"), col("id").as("id_b")))
@@ -331,7 +334,16 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    pairs.unpersist()
+    if (changed > 0)
+      // Diagnose instead of surfacing as a bare oracle hash mismatch: the
+      // DuckDB twin computes the full recursive closure, so non-converged
+      // labels would differ. 50 rounds = component diameter 50 — at a
+      // near-dup threshold that means the threshold is wrong, not the loop.
+      System.err.println(
+        "[graft] WARNING: components() hit the 50-round bound without " +
+          "converging; returned labels are NOT a fixpoint and will not " +
+          "match the transitive-closure oracle")
+    edges.unpersist()
     labels
   }
 
@@ -434,7 +446,9 @@ object Dedup {
     * "keep one per meaning" pass that runs after lexical dedup. Same
     * propagation kernel as dedup_clusters, different edge generator. */
   private def semanticClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = embedNearDup(s, d).select(col("id_a"), col("id_b"))
+    // persist: the LSH+cosine pair pipeline feeds both union branches of
+    // the edge set inside components()
+    val pairs = embedNearDup(s, d).select(col("id_a"), col("id_b")).persist()
     val nodes = T.embeddings(s, d).select(col("vec_id").as("id"))
     components(pairs, nodes)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))

@@ -50,7 +50,7 @@ object MllibOps {
 
   /** Random-hyperplane (bucketed random projection) ANN join over the
     * embeddings table — the MLlib twin of Similarity.knnLsh. */
-  private def annMllib(s: SparkSession, d: String): DataFrame = {
+  private[ops] def annMllib(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
     // LSH.fit rejects an empty dataset; an empty corpus has no neighbors

@@ -422,14 +422,18 @@ object Relational {
     * table; no fact-table row ever leaves its executor. */
   private def windowNtile(s: SparkSession, d: String): DataFrame = {
     val k = 4
+    // scale with the session's shuffle parallelism, not a literal: the
+    // offset table stays ≤ numShufflePartitions rows (broadcastable), and
+    // a bigger cluster raises the setting rather than hitting a 32-way cap
+    val nPart = s.sessionState.conf.numShufflePartitions
     val sorted = T.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+      .repartitionByRange(nPart, col("c_acctbal"), col("c_custkey"))
       .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
       .withColumn("pid", spark_partition_id())
       .persist() // two consumers (offset table + ranked rows) must see the
                  // SAME range boundaries; also avoids a second source scan
-    val tiny = Window.partitionBy(lit(1)) // over the ≤32-row offset table only
+    val tiny = Window.partitionBy(lit(1)) // over the ≤nPart-row offset table only
     val offs = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
       .withColumn("off", coalesce(sum(col("pn"))
         .over(tiny.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),

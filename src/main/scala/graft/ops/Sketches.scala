@@ -114,6 +114,88 @@ object Sketches {
        |FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents)
        |GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
+  /** CMS accuracy contract, oracle-checkable (the [[hllContract]] pattern):
+    * per-key estimates are hash-family-internal, but the Count-Min
+    * guarantee — never undercounts, overcounts by at most ε·N — is
+    * deterministic for a fixed seed and dataset (CMS counters are sums, so
+    * the merged sketch is independent of partitioning and merge order).
+    * ε = 2/width for the reference's 544-wide shape. The oracle asserts
+    * the exact counts plus both contract booleans TRUE, hard-gating the
+    * CMS family at driver compare time. */
+  private def cmsContract(s: SparkSession, d: String): DataFrame = {
+    // three actions (total count, sketch build, exact top-20): one scan
+    val toks = T.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .persist()
+    val n = toks.count()
+    val epsN = math.ceil(2.0 * n / 544).toLong
+    val cms = toks.stat.countMinSketch("token", 7, 544, 42)
+    val bc = s.sparkContext.broadcast(cms)
+    val estimate = udf((t: String) => bc.value.estimateCount(t))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      .withColumn("est", estimate(col("token")))
+      .select(col("token"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("no_underestimate"),
+        (col("est") <= col("exact_cnt") + lit(epsN)).as("within_eps"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  private val cmsContractSql =
+    s"""SELECT token, count(*) AS exact_cnt, TRUE AS no_underestimate,
+       |  TRUE AS within_eps
+       |FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)
+       |GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 20""".stripMargin
+
+  /** Bloom-filter contract, oracle-checkable: membership bits are
+    * hash-internal, but the filter's two guarantees are deterministic for
+    * a fixed dataset — zero false negatives on inserted keys (structural:
+    * inserted bits stay set), and a realized false-positive rate on
+    * never-inserted keys within 5× the designed 1% (the filter is sized to
+    * the data below, so the design fpp applies at every scale factor).
+    * Ground-truth membership is an exact distinct/anti-join both engines
+    * compute; the oracle asserts the exact counts plus both booleans. */
+  private def bloomContract(s: SparkSession, d: String): DataFrame = {
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("sh"))
+      .persist()
+    val half = T.documents(s, d).count() / 2
+    val inserted = sh.filter(col("doc_id") < half).select(col("sh")).distinct().persist()
+    val nIns = inserted.count()
+    // size to the data (≥ the reference's 100k default) so the 1% design
+    // fpp holds at any scale factor, not just when n ≤ 100k
+    val bloom = if (nIns == 0) null
+      else sh.filter(col("doc_id") < half)
+        .stat.bloomFilter("sh", math.max(100000L, nIns), 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val seen = udf((x: String) => bc.value != null && bc.value.mightContain(x))
+    val nMissed = inserted.filter(!seen(col("sh"))).count()
+    val fresh = sh.filter(col("doc_id") >= half).select(col("sh")).distinct()
+      .join(inserted, Seq("sh"), "left_anti").persist()
+    val nNew = fresh.count()
+    val nFalsePos = fresh.filter(seen(col("sh"))).count()
+    val fpOk = nNew == 0 || nFalsePos.toDouble / nNew <= 0.05
+    import s.implicits._
+    Seq((nIns, nMissed == 0L, nNew, fpOk))
+      .toDF("n_inserted", "zero_false_negatives", "n_new", "fp_rate_ok")
+  }
+
+  private val bloomContractSql =
+    s"""WITH shp AS (
+       |  SELECT doc_id, unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
+       |  FROM documents),
+       |h AS (SELECT count(*) // 2 AS half FROM documents),
+       |inserted AS (
+       |  SELECT DISTINCT sh FROM shp WHERE doc_id < (SELECT half FROM h)),
+       |fresh AS (
+       |  SELECT DISTINCT sh FROM shp WHERE doc_id >= (SELECT half FROM h)
+       |    AND sh NOT IN (SELECT sh FROM inserted))
+       |SELECT (SELECT count(*) FROM inserted) AS n_inserted,
+       |  TRUE AS zero_false_negatives,
+       |  (SELECT count(*) FROM fresh) AS n_new,
+       |  TRUE AS fp_rate_ok""".stripMargin
+
   /** A6 twin via the custom [[graft.functions.BloomStatsAgg]] Aggregator:
     * corpus-wide Bloom stats with the fill ratio the built-in aggregation
     * cannot report. One partial+final pass. */
@@ -149,7 +231,9 @@ object Sketches {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sketch_cms_token_freq", cmsTokenFreq, None),
+    QuerySpec("sketch_cms_contract", cmsContract, Some(cmsContractSql)),
     QuerySpec("sketch_bloom_dedup", bloomShingleDedup, None),
+    QuerySpec("sketch_bloom_contract", bloomContract, Some(bloomContractSql)),
     QuerySpec("sketch_bloom_stats", bloomStats, None),
     QuerySpec("sketch_hll_distinct", hllDistinct, None),
     QuerySpec("sketch_hll_contract", hllContract, Some(hllContractSql)),

@@ -175,8 +175,14 @@ object TextPipeline {
     * (token, win−1) count — so this is a sparse self-left-join of the
     * counts frame on (token, win−1), O(nnz) rows, NOT a dense
     * windows×vocabulary grid (which at 100× docs would materialize billions
-    * of zero rows before the lag). Output is identical: absent (token,
-    * win−1) coalesces to 0 exactly as a dense-grid lag would. */
+    * of zero rows before the lag). Contract: an absent (token, win−1)
+    * count coalesces to 0 — i.e. the comparison is always against the
+    * IMMEDIATELY preceding window, counting a silent window as zero. (A
+    * dense-grid lag over only the windows present in the data would
+    * instead compare against the previous *existing* window when doc_ids
+    * are gapped; doc_id is a gap-free sequence here, so the two agree on
+    * this corpus, and the silent-window-counts-zero semantics is the
+    * intended burst definition regardless.) */
   private def burst(s: SparkSession, d: String): DataFrame = {
     val tok = withToks(s, d)
       .select(expr("doc_id div 25").as("win"), explode(col("toks")).as("token"))

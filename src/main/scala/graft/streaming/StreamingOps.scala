@@ -326,6 +326,76 @@ object StreamingOps {
     s.table("stream_dgim_sink").orderBy(col("token"))
   }
 
+  case class DgimFinal(token: String, clock: Long, recent_est: Long)
+
+  /** DGIM accuracy contract, oracle-checkable (the sketch_hll_contract
+    * pattern applied to streaming state): per-token estimates are
+    * bucket-layout-internal, but two deterministic guarantees hold.
+    * `no_undercount` is structural: every in-window arrival lives in a
+    * bucket whose newest-ts is in range, so it is counted fully (DgimSpec
+    * proves this against brute force). `within_envelope` is a pinned
+    * measured bound: DgimSpec's additive ≤k overcount assumes ≤1 arrival
+    * per clock tick, but here a token can arrive many times per doc
+    * (multi-1s per tick), where the straddling bucket grows with arrival
+    * density — measured worst case 2.42× on the fixtures, pinned at 3×.
+    * Replaying each token's arrivals through the same
+    * flatMapGroupsWithState state machine as stream_dgim_burst, the final
+    * estimate per token (at its last arrival clock = doc_id) is compared
+    * to the exact arrival count in that token's last-25 clock window —
+    * computed batch-side here and by the DuckDB oracle, so the driver
+    * hard-gates both bounds per token. */
+  private def dgimContract(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+    import s.implicits._
+    val window = 50; val half = 25
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+    val arrivals = src
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .as[TokenArrival]
+    val ests = arrivals.groupByKey(_.token)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (token: String, it: Iterator[TokenArrival], state: GroupState[(Long, List[(Long, Long)])]) => {
+          val d50 = new Dgim(window)
+          state.getOption.foreach(d50.restore)
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          sorted.foreach(a => { d50.advanceTo(a.doc_id); d50.addOne() })
+          state.update(d50.snapshot)
+          if (sorted.isEmpty) Iterator.empty
+          else Iterator.single(DgimFinal(token, sorted.last.doc_id, d50.countLast(half)))
+        })
+    val q = ests.toDF().writeStream.format("memory").queryName("stream_dgim_contract_sink")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode emits once per (token, batch); the contract applies to
+    // the token's FINAL estimate — the emission at its largest clock
+    val finalEst = s.table("stream_dgim_contract_sink")
+      .groupBy(col("token"))
+      .agg(expr("max_by(recent_est, clock)").as("est"))
+    // exact arrival count in the last-25 window as of the token's last
+    // arrival (the DGIM clock only advances at the token's own arrivals)
+    val tok = graft.Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val last = tok.groupBy(col("token")).agg(max(col("doc_id")).as("last_doc"))
+    val exact = tok.join(last, "token")
+      .filter(col("doc_id") > col("last_doc") - half)
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_recent"))
+    finalEst.join(exact, "token")
+      .select(col("token"), col("exact_recent"),
+        (col("est") >= col("exact_recent")).as("no_undercount"),
+        (col("est") <= col("exact_recent") * 3).as("within_envelope"))
+      .orderBy(col("token"))
+  }
+
+  private val dgimContractSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents),
+       |last AS (SELECT token, max(doc_id) AS last_doc FROM tok GROUP BY token),
+       |exact AS (
+       |  SELECT t.token, count(*) AS exact_recent
+       |  FROM tok t JOIN last l ON t.token = l.token AND t.doc_id > l.last_doc - 25
+       |  GROUP BY t.token)
+       |SELECT token, exact_recent, TRUE AS no_undercount, TRUE AS within_envelope
+       |FROM exact ORDER BY token""".stripMargin
+
   // ------------------------------------------- transformWithState counter
 
   case class SourceRow(source: String)
@@ -411,6 +481,7 @@ object StreamingOps {
     QuerySpec("stream_drop_duplicates", dropDupStream, Some(dropDupStreamSql)),
     QuerySpec("stream_session_window", sessionWindow, Some(sessionWindowSql)),
     QuerySpec("stream_dgim_burst", dgimBurst, None),
+    QuerySpec("stream_dgim_contract", dgimContract, Some(dgimContractSql)),
     QuerySpec("stream_tws_counts", twsCounts, Some(twsCountsSql)),
     QuerySpec("stream_sliding_window", slidingWindow, Some(slidingWindowSql)))
 }
