@@ -119,6 +119,13 @@ object Similarity {
 
   private val NPROBE = 3 // cells searched per query (IVF multi-probe)
 
+  // IVF coarse quantizer, built once per dataset and reused — an IVF
+  // index's whole point is fit-once/probe-many, and three registered
+  // queries (sim_knn_ivf, sim_ivf_recall, sim_ann_contract) probe it.
+  // The model is k×dim doubles (16×64), driver-resident and tiny.
+  private val ivfModels =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
   /** IVF-style ANN: a coarse quantizer (seeded MLlib KMeans over the
     * corpus) assigns every vector to a cell; each query searches its
     * NPROBE nearest cells by centroid distance — standard IVF multi-probe
@@ -160,9 +167,10 @@ object Similarity {
           org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
-    val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(e)
+    val km = ivfModels.getOrElseUpdate(d,
+      new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(e))
     val cells = km.transform(e)
       .select(col("vec_id"), col("embedding"), col("nvec"), col("cell")).persist()
     // probe list: rank the k centroids per query by euclidean distance in

@@ -57,6 +57,23 @@ object StreamingOps {
     }
   }
 
+  /** Untimed bench warmup: one throwaway stateful streaming query over the
+    * 5-row region table to absorb one-time streaming infrastructure costs
+    * — RocksDB native library load, state-store provider init, checkpoint
+    * scaffolding (~7 s measured) — which otherwise land on whichever
+    * streaming query the bench's map order happens to run first, making
+    * that query's number swing 3x round-over-round with no code change
+    * (r3's phantom stream_stream_join "regression"). */
+  def warmup(s: SparkSession, d: String): Unit = withReplayTuning(s) {
+    val path = stageAsDir(d, "region")
+    val schema = s.read.parquet(path).schema
+    val q = s.readStream.schema(schema).parquet(path)
+      .dropDuplicates()
+      .writeStream.format("memory").queryName("graft_warmup_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
