@@ -45,6 +45,17 @@ object Text {
         i => array_join(slice(toks, i, lit(3)), " ")))
       .otherwise(typedLit(Seq.empty[String]))
 
+  /** General k-shingles (same contract as [[shingles3]]: pass a PROJECTED
+    * toks column, never the nested tokenizer — see the warning above). */
+  def shinglesK(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  def shinglesKSql(toksExpr: String, k: Int): String =
+    s"list_transform(range(1, len($toksExpr) - ${k - 2}), i -> array_to_string(($toksExpr)[i:i+${k - 1}], ' '))"
+
   /** DuckDB oracle fragments mirroring the builders above, verbatim. */
   val toksSql: String =
     s"list_filter(string_split(lower(text), ' '), t -> regexp_full_match(t, '[a-z]+') AND t NOT IN ${stopwordsSqlList})"

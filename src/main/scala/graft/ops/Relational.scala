@@ -1354,6 +1354,34 @@ object Relational {
       |FROM weeks JOIN cohort USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** PII/numeric scrub over the event props payload — the redaction pass
+    * a pipeline runs before exporting logs as training data: digit runs
+    * masked to '#', redactions audited per event type. Map-only scan +
+    * one hash aggregate; the regexes stay RE2-safe (no lookaround) so the
+    * DuckDB oracle replays them character-identically. */
+  private def piiScrub(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .select(col("event_type"), col("props"))
+      .withColumn("masked", regexp_replace(col("props"), "[0-9]+", "#"))
+      .withColumn("n_redactions", expr("regexp_count(props, '[0-9]+')").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_redactions")).as("total_redactions"),
+        countDistinct(col("masked")).as("n_masked_patterns"),
+        sum(length(col("props")) - length(col("masked"))).cast("long")
+          .as("chars_saved"))
+      .orderBy(col("event_type"))
+
+  private val piiScrubSql =
+    """SELECT event_type, count(*) AS n_rows,
+      |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+      |    AS total_redactions,
+      |  CAST(count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS BIGINT)
+      |    AS n_masked_patterns,
+      |  CAST(sum(length(props) - length(regexp_replace(props, '[0-9]+', '#', 'g'))) AS BIGINT)
+      |    AS chars_saved
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
@@ -1412,5 +1440,6 @@ object Relational {
     QuerySpec("rel_asof_native", asofNative, Some(asofNativeSql)),
     QuerySpec("rel_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     QuerySpec("rel_zorder_key", zorderKey, Some(zorderKeySql)),
-    QuerySpec("rel_cohort_retention", cohortRetention, Some(cohortRetentionSql)))
+    QuerySpec("rel_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    QuerySpec("rel_pii_scrub", piiScrub, Some(piiScrubSql)))
 }

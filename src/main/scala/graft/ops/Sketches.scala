@@ -229,6 +229,35 @@ object Sketches {
       .withColumn("p99_abs_err", round(abs(col("approx_p99") - col("exact_p99")), 4))
       .orderBy(col("l_returnflag"))
 
+  /** approx_percentile accuracy contract, oracle-checkable (completes the
+    * contract family): the GK-sketch estimate itself is
+    * accuracy-internal (rows-only in sketch_approx_quantiles), but with
+    * accuracy 10000 the guaranteed rank error is n/10000 ranks — far
+    * inside a ±1-percentile band at any group size — so "the estimate
+    * lands inside the exact [p−0.01, p+0.01] value band" is a
+    * deterministic boolean both engines compute exactly. */
+  private def quantileContract(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.98)").as("lo99"),
+        max(col("l_extendedprice")).as("mx"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_median"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("am"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap"))
+      .select(col("l_returnflag"), col("exact_median"),
+        col("am").between(col("lo50"), col("hi50")).as("median_in_band"),
+        col("ap").between(col("lo99"), col("mx")).as("p99_in_band"))
+      .orderBy(col("l_returnflag"))
+
+  private val quantileContractSql =
+    """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4)
+      |    AS exact_median,
+      |  TRUE AS median_in_band, TRUE AS p99_in_band
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sketch_cms_token_freq", cmsTokenFreq, None),
     QuerySpec("sketch_cms_contract", cmsContract, Some(cmsContractSql)),
@@ -237,5 +266,6 @@ object Sketches {
     QuerySpec("sketch_bloom_stats", bloomStats, None),
     QuerySpec("sketch_hll_distinct", hllDistinct, None),
     QuerySpec("sketch_hll_contract", hllContract, Some(hllContractSql)),
-    QuerySpec("sketch_approx_quantiles", approxQuantiles, None))
+    QuerySpec("sketch_approx_quantiles", approxQuantiles, None),
+    QuerySpec("sketch_quantile_contract", quantileContract, Some(quantileContractSql)))
 }

@@ -490,6 +490,100 @@ object TextAnalysis {
        |GROUP BY token ORDER BY n_triangles DESC, token LIMIT 15""".stripMargin
   }
 
+  /** Train/test decontamination — the n-gram-overlap audit an LLM data
+    * pipeline runs before training (test examples whose content leaks
+    * from the train split inflate eval scores): split by doc_id half,
+    * and for each test document compute the fraction of its distinct
+    * 5-gram shingles that occur anywhere in train; flagged at ≥ 0.5.
+    * All pairwise work is an equi-semi-join on the shingle string —
+    * candidates ∝ shared shingles, never |train|×|test| — and both
+    * shingle sets are distinct-deduped before the join, so the plan is
+    * two hash aggregates and one shuffle join at any corpus size.
+    * Documents with fewer than 5 tokens have no 5-grams and are not
+    * auditable (excluded, matching the oracle). */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shinglesK(col("toks"), 5)).as("sh"))
+      .distinct()
+      .persist() // both splits derive from this frame
+    val half = T.documents(s, d).count() / 2
+    val train = sh.filter(col("doc_id") < half).select(col("sh")).distinct()
+    val test = sh.filter(col("doc_id") >= half)
+    val sizes = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = test.join(train, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_in_train"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_in_train", coalesce(col("n_in_train"), lit(0L)))
+      .withColumn("overlap",
+        round(col("n_in_train").cast("double") / col("n_shingles"), 4))
+      .withColumn("contaminated", col("overlap") >= 0.5)
+      .select(col("doc_id"), col("n_shingles"), col("n_in_train"),
+        col("overlap"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationSql = {
+    val sh5 = Text.shinglesKSql(Text.toksSql, 5)
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest($sh5) AS sh FROM documents),
+       |h AS (SELECT count(*) // 2 AS half FROM documents),
+       |train AS (SELECT DISTINCT sh FROM sh WHERE doc_id < (SELECT half FROM h)),
+       |test AS (SELECT doc_id, sh FROM sh WHERE doc_id >= (SELECT half FROM h)),
+       |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY doc_id),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_in_train
+       |  FROM test WHERE sh IN (SELECT sh FROM train) GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_shingles, coalesce(h2.n_in_train, 0) AS n_in_train,
+       |  round(coalesce(h2.n_in_train, 0) * 1.0 / s.n_shingles, 4) AS overlap,
+       |  round(coalesce(h2.n_in_train, 0) * 1.0 / s.n_shingles, 4) >= 0.5
+       |    AS contaminated
+       |FROM sizes s LEFT JOIN hits h2 ON s.doc_id = h2.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** Context-window packing accounting — the "sample packing" step that
+    * budgets documents into fixed token windows before training: within
+    * each source, docs in doc_id order are laid end-to-end and cut into
+    * 512-token blocks; a doc's pack is where its first token lands
+    * (prefix-sum div — deterministic bookkeeping; straddling docs count
+    * toward the pack they start in). The window is PARTITIONED by source,
+    * so packing parallelizes across shards — which is how a real corpus
+    * is packed at scale; a global greedy packer is inherently sequential
+    * and is not what distributed pipelines run. Output is per-pack
+    * accounting: docs, tokens, fill ratio vs the 512 budget. */
+  private def seqPack(s: SparkSession, d: String): DataFrame = {
+    val B = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("prefix", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("prefix") / B).cast("long"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("pack_tokens"),
+        round(sum(col("n_toks")).cast("double") / B, 4).as("fill_ratio"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  private val seqPackSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, CAST(len(${Text.toksSql}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |packed AS (
+       |  SELECT source, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      // 512 AS pack_id
+       |  FROM toks)
+       |SELECT source, pack_id, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+       |  round(sum(n_toks) / 512.0, 4) AS fill_ratio
+       |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
@@ -503,5 +597,7 @@ object TextAnalysis {
     QuerySpec("ta_entropy", entropy, Some(entropySql)),
     QuerySpec("ta_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QuerySpec("ta_repetition", repetition, Some(repetitionSql)),
-    QuerySpec("ta_token_triangles", tokenTriangles, Some(tokenTrianglesSql)))
+    QuerySpec("ta_token_triangles", tokenTriangles, Some(tokenTrianglesSql)),
+    QuerySpec("ta_contamination", contamination, Some(contaminationSql)),
+    QuerySpec("ta_seq_pack", seqPack, Some(seqPackSql)))
 }

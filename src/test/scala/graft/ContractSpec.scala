@@ -9,7 +9,8 @@ class ContractSpec extends SparkSpec {
 
   private val contracts = Seq(
     "sketch_cms_contract", "sketch_bloom_contract", "sketch_hll_contract",
-    "stream_dgim_contract", "sim_ann_contract", "mm_decode_integrity")
+    "sketch_quantile_contract", "stream_dgim_contract", "sim_ann_contract",
+    "mm_decode_integrity")
 
   contracts.foreach { name =>
     test(s"$name: every contract boolean is true at sf0.001") {
