@@ -1382,8 +1382,42 @@ object Relational {
       |    AS chars_saved
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Skew-mitigated (salted) fact⋈dim join, result-identical to the plain
+    * join — the hot-key pattern for when a handful of join keys dominate
+    * a shuffle: each dim row is replicated SALT ways, each fact row picks
+    * a deterministic salt from its own row identity, and the join key
+    * becomes (key, salt), spreading one hot key's rows over SALT
+    * reducers. Salting is a pure execution-layout change, so the oracle
+    * is the PLAIN join — any divergence means the salt leaked into the
+    * semantics. (At the fixture's uniform key distribution this costs a
+    * SALT× dim replication for nothing; the query exists to pin the
+    * pattern's correctness, the trigger for using it is AQE skew metrics
+    * or a known hot key.) */
+  private def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val SALT = 8
+    val fact = T.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"),
+        pmod(xxhash64(col("o_orderkey")), lit(SALT)).as("salt_f"))
+    val dim = T.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt_d", explode(array((0 until SALT).map(lit(_)): _*)))
+    fact.join(dim,
+        col("o_custkey") === col("c_custkey") && col("salt_f") === col("salt_d"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val saltedJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QuerySpec("rel_salted_join", saltedJoin, Some(saltedJoinSql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
     QuerySpec("rel_topk_orders", topkOrders, Some(topkOrdersSql)),
     QuerySpec("rel_join_broadcast_part", joinBroadcastPart, Some(joinBroadcastPartSql)),

@@ -584,6 +584,39 @@ object TextAnalysis {
        |  round(sum(n_toks) / 512.0, 4) AS fill_ratio
        |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** Reproducible train/val/test split assignment — the S4 twin
+    * (reference file_mover.py seeded randomSplit) done the way a 100 TB
+    * pipeline must: the split is a pure function of the document id
+    * (first two hex chars of md5, compared lexicographically: < 'cc' →
+    * train ≈ 204/256, < 'e6' → val ≈ 26/256, else test), so any engine,
+    * partitioning, or rerun assigns every document identically — no RNG
+    * state to coordinate across executors. Map-only + one aggregate. */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    T.documents(s, d)
+      .select(col("doc_id"),
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").as("split"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(min(col("doc_id")).cast("double"), 0).as("min_doc_id"))
+      .orderBy(col("split"))
+  }
+
+  private val splitAssignSql =
+    s"""SELECT split, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  round(CAST(min(doc_id) AS DOUBLE), 0) AS min_doc_id
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CAST(len(${Text.toksSql}) AS BIGINT) AS n_toks
+       |  FROM documents)
+       |GROUP BY split ORDER BY split""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
@@ -599,5 +632,6 @@ object TextAnalysis {
     QuerySpec("ta_repetition", repetition, Some(repetitionSql)),
     QuerySpec("ta_token_triangles", tokenTriangles, Some(tokenTrianglesSql)),
     QuerySpec("ta_contamination", contamination, Some(contaminationSql)),
-    QuerySpec("ta_seq_pack", seqPack, Some(seqPackSql)))
+    QuerySpec("ta_seq_pack", seqPack, Some(seqPackSql)),
+    QuerySpec("ta_split_assign", splitAssign, Some(splitAssignSql)))
 }
