@@ -59,12 +59,23 @@ object Dedup {
   // ------------------------------------------------------------ minhash+LSH
 
   /** Per-document 16-permutation minhash signature: permutation p is the
-    * lexicographic min of md5("p|" + shingle) — one shuffle (groupBy doc_id)
-    * computes all 16 columns. */
+    * lexicographic min of md5("p|" + shingle).
+    *
+    * Dictionary hashing: the 16 md5s are computed once per DISTINCT
+    * shingle and joined back to the (doc, shingle) occurrences, instead
+    * of 16 hashes per occurrence — hash work scales with vocabulary, not
+    * corpus (shingle vocabulary ≪ occurrences on any natural-language
+    * corpus, and the min-agg result is identical either way). The join
+    * is left to AQE: a small dictionary auto-broadcasts; a 100 TB-scale
+    * one degrades to a shuffle hash join on the shingle. */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until P).map(p =>
-      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"mh$p"))
-    shingleSets(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sh = shingleSets(s, d)
+    val dict = sh.select(col("sh")).distinct()
+      .select(Seq(col("sh")) ++
+        (0 until P).map(p => md5(concat(lit(s"$p|"), col("sh"))).as(s"h$p")): _*)
+    val aggs = (0 until P).map(p => min(col(s"h$p")).as(s"mh$p"))
+    sh.join(dict, "sh")
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private val signaturesSql = {
