@@ -617,6 +617,43 @@ object TextAnalysis {
        |  FROM documents)
        |GROUP BY split ORDER BY split""".stripMargin
 
+  /** Training-mixture accounting — the domain-weighting step run before
+    * sampling a corpus into a training mix: per source, the actual token
+    * share vs a uniform target share, and the sampling weight that would
+    * rebalance the mix (target/actual, capped at 4× to bound
+    * over-sampling of tiny domains, as real mixers do). One hash
+    * aggregate plus a broadcast of two single-row totals — pure
+    * map-reduce at any corpus size. */
+  private def domainMix(s: SparkSession, d: String): DataFrame = {
+    val per = T.documents(s, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = per.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(totals) // 1-row totals frame — broadcast by construction
+      .withColumn("actual_share", round(col("n_tokens") / col("tot"), 6))
+      .withColumn("weight",
+        round(least(lit(1.0) / col("n_sources") / (col("n_tokens") / col("tot")),
+          lit(4.0)), 4))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("actual_share"), col("weight"))
+      .orderBy(col("source"))
+  }
+
+  private val domainMixSql =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(${Text.toksSql})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+       |               count(*) AS n_sources FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  round(n_tokens / CAST(tot AS DOUBLE), 6) AS actual_share,
+       |  round(least(1.0 / n_sources / (n_tokens / CAST(tot AS DOUBLE)), 4.0), 4)
+       |    AS weight
+       |FROM per, tot ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
@@ -633,5 +670,6 @@ object TextAnalysis {
     QuerySpec("ta_token_triangles", tokenTriangles, Some(tokenTrianglesSql)),
     QuerySpec("ta_contamination", contamination, Some(contaminationSql)),
     QuerySpec("ta_seq_pack", seqPack, Some(seqPackSql)),
-    QuerySpec("ta_split_assign", splitAssign, Some(splitAssignSql)))
+    QuerySpec("ta_split_assign", splitAssign, Some(splitAssignSql)),
+    QuerySpec("ta_domain_mix", domainMix, Some(domainMixSql)))
 }
