@@ -309,11 +309,14 @@ object Dedup {
     * propagation run to FIXPOINT. Labels only decrease (min over
     * neighbors' labels, self-loops included), so convergence is "no label
     * changed this round" — one cheap count per round — and the number of
-    * rounds equals the component diameter, not a guessed constant. Each
+    * rounds tracks the component diameter, not a guessed constant. Each
     * round is one shuffle join + groupBy-min: the simplified
-    * large-star/small-star loop used for web-scale components. A 50-round
-    * safety bound guards pathological inputs (a 50-hop near-dup chain
-    * means the threshold, not the loop, is wrong). The cluster id is the
+    * large-star/small-star loop used for web-scale components. Past 8
+    * rounds the loop adds pointer jumping (label ← label(label)), so deep
+    * components finish in O(log diameter) extra rounds and the 50-round
+    * safety bound is effectively unreachable for a connected input (a
+    * deep near-dup chain usually means the threshold, not the loop, is
+    * wrong — hence the warning below). The cluster id is the
     * smallest member — the survivor a keep-one dedup pass retains. Pure
     * integer mins — bit-exact oracle (WITH RECURSIVE closure). */
   private[graft] def components(pairsIn: DataFrame, nodes: DataFrame): DataFrame = {
@@ -332,10 +335,24 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val next = edges
+      val viaEdges = edges
         .join(labels, edges("id_b") === labels("node"))
         .groupBy(edges("id_a").as("node"))
         .agg(min(col("label")).as("label"))
+      // Adaptive pointer jumping: once the graph has proven deeper than a
+      // typical near-dup cluster (8+ rounds without converging), also
+      // shortcut node → label → label(label) each round. Labels only
+      // decrease and a node's label is always a member of its own
+      // component (the inner join never drops rows — self-loops in
+      // `edges` give every node a label), so the fixpoint is unchanged;
+      // path lengths halve per jumping round, so the 50-round bound then
+      // covers diameters ~8+2^42 rather than 50. Plain rounds stay
+      // single-join, so the common shallow case pays nothing.
+      val next = (if (rounds < 8) viaEdges
+        else viaEdges.as("x")
+          .join(labels.as("y"), col("x.label") === col("y.node"))
+          .select(col("x.node").as("node"),
+            least(col("x.label"), col("y.label")).as("label")))
         .persist()
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
