@@ -654,6 +654,41 @@ object TextAnalysis {
        |    AS weight
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * filter (score each document against the corpus's own unigram LM;
+    * outlier average negative-log-likelihood flags boilerplate and
+    * gibberish, complementary to rule-based ta_quality and char-level
+    * ta_entropy). Two aggregates and one broadcast-friendly join on the
+    * token (the LM table is vocabulary-sized); flagged at mean NLL > 5
+    * nats. Probabilities use the corpus MLE — no smoothing needed since
+    * every scored token is by construction in the vocabulary. */
+  private def unigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .persist() // feeds the LM build and the scoring join
+    val lm = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).as("tot"))
+    tok.join(lm, "token").crossJoin(total) // 1-row totals frame
+      .withColumn("nll", -log(col("cnt") / col("tot")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
+      .withColumn("high_ppl", col("avg_nll") > 5.0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val unigramLogprobSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents),
+       |lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM lm)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  round(sum(-ln(cnt / CAST(tot AS DOUBLE))) / count(*), 4) AS avg_nll,
+       |  round(sum(-ln(cnt / CAST(tot AS DOUBLE))) / count(*), 4) > 5.0
+       |    AS high_ppl
+       |FROM tok JOIN lm USING (token), tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
@@ -671,5 +706,6 @@ object TextAnalysis {
     QuerySpec("ta_contamination", contamination, Some(contaminationSql)),
     QuerySpec("ta_seq_pack", seqPack, Some(seqPackSql)),
     QuerySpec("ta_split_assign", splitAssign, Some(splitAssignSql)),
-    QuerySpec("ta_domain_mix", domainMix, Some(domainMixSql)))
+    QuerySpec("ta_domain_mix", domainMix, Some(domainMixSql)),
+    QuerySpec("ta_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)))
 }
