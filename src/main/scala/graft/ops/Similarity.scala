@@ -250,6 +250,58 @@ object Similarity {
       round(max(col("recall")), 4).as("max_recall"))
   }
 
+  /** Hybrid (lexical + semantic) search — the fused retrieval op a RAG
+    * stack runs: candidates scored by BOTH token containment against the
+    * query's token set (lexical) and embedding cosine against the query
+    * vector (semantic), fused 50/50, top-10. The query is document 0
+    * (its tokens + its embedding), so everything is deterministic and
+    * the DuckDB oracle replays both scores exactly. Execution shape: the
+    * one-row query frame broadcasts to a map-only scoring pass over the
+    * documents⋈embeddings join (equi-join on doc_id=vec_id — co-located
+    * under the same partitioning at scale), then TakeOrderedAndProject
+    * for the top-k. */
+  private def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
+    import graft.functions.Text
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val corpus = docs
+      .join(T.embeddings(s, d).select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+    val qry = corpus.filter(col("doc_id") === 0)
+      .select(col("toks").as("q_toks"), col("embedding").as("q_emb"))
+    corpus.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(qry)) // 1-row query frame
+      .withColumn("lex",
+        round(size(array_intersect(array_distinct(col("toks")), array_distinct(col("q_toks"))))
+          .cast("double") / size(array_distinct(col("q_toks"))), 4))
+      .withColumn("sem", round(cosine_sim(col("embedding"), col("q_emb")), 4))
+      .withColumn("fused", round(col("lex") + col("sem"), 4))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("lex"), col("sem"), col("fused"))
+  }
+
+  private val hybridSearchSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(${graft.functions.Text.toksSql}) AS toks FROM documents),
+       |corpus AS (
+       |  SELECT d.doc_id, d.toks, e.embedding, $normSqlFrag AS norm
+       |  FROM docs d JOIN embeddings e ON e.vec_id = d.doc_id),
+       |qry AS (SELECT toks AS q_toks, embedding AS q_emb, norm AS q_norm
+       |        FROM corpus WHERE doc_id = 0),
+       |scored AS (
+       |  SELECT c.doc_id,
+       |    round(len(list_intersect(c.toks, q.q_toks)) * 1.0 / len(q.q_toks), 4)
+       |      AS lex,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, len(c.embedding) + 1),
+       |          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+       |        (acc, v) -> acc + v) / (c.norm * q.q_norm), 4) AS sem
+       |  FROM corpus c, qry q WHERE c.doc_id <> 0)
+       |SELECT doc_id, lex, sem, round(lex + sem, 4) AS fused
+       |FROM scored ORDER BY fused DESC, doc_id LIMIT 10""".stripMargin
+
   // Pinned recall floors for sim_ann_contract: the measured fixture values
   // (IVF probe-1 ≈ 0.66, BRP ANN-join ≈ 1.0 at sf0.01/sf0.1) with enough
   // margin to absorb float-summation jitter from KMeans under different
@@ -291,5 +343,6 @@ object Similarity {
     QuerySpec("sim_knn_ivf", knnIvf, None),
     QuerySpec("sim_vector_stats", vectorStats, Some(vectorStatsSql)),
     QuerySpec("sim_ivf_recall", ivfRecall, None),
-    QuerySpec("sim_ann_contract", annContract, Some(annContractSql)))
+    QuerySpec("sim_ann_contract", annContract, Some(annContractSql)),
+    QuerySpec("sim_hybrid_search", hybridSearch, Some(hybridSearchSql)))
 }
