@@ -14,14 +14,46 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Compact deterministic stopword set (reference uses NLTK's list ∪
-    * skipwords, base_dataset_loader.py:12-14; we pin an explicit list so the
-    * DuckDB oracle can carry the identical literal). */
-  val STOPWORDS: Seq[String] =
-    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  /** Pinned stopword set, matching the reference's
+    * `set(stopwords.words('english')) ∪ {"cindy","jenkins","enron","u"}`
+    * (base_dataset_loader.py:12-14). The NLTK English list (179 entries, in
+    * the corpus file's canonical order) is pinned as an explicit literal so
+    * the DuckDB oracle carries the identical set — no runtime NLTK
+    * dependency, no drift. The apostrophe entries ("you're", "don't", …)
+    * can never match a token that survived the alpha-only filter, but they
+    * are pinned anyway so the set is byte-for-byte the reference's. */
+  val STOPWORDS: Seq[String] = Seq(
+    // NLTK stopwords.words('english'), canonical corpus order
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
+    "you", "you're", "you've", "you'll", "you'd", "your", "yours",
+    "yourself", "yourselves", "he", "him", "his", "himself", "she",
+    "she's", "her", "hers", "herself", "it", "it's", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "that'll", "these", "those", "am",
+    "is", "are", "was", "were", "be", "been", "being", "have", "has",
+    "had", "having", "do", "does", "did", "doing", "a", "an", "the",
+    "and", "but", "if", "or", "because", "as", "until", "while", "of",
+    "at", "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "s", "t", "can", "will",
+    "just", "don", "don't", "should", "should've", "now", "d", "ll",
+    "m", "o", "re", "ve", "y", "ain", "aren", "aren't", "couldn",
+    "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn", "hadn't",
+    "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't",
+    "shan", "shan't", "shouldn", "shouldn't", "wasn", "wasn't",
+    "weren", "weren't", "won", "won't", "wouldn", "wouldn't",
+    // reference SKIPWORDS (base_dataset_loader.py:13)
+    "cindy", "jenkins", "enron", "u")
 
-  /** SQL literal of the stopword list, for oracle strings. */
-  val stopwordsSqlList: String = STOPWORDS.map(w => s"'$w'").mkString("(", ", ", ")")
+  /** SQL literal of the stopword list, for oracle strings (apostrophes
+    * doubled for SQL string escaping). */
+  val stopwordsSqlList: String =
+    STOPWORDS.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")
 
   /** Preprocessed token array: lowercase, whitespace-split, alpha-only
     * (unicode-safe `\p{L}`, matching Python `str.isalpha`), stopwords out. */

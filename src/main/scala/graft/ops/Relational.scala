@@ -1328,6 +1328,80 @@ object Relational {
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
 
+  /** Z-order file-skipping contract, oracle-exact (promotes
+    * StorageLayoutSpec's measured demonstration into a driver-gated
+    * query): lay lineitem out in 16 equal-count chunks two ways — z-value
+    * order vs linear px-major order — and count how many chunks a
+    * min/max-stats reader must touch for a probe on the SECOND dimension
+    * (sy BETWEEN 10 AND 20). Chunking is a deterministic ntile over a
+    * total order (zval, orderkey, linenumber), so both engines derive
+    * identical chunks, identical per-chunk min/max, and identical
+    * read counts — the pruning ratio is oracle-EXACT, not a weak TRUE
+    * boolean. The z layout must read ≤ half the chunks and strictly
+    * fewer than the linear layout (which spans all sy per chunk, the
+    * failure mode z-order exists to fix). The global ntile is the
+    * fixture-scale model of `repartitionByRange(zval)`; at 100 TB the
+    * same accounting runs per-partition over file-level min/max stats. */
+  private def zorderContract(s: SparkSession, d: String): DataFrame = {
+    def spread(c: Column): Column = (0 until 8).map(i =>
+      shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i)).reduce(_ + _)
+    val base = T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"))
+      .withColumn("zval", spread(col("px")) + spread(col("sy")) * 2)
+      .withColumn("lin", col("px") * 256 + col("sy"))
+    val wz = Window.orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+    val wl = Window.orderBy(col("lin"), col("l_orderkey"), col("l_linenumber"))
+    val chunked = base
+      .withColumn("zchunk", ntile(16).over(wz))
+      .withColumn("lchunk", ntile(16).over(wl))
+      .persist()
+    def chunksRead(chunkCol: String): Column =
+      sum(when(col(s"mn_$chunkCol") <= 20 && col(s"mx_$chunkCol") >= 10, 1L)
+        .otherwise(0L))
+    val z = chunked.groupBy(col("zchunk"))
+      .agg(min(col("sy")).as("mn_zchunk"), max(col("sy")).as("mx_zchunk"))
+      .agg(chunksRead("zchunk").as("z_chunks_read"))
+    val l = chunked.groupBy(col("lchunk"))
+      .agg(min(col("sy")).as("mn_lchunk"), max(col("sy")).as("mx_lchunk"))
+      .agg(chunksRead("lchunk").as("lin_chunks_read"))
+    val n = chunked.agg(count(lit(1)).as("n_rows"))
+    n.crossJoin(z).crossJoin(l) // three 1-row aggregates
+      .select(col("n_rows"), col("z_chunks_read"), col("lin_chunks_read"),
+        (col("z_chunks_read") <= 8).as("z_prunes_half"),
+        (col("z_chunks_read") < col("lin_chunks_read")).as("z_beats_linear"))
+  }
+
+  private val zorderContractSql = {
+    val spreadX = (0 until 8).map(i => s"(((px >> $i) & 1) << ${2 * i})").mkString(" + ")
+    val spreadY = (0 until 8).map(i => s"(((sy >> $i) & 1) << ${2 * i})").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey % 256 AS px,
+       |    l_suppkey % 256 AS sy
+       |  FROM lineitem),
+       |z AS (SELECT px, sy, l_orderkey, l_linenumber,
+       |    ($spreadX) + ($spreadY) * 2 AS zval FROM base),
+       |chunked AS (
+       |  SELECT sy,
+       |    ntile(16) OVER (ORDER BY zval, l_orderkey, l_linenumber) AS zchunk,
+       |    ntile(16) OVER (ORDER BY px * 256 + sy, l_orderkey, l_linenumber)
+       |      AS lchunk
+       |  FROM z),
+       |zstats AS (
+       |  SELECT sum(CASE WHEN mn <= 20 AND mx >= 10 THEN 1 ELSE 0 END) AS zr
+       |  FROM (SELECT zchunk, min(sy) AS mn, max(sy) AS mx FROM chunked
+       |        GROUP BY zchunk)),
+       |lstats AS (
+       |  SELECT sum(CASE WHEN mn <= 20 AND mx >= 10 THEN 1 ELSE 0 END) AS lr
+       |  FROM (SELECT lchunk, min(sy) AS mn, max(sy) AS mx FROM chunked
+       |        GROUP BY lchunk))
+       |SELECT (SELECT count(*) FROM chunked) AS n_rows,
+       |  CAST(zr AS BIGINT) AS z_chunks_read,
+       |  CAST(lr AS BIGINT) AS lin_chunks_read,
+       |  zr <= 8 AS z_prunes_half, zr < lr AS z_beats_linear
+       |FROM zstats, lstats""".stripMargin
+  }
+
   /** Cohort retention matrix: users grouped by first-activity week, then
     * distinct actives per (cohort, week offset) — the standard retention
     * triangle. Two shuffles (user dedup, matrix agg); week arithmetic is
@@ -1474,6 +1548,7 @@ object Relational {
     QuerySpec("rel_asof_native", asofNative, Some(asofNativeSql)),
     QuerySpec("rel_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     QuerySpec("rel_zorder_key", zorderKey, Some(zorderKeySql)),
+    QuerySpec("rel_zorder_contract", zorderContract, Some(zorderContractSql)),
     QuerySpec("rel_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QuerySpec("rel_pii_scrub", piiScrub, Some(piiScrubSql)))
 }

@@ -212,6 +212,47 @@ object Sketches {
         round(col("approx_fpp"), 8).as("approx_fpp"))
   }
 
+  /** Bloom-stats contract, oracle-checkable (closes the last rows-only
+    * sketch family without a dedicated contract): the fill ratio and fpp
+    * are hash-internal VALUES, but the Aggregator's structural invariants
+    * are deterministic booleans —
+    *   - insert accounting: `inserted` equals the exact shingle count both
+    *     engines compute (oracle-EXACT column, not a boolean);
+    *   - popcount bound: k·n_distinct hash probes can set at most
+    *     min(k·n_distinct, m) bits, and at least one bit per distinct key
+    *     survives (zero-false-negative structure);
+    *   - internal consistency: fill_ratio ≡ set_bits/m and
+    *     approx_fpp ≡ fill_ratio^k to float precision (the A6 formulas,
+    *     reference bloom_filter.py:65-73).
+    * Partitioning/merge order cannot move any of these (merge is a bitwise
+    * OR and an integer sum), so the booleans are deterministic per
+    * dataset. */
+  private def bloomStatsContract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 7 // hash count at the pinned dims (bloom_filter.py:28)
+    val sh = T.documents(s, d)
+      .select(Text.tokens(col("text")).as("toks"))
+      .select(explode(Text.shingles3(col("toks"))).as("sh"))
+      .persist()
+    val nDistinct = sh.distinct().count()
+    val stats = sh.as[String]
+      .select(graft.functions.BloomStatsAgg.agg.toColumn).toDF()
+    stats.select(
+      col("inserted").as("n_inserted"),
+      (col("set_bits") <= least(lit(K) * nDistinct, col("bit_size")) &&
+        col("set_bits") >= lit(math.min(1L, nDistinct))).as("popcount_bounded"),
+      (abs(col("fill_ratio") - col("set_bits") / col("bit_size")) < 1e-12)
+        .as("fill_consistent"),
+      (abs(col("approx_fpp") - pow(col("fill_ratio"), K)) < 1e-12)
+        .as("fpp_consistent"))
+  }
+
+  private val bloomStatsContractSql =
+    s"""SELECT count(*) AS n_inserted, TRUE AS popcount_bounded,
+       |  TRUE AS fill_consistent, TRUE AS fpp_consistent
+       |FROM (SELECT unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
+       |      FROM documents)""".stripMargin
+
   /** Approximate quantiles (t-digest-style GK sketch, partial+final — the
     * 100 TB path rel_quantiles' scaladoc points at) side-by-side with the
     * exact interpolated percentile and the realized absolute error. No
@@ -264,6 +305,7 @@ object Sketches {
     QuerySpec("sketch_bloom_dedup", bloomShingleDedup, None),
     QuerySpec("sketch_bloom_contract", bloomContract, Some(bloomContractSql)),
     QuerySpec("sketch_bloom_stats", bloomStats, None),
+    QuerySpec("sketch_bloom_stats_contract", bloomStatsContract, Some(bloomStatsContractSql)),
     QuerySpec("sketch_hll_distinct", hllDistinct, None),
     QuerySpec("sketch_hll_contract", hllContract, Some(hllContractSql)),
     QuerySpec("sketch_approx_quantiles", approxQuantiles, None),

@@ -25,7 +25,7 @@ object TextAnalysis {
     size(filter(toks, t => t.isInCollection(words)))
 
   private def hitsSql(words: Seq[String]): String =
-    s"len(list_filter(string_split(lower(text), ' '), t -> t IN ${words.map(w => s"'$w'").mkString("(", ", ", ")")}))"
+    s"len(list_filter(string_split(lower(text), ' '), t -> t IN ${words.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")}))"
 
   /** n-gram/stopword-heuristic language ID: hit counts per language word
     * list, argmax with fixed priority order (en > de > es > fr) on ties. */
@@ -584,18 +584,23 @@ object TextAnalysis {
        |  round(sum(n_toks) / 512.0, 4) AS fill_ratio
        |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
-  /** Reproducible train/val/test split assignment — the S4 twin
-    * (reference file_mover.py seeded randomSplit) done the way a 100 TB
-    * pipeline must: the split is a pure function of the document id
-    * (first two hex chars of md5, compared lexicographically: < 'cc' →
-    * train ≈ 204/256, < 'e6' → val ≈ 26/256, else test), so any engine,
+  /** Reproducible train/val/test split assignment — the S4 twin of the
+    * reference's sklearn `train_test_split` chain
+    * (data_loader/dataloader.py:32-35: test_size=0.2, then
+    * val 0.1/(1-0.2)=12.5% of the remainder → 70/10/20 of the total),
+    * done the way a 100 TB pipeline must: the split is a pure function of
+    * the document id (first two hex chars of md5, compared
+    * lexicographically: < 'b3' → train 179/256 ≈ 69.9%, < 'cd' → val
+    * 26/256 ≈ 10.2%, else test 51/256 ≈ 19.9%), so any engine,
     * partitioning, or rerun assigns every document identically — no RNG
-    * state to coordinate across executors. Map-only + one aggregate. */
+    * state to coordinate across executors (the deliberate departure from
+    * sklearn's shuffled-index RNG, whose assignment depends on row order).
+    * Map-only + one aggregate. */
   private def splitAssign(s: SparkSession, d: String): DataFrame = {
     val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
     T.documents(s, d)
       .select(col("doc_id"),
-        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test").as("split"),
+        when(h2 < "b3", "train").when(h2 < "cd", "val").otherwise("test").as("split"),
         size(Text.tokens(col("text"))).cast("long").as("n_toks"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
@@ -610,8 +615,8 @@ object TextAnalysis {
        |  round(CAST(min(doc_id) AS DOUBLE), 0) AS min_doc_id
        |FROM (
        |  SELECT doc_id,
-       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'b3' THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'val'
        |         ELSE 'test' END AS split,
        |    CAST(len(${Text.toksSql}) AS BIGINT) AS n_toks
        |  FROM documents)

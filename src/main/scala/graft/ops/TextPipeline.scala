@@ -59,9 +59,12 @@ object TextPipeline {
   private val preprocessLemmaSql = {
     val caseChain = graft.functions.Lemmatizer.DICT
       .map { case (w, l) => s"WHEN t = '$w' THEN '$l'" }.mkString(" ")
+    // dictionary CASE chain, falling back to the suffix-rule twin —
+    // identical order to Lemmatizer.lemmatizeArray (dict hit wins)
+    val fallback = graft.functions.Lemmatizer.suffixLemmaSql("t")
     s"""SELECT doc_id,
        |  array_to_string(list_transform(${Text.toksSql},
-       |    t -> CASE $caseChain ELSE t END), ' ') AS clean_lemma
+       |    t -> CASE $caseChain ELSE $fallback END), ' ') AS clean_lemma
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

@@ -97,6 +97,24 @@ class DedupSpec extends SparkSpec {
       s"chain must collapse to one cluster rooted at 1, got $labels")
   }
 
+  test("components: pointer-jumping branch (rounds >= 8) converges a deep chain") {
+    import spark.implicits._
+    // a 24-node path (diameter 23) cannot converge in the 8 plain rounds,
+    // so the adaptive pointer-jumping join (label ← min(label,
+    // label(label))) MUST run and be correct for this to reach the
+    // fixpoint within the 50-round bound — plus a second component and an
+    // isolated node to check jumping never merges across components
+    val chain = (1L until 24L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L))).toDF("id_a", "id_b")
+    val nodes = ((1L to 24L) ++ Seq(100L, 101L, 200L)).toDF("id")
+    val labels = ops.Dedup.components(pairs, nodes).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val expected = (1L to 24L).map(_ -> 1L).toMap ++
+      Map(100L -> 100L, 101L -> 100L, 200L -> 200L)
+    assert(labels == expected,
+      s"deep chain must collapse to min label without cross-component merges, got $labels")
+  }
+
   test("embed near-dup: LSH-banded pairs are exact-threshold pairs with high recall") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSim.register(spark)
