@@ -23,6 +23,50 @@ class TextSpec extends SparkSpec {
     assert(toks("fox   runs") == Seq("fox", "runs"))
   }
 
+  test("tokens: NLTK-union stopword list (pronouns, auxiliaries, skipwords)") {
+    // representative NLTK entries beyond the old 10-word placeholder
+    assert(toks("i was not very happy about that outcome") ==
+      Seq("happy", "outcome"))
+    // the reference's corpus-specific SKIPWORDS drop too
+    assert(toks("cindy told jenkins about enron u know") ==
+      Seq("told", "know"))
+    // apostrophe stopwords are pinned but unreachable post-alpha-filter:
+    // the raw token "don't" fails ^[a-z]+$, the bare "don" is in the list
+    assert(toks("don't don stop believing") == Seq("stop", "believing"))
+  }
+
+  test("suffix lemma: rule table on the three implementations' contract cases") {
+    import graft.functions.Lemmatizer.suffixLemma
+    val cases = Map(
+      "parties" -> "party", "boxes" -> "box", "matches" -> "match",
+      "classes" -> "class", "class" -> "class", "runs" -> "run",
+      "bonus" -> "bonus", "basis" -> "basis", "gas" -> "gas",
+      "running" -> "run", "reading" -> "read",
+      "stopped" -> "stop", "joined" -> "join",
+      // known approximation artifact: no wordlist to reject non-words, so
+      // -ed strips even when the base isn't a verb stem ("speed" → "spe");
+      // the contract is determinism + 3-way engine parity, not English
+      "speed" -> "spe",
+      "red" -> "red", "sing" -> "sing", "thing" -> "thing")
+    cases.foreach { case (w, l) =>
+      assert(suffixLemma(w) == l, s"suffixLemma($w) = ${suffixLemma(w)}, want $l")
+    }
+  }
+
+  test("suffix lemma: Column form matches the plain-Scala form over a vocabulary") {
+    import graft.functions.Lemmatizer
+    val vocab = Seq("parties", "boxes", "matches", "classes", "class",
+      "runs", "bonus", "basis", "running", "reading", "stopped", "joined",
+      "speed", "red", "sing", "words", "dishes", "fizzes", "mixes",
+      "planning", "dropped", "seed", "ties", "goes", "is", "us")
+    val viaCol = vocab.toDF("w")
+      .select(Lemmatizer.suffixLemmaCol(col("w")).as("l"))
+      .as[String].collect().toSeq
+    assert(viaCol == vocab.map(Lemmatizer.suffixLemma),
+      s"Column/Scala divergence: ${vocab.zip(viaCol).zip(vocab.map(Lemmatizer.suffixLemma))
+        .filter { case ((_, c), p) => c != p }}")
+  }
+
   private def sh3(ts: Seq[String]): Seq[String] =
     Seq(Tuple1(ts)).toDF("toks").select(Text.shingles3(col("toks")).as("s"))
       .as[Seq[String]].head()
