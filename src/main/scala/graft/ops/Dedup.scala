@@ -361,6 +361,8 @@ object Dedup {
       labels.unpersist()
       labels = next
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[components] round $rounds: $changed labels changed")
     }
     if (changed > 0)
       // Diagnose instead of surfacing as a bare oracle hash mismatch: the

@@ -694,7 +694,72 @@ object TextAnalysis {
        |FROM tok JOIN lm USING (token), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** End-to-end corpus-curation pipeline — the composed run a
+    * training-data user actually executes, demonstrating that the
+    * operator surface composes: rule-based quality filter (token floor,
+    * stopword ratio, punctuation ratio — the ta_quality signals as
+    * gates) → exact near-identity dedup (md5 fingerprint of the cleaned
+    * token stream, keep-lowest-doc_id survivor) → reproducible 70/10/20
+    * split (the ta_split_assign hash boundaries) → per-split corpus
+    * accounting. Execution shape at 100 TB: one map-only filter pass,
+    * ONE shuffle on the dedup fingerprint, a map-side split assignment,
+    * and a 3-group aggregate — no driver materialization anywhere. */
+  private def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = T.documents(s, d)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_raw", size(rawToks(col("text"))))
+      .withColumn("stop_hits", hits(rawToks(col("text")), Text.STOPWORDS))
+      .withColumn("punct_chars",
+        length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+      .filter(col("n_toks") >= 3 &&
+        col("stop_hits").cast("double") / col("n_raw") <= 0.6 &&
+        col("punct_chars").cast("double") / greatest(length(col("text")), lit(1)) <= 0.3)
+    val kept = base
+      .withColumn("fp", md5(array_join(col("toks"), " ")))
+      .withColumn("keeper",
+        col("doc_id") === min(col("doc_id")).over(W.partitionBy(col("fp"))))
+      .filter(col("keeper"))
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    kept
+      .withColumn("split",
+        when(h2 < "b3", "train").when(h2 < "cd", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
+  private val curationPipelineSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${Text.toksSql} AS toks,
+       |    len(string_split(lower(text), ' ')) AS n_raw,
+       |    ${hitsSql(Text.STOPWORDS)} AS stop_hits,
+       |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+       |      AS punct_chars,
+       |    greatest(length(text), 1) AS len_chars
+       |  FROM documents),
+       |filtered AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+       |  FROM base
+       |  WHERE len(toks) >= 3
+       |    AND stop_hits * 1.0 / n_raw <= 0.6
+       |    AND punct_chars * 1.0 / len_chars <= 0.3),
+       |kept AS (
+       |  SELECT doc_id, n_toks FROM (
+       |    SELECT doc_id, n_toks,
+       |      min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, ' ')))
+       |        AS keeper
+       |    FROM filtered)
+       |  WHERE doc_id = keeper)
+       |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'b3' THEN 'train'
+       |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM kept GROUP BY 1 ORDER BY split""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ta_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
     QuerySpec("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
