@@ -694,6 +694,66 @@ object TextAnalysis {
        |FROM tok JOIN lm USING (token), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mixture-rebalancing sampler — materializes the training mix that
+    * [[domainMix]] only accounts for: each source's sampling weight
+    * (uniform-target/actual token share, capped 4×) becomes a
+    * DETERMINISTIC per-document keep decision, so the same rebalanced
+    * corpus falls out on any engine, partitioning, or rerun — no RNG
+    * state. Keep rule: the first 4 md5 hex chars of a salted doc key,
+    * compared against the source's rate threshold rendered as zero-padded
+    * hex (string compare ≡ numeric compare for same-width lowercase hex;
+    * the extra leading '0' keeps rate=1.0 representable as '10000').
+    * Rates are weight/cap so the most over-target source defines 100%.
+    * Execution shape: one vocabulary-free aggregate for the rates (rows =
+    * n_sources, broadcast), then a map-only filter — no shuffle of the
+    * corpus itself at any scale. */
+  private def mixSample(s: SparkSession, d: String): DataFrame = {
+    val per = T.documents(s, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("n_tokens"))
+    val totals = per.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).as("n_sources"))
+    val rates = per.crossJoin(totals) // 1-row totals frame
+      .withColumn("rate",
+        round(least(lit(1.0) / col("n_sources") / (col("n_tokens") / col("tot")),
+          lit(4.0)) / 4.0, 6))
+      .select(col("source"), col("rate"))
+    val h4 = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4)
+    T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(broadcast(rates), "source")
+      .filter(concat(lit("0"), h4) <
+        format_string("%05x", floor(col("rate") * 65536).cast("int")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_toks")).as("n_tokens_kept"),
+        max(col("rate")).as("sample_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val mixSampleSql =
+    s"""WITH per AS (
+       |  SELECT source, CAST(sum(len(${Text.toksSql})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+       |               count(*) AS n_sources FROM per),
+       |rates AS (
+       |  SELECT source,
+       |    round(least(1.0 / n_sources / (n_tokens / CAST(tot AS DOUBLE)), 4.0)
+       |      / 4.0, 6) AS rate
+       |  FROM per, tot),
+       |docs AS (
+       |  SELECT doc_id, source, CAST(len(${Text.toksSql}) AS BIGINT) AS n_toks
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs_kept,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_kept,
+       |  max(rate) AS sample_rate
+       |FROM docs JOIN rates USING (source)
+       |WHERE '0' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |  < printf('%05x', CAST(floor(rate * 65536) AS INT))
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** End-to-end corpus-curation pipeline — the composed run a
     * training-data user actually executes, demonstrating that the
     * operator surface composes: rule-based quality filter (token floor,
@@ -760,6 +820,7 @@ object TextAnalysis {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
+    QuerySpec("ta_mix_sample", mixSample, Some(mixSampleSql)),
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),
     QuerySpec("ta_token_pagerank", tokenPagerank, Some(tokenPagerankSql)),
     QuerySpec("ta_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
