@@ -266,6 +266,36 @@ object StreamingOps {
        |FROM (SELECT unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
        |      FROM documents)""".stripMargin
 
+  /** Watermark-bounded streaming dedup — `dropDuplicatesWithinWatermark`:
+    * plain dropDuplicates state grows with distinct keys FOREVER, so on an
+    * unbounded 100 TB stream it eventually OOMs every executor; the
+    * within-watermark form evicts a key's state once the watermark passes
+    * its event time, making state ∝ keys-per-watermark-window — the only
+    * deployable streaming dedup. In a single AvailableNow replay the
+    * watermark only advances after the batch, so every duplicate is still
+    * in scope and the surviving set equals the batch distinct — which the
+    * oracle checks. Dedup key: (user_id, event_type) — "count each user's
+    * first view/purchase/click once". */
+  private def dedupWithinWatermark(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = src.writeStream.format("memory").queryName("stream_wmdedup_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_wmdedup_sink")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_first_arrivals"))
+      .orderBy(col("event_type"))
+  }
+
+  private val dedupWithinWatermarkSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_first_arrivals
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Stream-stream inner join with event-time range + watermarks: each
     * purchase joined to same-user views in the preceding hour. Both sides
     * buffer keyed state bounded by the watermark; AvailableNow over a
@@ -547,6 +577,7 @@ object StreamingOps {
     QuerySpec("stream_stateful_dedup", statefulDedup, Some(statefulDedupSql)),
     QuerySpec("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QuerySpec("stream_drop_duplicates", dropDupStream, Some(dropDupStreamSql)),
+    QuerySpec("stream_dedup_watermark", dedupWithinWatermark, Some(dedupWithinWatermarkSql)),
     QuerySpec("stream_session_window", sessionWindow, Some(sessionWindowSql)),
     QuerySpec("stream_dgim_burst", dgimBurst, None),
     QuerySpec("stream_dgim_contract", dgimContract, Some(dgimContractSql)),
