@@ -266,6 +266,43 @@ object StreamingOps {
        |FROM (SELECT unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
        |      FROM documents)""".stripMargin
 
+  /** foreachBatch parquet sink — the production sink pattern for stores
+    * without a native streaming writer: each micro-batch lands as its own
+    * parquet directory keyed by batchId, so a replayed batch OVERWRITES
+    * its own previous attempt instead of duplicating it (idempotent
+    * exactly-once on top of at-least-once delivery — the same contract a
+    * JDBC/warehouse foreachBatch sink implements with a transactional
+    * MERGE). The query re-reads what was durably written and aggregates
+    * it; equality with the batch aggregate over the source — checked by
+    * the oracle — is precisely the exactly-once claim. */
+  private def foreachBatchSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+    import java.nio.file._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val outDir = Files.createTempDirectory("graft_febatch").toString
+    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // min/max/count are order-independent, so the compare is float-exact
+    // regardless of how rows distributed over batches (sum over 100k
+    // doubles can differ in the last bit between accumulation orders)
+    s.read.parquet(s"$outDir/batch=*")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val foreachBatchSinkSql =
+    """SELECT event_type, count(*) AS n,
+      |  round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Watermark-bounded streaming dedup — `dropDuplicatesWithinWatermark`:
     * plain dropDuplicates state grows with distinct keys FOREVER, so on an
     * unbounded 100 TB stream it eventually OOMs every executor; the
@@ -578,6 +615,7 @@ object StreamingOps {
     QuerySpec("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     QuerySpec("stream_drop_duplicates", dropDupStream, Some(dropDupStreamSql)),
     QuerySpec("stream_dedup_watermark", dedupWithinWatermark, Some(dedupWithinWatermarkSql)),
+    QuerySpec("stream_foreach_batch", foreachBatchSink, Some(foreachBatchSinkSql)),
     QuerySpec("stream_session_window", sessionWindow, Some(sessionWindowSql)),
     QuerySpec("stream_dgim_burst", dgimBurst, None),
     QuerySpec("stream_dgim_contract", dgimContract, Some(dgimContractSql)),
