@@ -282,9 +282,8 @@ object StreamingOps {
     val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
       .select(col("event_id"), col("event_type"), col("value"))
     val q = src.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      }
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outDir))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     // min/max/count are order-independent, so the compare is float-exact
@@ -297,6 +296,16 @@ object StreamingOps {
         round(max(col("value")), 4).as("max_value"))
       .orderBy(col("event_type"))
   }
+
+  /** The idempotent write a foreachBatch sink must make: mode=overwrite
+    * into a batchId-keyed directory, so re-delivering a batch (the
+    * at-least-once case after a failure between write and commit)
+    * replaces its own previous attempt instead of appending duplicates.
+    * Exposed so StreamingSpec can replay a batch and assert no
+    * duplication. */
+  private[graft] def writeBatchIdempotent(
+      batch: org.apache.spark.sql.DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 
   private val foreachBatchSinkSql =
     """SELECT event_type, count(*) AS n,

@@ -55,4 +55,19 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("foreachBatch sink: replaying a batch overwrites, never duplicates") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch_test").toString
+    val batch = (1L to 100L).toDF("event_id")
+    // at-least-once delivery: the same batchId arrives twice (failure
+    // between the sink write and the checkpoint commit) — the second
+    // attempt must REPLACE the first, not append to it
+    graft.streaming.StreamingOps.writeBatchIdempotent(batch, 0L, out)
+    graft.streaming.StreamingOps.writeBatchIdempotent(batch, 0L, out)
+    graft.streaming.StreamingOps.writeBatchIdempotent(batch.limit(50), 1L, out)
+    val readBack = spark.read.parquet(s"$out/batch=*")
+    assert(readBack.count() == 150,
+      s"replayed batch 0 must not duplicate: ${readBack.count()}")
+  }
 }
