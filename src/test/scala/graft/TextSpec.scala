@@ -53,6 +53,41 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("suffix lemma: single-pass contract and Column-parity over 2000 random words") {
+    import graft.functions.Lemmatizer
+    val rnd = new scala.util.Random(42) // seeded — deterministic corpus
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    // bias toward rule-triggering suffixes so the generator actually
+    // exercises every branch, not just the ELSE arm
+    val suffixes = Seq("", "", "s", "es", "ies", "ing", "ed", "ss", "us",
+      "is", "ches", "shes", "xes", "zes", "sses")
+    val words = (1 to 2000).map { _ =>
+      val stemLen = 1 + rnd.nextInt(8)
+      val stem = (1 to stemLen).map(_ => alphabet(rnd.nextInt(26))).mkString
+      stem + suffixes(rnd.nextInt(suffixes.length))
+    }.distinct
+    // The rules are deliberately SINGLE-PASS (like WordNet morphy's rule
+    // application): stripping -ed can expose a trailing -s that a second
+    // pass would also strip ("joarsed" -> "joars" -> "joar"), so the
+    // function is NOT idempotent — and must not be applied twice. Every
+    // engine path and the DuckDB oracle apply it exactly once per token;
+    // this invariant pins the output length bound a single pass implies.
+    words.foreach { w =>
+      val once = Lemmatizer.suffixLemma(w)
+      // at most one suffix (≤3 chars) + one undoubled consonant strips;
+      // -ies→y nets -2 — so length change is within [-4, 0]
+      assert(once.length >= w.length - 4 && once.length <= w.length,
+        s"single pass must strip at most one suffix: $w -> $once")
+    }
+    val viaCol = words.toDF("w")
+      .select(col("w"), Lemmatizer.suffixLemmaCol(col("w")).as("l"))
+      .as[(String, String)].collect().toMap
+    val bad = words.filter(w => viaCol(w) != Lemmatizer.suffixLemma(w))
+    assert(bad.isEmpty,
+      s"Column/Scala divergence on: ${bad.take(10).map(w =>
+        s"$w(col=${viaCol(w)},scala=${Lemmatizer.suffixLemma(w)})")}")
+  }
+
   test("suffix lemma: Column form matches the plain-Scala form over a vocabulary") {
     import graft.functions.Lemmatizer
     val vocab = Seq("parties", "boxes", "matches", "classes", "class",
