@@ -1328,6 +1328,36 @@ object Relational {
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
 
+  /** LATERAL correlated-subquery join via the spark.sql entry path — the
+    * "top-N related rows per outer row" idiom written the way SQL users
+    * write it. Exercises Spark's lateral-join planning
+    * (DecorrelateInnerQuery → per-row top-k), a different planner surface
+    * from the window-function form rel_window_topn covers; DuckDB runs
+    * the identical statement. Restricted to a 30-customer probe so the
+    * result is presentation-sized; the per-customer LIMIT bounds work per
+    * outer row at any scale. */
+  private def lateralJoin(s: SparkSession, d: String): DataFrame = {
+    T.customer(s, d).createOrReplaceTempView("graft_lat_cust")
+    T.orders(s, d).createOrReplaceTempView("graft_lat_ord")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM graft_lat_cust c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_ord
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+      WHERE c.c_custkey < 30
+      ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
+  private val lateralJoinSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+      |WHERE c.c_custkey < 30
+      |ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   /** Z-order file-skipping contract, oracle-exact (promotes
     * StorageLayoutSpec's measured demonstration into a driver-gated
     * query): lay lineitem out in 16 equal-count chunks two ways — z-value
@@ -1549,6 +1579,7 @@ object Relational {
     QuerySpec("rel_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     QuerySpec("rel_zorder_key", zorderKey, Some(zorderKeySql)),
     QuerySpec("rel_zorder_contract", zorderContract, Some(zorderContractSql)),
+    QuerySpec("rel_lateral_join", lateralJoin, Some(lateralJoinSql)),
     QuerySpec("rel_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QuerySpec("rel_pii_scrub", piiScrub, Some(piiScrubSql)))
 }
