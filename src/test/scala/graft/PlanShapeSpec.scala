@@ -1,0 +1,69 @@
+package graft
+
+/** Plan-shape regression guards: the properties `.explain` audits verify
+  * by hand each round (PLANS.md), pinned as assertions so a refactor that
+  * silently degrades a plan — a filter that stops reaching the scan, a
+  * top-k that materializes a full sort, a broadcast that becomes a
+  * shuffle, a bounded loop join that becomes a cartesian — fails `sbt
+  * test` instead of surfacing as a bench regression two rounds later.
+  * Explain-only: nothing executes, so the whole suite is seconds. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("rel_scan_filter: predicate and projection reach the parquet scan") {
+    val p = plan("rel_scan_filter")
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"),
+      s"filter must push to the scan:\n$p")
+  }
+
+  test("rel_topk_orders: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("rel_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("rel_join_broadcast_part: dimension join broadcasts") {
+    val p = plan("rel_join_broadcast_part")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("rel_lateral_join: decorrelates to group-limit, probe side broadcasts") {
+    val p = plan("rel_lateral_join")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-outer-row LIMIT must become a group limit (map-side partial top-k):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"filtered probe must broadcast:\n$p")
+  }
+
+  test("text_top_tokens: aggregation is partial+final (map-side combine)") {
+    val p = plan("text_top_tokens")
+    // two HashAggregate nodes around the exchange = partial then final
+    assert("HashAggregate".r.findAllIn(p).size >= 2 && p.contains("Exchange"),
+      s"expected partial+final aggregate:\n$p")
+  }
+
+  test("dedup_minhash_lsh: no cartesian product anywhere in the pipeline") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"LSH banding must stay an equi-join:\n$p")
+  }
+
+  test("sim_hybrid_search: the only nested-loop node is the 1-row query frame") {
+    val p = plan("sim_hybrid_search")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the broadcast 1-row query frame may nest:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
+  }
+
+  test("rel_pricing_summary: whole-stage codegen covers the aggregate path") {
+    // AQE shows codegen spans only in the FINAL adaptive plan, so this
+    // one guard executes the (sf0.001, sub-second) query first
+    val df = SparkEntry.queries("rel_pricing_summary")(spark, sf001)
+    df.collect() // count() would plan its OWN aggregate; execute df itself
+    val p = df.queryExecution.executedPlan.toString
+    // in the final adaptive plan's simpleString, codegen stages carry the
+    // `*(n)` prefix; both aggregates must be inside one
+    assert(p.contains("*(") && "\\*\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected codegen'd partial+final aggregates:\n$p")
+  }
+}
