@@ -65,6 +65,35 @@ class StorageLayoutSpec extends SparkSpec {
     assert(pruned.count() == full)
   }
 
+  test("ANN bucket-partitioned layout prunes unprobed buckets") {
+    // the deployment story the sim_* scaladocs claim: lay the corpus out
+    // partitioned by coarse cell (here the deterministic sign-LSH bucket
+    // of the leading 4 dims — 16 cells), and a probe that searches
+    // nprobe cells reads ONLY those directories, so per-query scan cost
+    // is corpus_size × nprobe/cells instead of the full corpus
+    val bucketExpr = (1 to 4).map(j =>
+      when(element_at(col("embedding"), j) > 0f, lit(1 << (j - 1))).otherwise(0))
+      .reduce(_ + _)
+    val out = java.nio.file.Files.createTempDirectory("graft_annpart").toString
+    Tables.embeddings(spark, sf001)
+      .withColumn("bucket", bucketExpr)
+      .write.partitionBy("bucket").mode("overwrite").parquet(out)
+    val probed = spark.read.parquet(out).filter(col("bucket").isin(3, 7, 11))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe must prune on the partition column:\n$plan")
+    // only the probed cells' files are touched
+    val touched = probed.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(touched.nonEmpty && touched.forall(f =>
+      f.contains("bucket=3") || f.contains("bucket=7") || f.contains("bucket=11")),
+      s"scan escaped the probed cells: $touched")
+    // and the pruned read equals the full-scan filter
+    val full = Tables.embeddings(spark, sf001)
+      .withColumn("bucket", bucketExpr).filter(col("bucket").isin(3, 7, 11)).count()
+    assert(probed.count() == full)
+  }
+
   test("selective scans push predicates into the parquet reader") {
     val df = SparkEntry.queries("rel_scan_filter")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
