@@ -278,7 +278,9 @@ object StreamingOps {
   private def foreachBatchSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
     import java.nio.file._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val outDir = Files.createTempDirectory("graft_febatch").toString
+    val outTmp = Files.createTempDirectory("graft_febatch")
+    outTmp.toFile.deleteOnExit()
+    val outDir = outTmp.toString
     val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
       .select(col("event_id"), col("event_type"), col("value"))
     val q = src.writeStream
