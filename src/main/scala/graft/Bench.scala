@@ -67,7 +67,13 @@ object Bench {
       err.foreach(m =>
         println(s"""{"metric":"query_error","name":${jstr(name)},"err":${jstr(m)}}"""))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
+    // ascending by wall-time: the driver keeps a bounded output TAIL, so
+    // when the per-query line's HEAD gets truncated (r4: 75 of 132
+    // entries survived), the entries that survive are the slowest — the
+    // ones a round-over-round comparison actually needs — instead of an
+    // arbitrary hash-order subset
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
