@@ -24,8 +24,11 @@ object Profile {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1"))
+    if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1")) {
+      // same untimed set as Bench: streaming state init + IVF index build
       graft.streaming.StreamingOps.warmup(spark, sfDir)
+      graft.ops.Similarity.warmIndex(spark, sfDir)
+    }
     (1 to n).foreach { i =>
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
