@@ -266,6 +266,47 @@ object StreamingOps {
        |FROM (SELECT unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
        |      FROM documents)""".stripMargin
 
+  /** Streaming twin of ta_curation_pipeline's front half — the
+    * incremental form a production corpus intake runs: quality-gate
+    * filter (map-only on the stream), stateful first-arrival dedup on the
+    * cleaned-token fingerprint, durable foreachBatch parquet sink, then
+    * accounting over what was actually written. Output is restricted to
+    * fingerprint-determined quantities: WHICH duplicate survives a batch
+    * is arrival-order-dependent, but duplicates share the fingerprint by
+    * construction — identical cleaned tokens — so kept-doc and kept-token
+    * counts are deterministic and equal the batch distinct-fingerprint
+    * accounting the oracle computes. */
+  private def curationSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+    import java.nio.file._
+    val outTmp = Files.createTempDirectory("graft_curation")
+    outTmp.toFile.deleteOnExit()
+    val outDir = outTmp.toString
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") >= 3)
+      .withColumn("fp", md5(array_join(col("toks"), " ")))
+      .dropDuplicates("fp")
+      .select(col("fp"), col("n_toks"))
+    val q = src.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outDir))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$outDir/batch=*")
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_toks")).as("n_tokens_kept"))
+  }
+
+  private val curationSinkSql =
+    s"""SELECT count(*) AS n_docs_kept,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens_kept
+       |FROM (
+       |  SELECT md5(array_to_string(toks, ' ')) AS fp,
+       |    min(CAST(len(toks) AS BIGINT)) AS n_toks
+       |  FROM (SELECT ${Text.toksSql} AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |  GROUP BY 1)""".stripMargin
+
   /** foreachBatch parquet sink — the production sink pattern for stores
     * without a native streaming writer: each micro-batch lands as its own
     * parquet directory keyed by batchId, so a replayed batch OVERWRITES
@@ -627,6 +668,7 @@ object StreamingOps {
     QuerySpec("stream_drop_duplicates", dropDupStream, Some(dropDupStreamSql)),
     QuerySpec("stream_dedup_watermark", dedupWithinWatermark, Some(dedupWithinWatermarkSql)),
     QuerySpec("stream_foreach_batch", foreachBatchSink, Some(foreachBatchSinkSql)),
+    QuerySpec("stream_curation_sink", curationSink, Some(curationSinkSql)),
     QuerySpec("stream_session_window", sessionWindow, Some(sessionWindowSql)),
     QuerySpec("stream_dgim_burst", dgimBurst, None),
     QuerySpec("stream_dgim_contract", dgimContract, Some(dgimContractSql)),
