@@ -55,6 +55,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
   }
 
+  test("ta_quality: documents scan prunes to the columns the query touches") {
+    val p = plan("ta_quality")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      s"scan must read the used columns: $readSchema")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan must NOT read untouched columns (pruning broken): $readSchema")
+  }
+
   test("rel_pricing_summary: whole-stage codegen covers the aggregate path") {
     // AQE shows codegen spans only in the FINAL adaptive plan, so this
     // one guard executes the (sf0.001, sub-second) query first
