@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The single untimed-warmup entry point shared by Bench and Profile, so the
+  * two tools agree on what "steady state" means (r5: Profile's warmup covered
+  * streaming only while Bench also built the IVF index, so Profile run-1
+  * numbers silently included the KMeans fit).
+  *
+  * Everything here is a ONE-TIME infrastructure or first-use cost that a
+  * long-lived deployment pays once per process, never per query: session
+  * first-job init, streaming state-store/RocksDB init, the IVF index build,
+  * and the plan-shape first-use costs (whole-stage codegen + interpreter→JIT
+  * ramp of hot loops) of the three operator families whose first-use cost is
+  * not shared with any earlier query — the mapPartitions decode stage, the
+  * tokenize→explode→window top-k shape, and the keyed-DGIM
+  * flatMapGroupsWithState state machine. Each is warmed by running the REAL
+  * builder over a small slice (identical schema → identical generated code),
+  * the same approach that absorbed the session-window and stream-stream-join
+  * first-use costs in r5. Timed queries then pay only data-proportional work,
+  * which is the number that predicts cluster behavior.
+  */
+object Warmup {
+  def run(s: SparkSession, d: String): Unit = {
+    // first-job session init (~5 s: codegen infra, broadcast infra, parquet
+    // footer caches)
+    s.read.parquet(s"$d/region.parquet").count()
+    // streaming infra + per-family stateful-operator first use (dedup,
+    // session-window, stream-stream join, keyed DGIM)
+    graft.streaming.StreamingOps.warmup(s, d)
+    // one-time IVF index BUILD (KMeans quantizer fit) — deployments fit once
+    // per corpus and probe per query
+    graft.ops.Similarity.warmIndex(s, d)
+    // mapPartitions decode stage: Dataset encoder codegen + decode-loop JIT
+    graft.multimodal.Multimodal.warmDecode(s, d)
+    // tokenize→explode→window top-k shape: the token pipeline's expression
+    // codegen + window-exec first use
+    graft.ops.TextPipeline.warmTokenWindow(s, d)
+    s.catalog.clearCache()
+  }
+}
