@@ -21,19 +21,14 @@ object Bench {
     def jstr(v: String): String =
       "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\r\n\t]", " ") + "\""
-    // untimed warmup: first-job session initialization (~5s: codegen,
-    // broadcast infra, parquet footer caches) otherwise lands on whatever
-    // query map order puts first, distorting its number round-over-round;
-    // ditto the one-time streaming infra init (~7s: RocksDB, state store)
+    // untimed warmup — the shared Warmup.run entry point (session first-job
+    // init, streaming state-store/RocksDB + per-family stateful-operator
+    // first use, IVF index build, decode + token-window first-use) so Bench
+    // and Profile agree on what "steady state" means.
     // best-effort: a broken env must still reach the query loop so every
     // query reports its own err field instead of the bench dying silently
     try {
-      spark.read.parquet(s"$sfDir/region.parquet").count()
-      graft.streaming.StreamingOps.warmup(spark, sfDir)
-      // one-time IVF index BUILD (KMeans quantizer fit) — deployments fit
-      // once per corpus and probe per query; untimed here so the fit cost
-      // doesn't land on whichever IVF consumer map order runs first
-      graft.ops.Similarity.warmIndex(spark, sfDir)
+      graft.Warmup.run(spark, sfDir)
     } catch { case e: Throwable =>
       println(s"""{"metric":"warmup_error","err":${jstr(e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(160))}}""")
     }
@@ -49,8 +44,9 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries legitimately persist() intermediates but can't unpersist
       // before the action runs; without this, ~10 cached frames accumulate
-      // over the 118-query run and evict each other (r3: untouched queries
-      // slowed 3-4x mid-run from cache churn). Drop them between queries.
+      // over the full-registry run and evict each other (r3: untouched
+      // queries slowed 3-4x mid-run from cache churn). Drop them between
+      // queries.
       spark.catalog.clearCache()
       (name, dt, err)
     }
@@ -78,7 +74,7 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,9 +25,8 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1")) {
-      // same untimed set as Bench: streaming state init + IVF index build
-      graft.streaming.StreamingOps.warmup(spark, sfDir)
-      graft.ops.Similarity.warmIndex(spark, sfDir)
+      // the same untimed set as Bench, via the shared entry point
+      graft.Warmup.run(spark, sfDir)
     }
     (1 to n).foreach { i =>
       names.foreach { name =>

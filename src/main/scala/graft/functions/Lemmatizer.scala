@@ -47,14 +47,17 @@ object Lemmatizer {
   // below; the oracle gate verifies parity on the full corpus each round.
   //
   //  1. *ies, len>4        → -ies +y     (parties → party)
-  //  2. *ches|shes|xes|zes|sses → -es    (boxes → box, classes → class)
-  //  3. *ss                → unchanged   (class, less)
-  //  4. *s, len>3, not *us/*is → -s      (runs → run; bonus, basis stay)
-  //  5. *ing, len>5        → -ing, undouble (running → run, reading → read)
-  //  6. *ed, len>4         → -ed, undouble  (stopped → stop, joined → join)
+  //  2. *ied, len>4        → -ied +y     (carried → carry, tried → try)
+  //  3. *ches|shes|xes|zes|sses → -es    (boxes → box, classes → class)
+  //  4. *ss                → unchanged   (class, less)
+  //  5. *s, len>3, not *us/*is → -s      (runs → run; bonus, basis stay)
+  //  6. *ing, len>5        → -ing, undouble (running → run, reading → read)
+  //  7. *ed, len>4, not *eed → -ed, undouble (stopped → stop, joined → join;
+  //                                          speed/need/indeed stay — 'eed'
+  //                                          is almost never a past tense)
   //
   // Undoubling drops the final char when the base ends in a doubled
-  // consonant. Rules 5/6 do NOT restore a dropped 'e' (merging → merg):
+  // consonant. Rules 6/7 do NOT restore a dropped 'e' (merging → merg):
   // that path needs dictionary knowledge, which is what DICT is for.
 
   private val CONSONANTS = "bcdfghjklmnpqrstvwxz"
@@ -66,12 +69,13 @@ object Lemmatizer {
         CONSONANTS.contains(b(b.length - 1))) b.init
       else b
     if (t.endsWith("ies") && t.length > 4) t.dropRight(3) + "y"
+    else if (t.endsWith("ied") && t.length > 4) t.dropRight(3) + "y"
     else if (Seq("ches", "shes", "xes", "zes", "sses").exists(t.endsWith)) t.dropRight(2)
     else if (t.endsWith("ss")) t
     else if (t.endsWith("s") && t.length > 3 && !t.endsWith("us") && !t.endsWith("is"))
       t.dropRight(1)
     else if (t.endsWith("ing") && t.length > 5) undouble(t.dropRight(3))
-    else if (t.endsWith("ed") && t.length > 4) undouble(t.dropRight(2))
+    else if (t.endsWith("ed") && t.length > 4 && !t.endsWith("eed")) undouble(t.dropRight(2))
     else t
   }
 
@@ -83,13 +87,14 @@ object Lemmatizer {
         substring(b, -1, 1).rlike(s"[$CONSONANTS]"),
         b.substr(lit(1), length(b) - 1)).otherwise(b)
     when(t.endsWith("ies") && length(t) > 4, concat(drop(3), lit("y")))
+      .when(t.endsWith("ied") && length(t) > 4, concat(drop(3), lit("y")))
       .when(t.endsWith("ches") || t.endsWith("shes") || t.endsWith("xes") ||
         t.endsWith("zes") || t.endsWith("sses"), drop(2))
       .when(t.endsWith("ss"), t)
       .when(t.endsWith("s") && length(t) > 3 &&
         !t.endsWith("us") && !t.endsWith("is"), drop(1))
       .when(t.endsWith("ing") && length(t) > 5, undouble(drop(3)))
-      .when(t.endsWith("ed") && length(t) > 4, undouble(drop(2)))
+      .when(t.endsWith("ed") && length(t) > 4 && !t.endsWith("eed"), undouble(drop(2)))
       .otherwise(t)
   }
 
@@ -102,13 +107,15 @@ object Lemmatizer {
          | THEN substr($b, 1, len($b) - 1) ELSE $b END""".stripMargin.replaceAll("\n", "")
     s"""CASE
        | WHEN $e LIKE '%ies' AND len($e) > 4 THEN substr($e, 1, len($e) - 3) || 'y'
+       | WHEN $e LIKE '%ied' AND len($e) > 4 THEN substr($e, 1, len($e) - 3) || 'y'
        | WHEN $e LIKE '%ches' OR $e LIKE '%shes' OR $e LIKE '%xes'
        |   OR $e LIKE '%zes' OR $e LIKE '%sses' THEN substr($e, 1, len($e) - 2)
        | WHEN $e LIKE '%ss' THEN $e
        | WHEN $e LIKE '%s' AND len($e) > 3 AND $e NOT LIKE '%us' AND $e NOT LIKE '%is'
        |   THEN substr($e, 1, len($e) - 1)
        | WHEN $e LIKE '%ing' AND len($e) > 5 THEN ${undouble(s"substr($e, 1, len($e) - 3)")}
-       | WHEN $e LIKE '%ed' AND len($e) > 4 THEN ${undouble(s"substr($e, 1, len($e) - 2)")}
+       | WHEN $e LIKE '%ed' AND len($e) > 4 AND $e NOT LIKE '%eed'
+       |   THEN ${undouble(s"substr($e, 1, len($e) - 2)")}
        | ELSE $e END""".stripMargin.replaceAll("\n", "")
   }
 

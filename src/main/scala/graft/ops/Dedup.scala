@@ -359,8 +359,21 @@ object Dedup {
         .filter(col("n.label") < col("o.label"))
         .count()
       labels.unpersist()
-      labels = next
       rounds += 1
+      // Truncate the fixpoint lineage every 5 rounds: each round's plan
+      // nests the previous round's, so a deep graph (100× diameters) would
+      // otherwise carry an O(rounds) logical plan into every action —
+      // analyzer/optimizer time grows superlinearly with nesting, and the
+      // driver re-walks it per job. localCheckpoint (eager) materializes
+      // the already-cached `next` to executor-local blocks and cuts its
+      // plan to a scan of those blocks; labels only — `edges`' plan is
+      // flat and shared. On a real cluster a reliable checkpoint dir
+      // swaps in via spark.sql.checkpointLocation; the bound is the same.
+      labels = if (rounds % 5 == 0) {
+        val cp = next.localCheckpoint(true)
+        next.unpersist()
+        cp
+      } else next
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[components] round $rounds: $changed labels changed")
     }

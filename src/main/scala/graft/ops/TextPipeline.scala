@@ -315,6 +315,25 @@ object TextPipeline {
        |  (SELECT count(*) FROM tok GROUP BY token ORDER BY count(*) DESC, token LIMIT 1) AS top_count,
        |  (SELECT count(*) FROM burstq) AS n_bursts""".stripMargin
 
+  /** Untimed warmup hook (graft.Warmup): run the real
+    * tokenize→explode→groupBy→window top-k shape (the `snapshotTopk` plan)
+    * over a small slice so its first-use cost — tokenizer/window expression
+    * codegen, WindowExec first use, interpreter→JIT ramp of the token hot
+    * loop — is absorbed before the timed loop. 2048 docs is enough token
+    * iterations to JIT at negligible cost (same sizing as
+    * Multimodal.warmDecode). */
+  def warmTokenWindow(s: SparkSession, d: String): Unit = {
+    val counts = docs(s, d).limit(2048)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(expr("doc_id div 100").as("snapshot"), explode(col("toks")).as("token"))
+      .groupBy(col("snapshot"), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("snapshot"))
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10).count()
+    ()
+  }
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(

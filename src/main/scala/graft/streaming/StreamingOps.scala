@@ -106,6 +106,12 @@ object StreamingOps {
     val mini = miniEventsDir(s, d)
     sessionWindow(s, mini).count()
     streamStreamJoin(s, mini).count()
+    // 3) keyed-DGIM flatMapGroupsWithState state machine: the REAL dgimBurst
+    //    builder over a small documents slice, so the per-family first-use
+    //    cost (flatMapGroupsWithState state manager + the Dgim
+    //    restore/advance/snapshot hot loop's JIT ramp) is absorbed untimed —
+    //    stream_dgim_burst was the one r5 outlier with no warmup coverage.
+    dgimBurst(s, miniDocsDir(s, d)).count()
   }
 
   /** Small slice of the events table staged as a throwaway sf-dir, so the
@@ -122,6 +128,20 @@ object StreamingOps {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$d/events.parquet").limit(20000).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir.toString
+    })
+
+  /** Documents twin of [[miniEventsDir]], for warming the keyed-DGIM path:
+    * 2 000 docs ≈ 50k token arrivals — enough per-key state transitions to
+    * JIT the Dgim hot loop, negligible against the timed run. */
+  private val miniDocDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def miniDocsDir(s: SparkSession, d: String): String =
+    miniDocDirs.getOrElseUpdate(d, {
+      import java.nio.file._
+      val dir = Files.createTempDirectory("graft_stream_minidocs")
+      dir.toFile.deleteOnExit()
+      s.read.parquet(s"$d/documents.parquet").limit(2000).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir.toString
     })
 

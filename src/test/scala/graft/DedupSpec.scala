@@ -115,6 +115,35 @@ class DedupSpec extends SparkSpec {
       s"deep chain must collapse to min label without cross-component merges, got $labels")
   }
 
+  test("components: lineage is checkpoint-bounded on a deep chain (plan depth stays O(1))") {
+    import spark.implicits._
+    // 40-node path: ~12 propagation rounds (8 plain + jumping) — enough to
+    // cross two checkpoint boundaries (every 5 rounds). Without the
+    // localCheckpoint, the returned frame's plan nests one join per round
+    // and its depth grows with the graph diameter; with it, the plan
+    // bottoms out at the last materialized checkpoint, so total tree size
+    // stays small and — the real 100×-scale property — independent of how
+    // many rounds ran before the last checkpoint window.
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val pairs = chain.toDF("id_a", "id_b")
+    val nodes = (1L to 40L).toDF("id")
+    val result = ops.Dedup.components(pairs, nodes)
+    val labels = result.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels == (1L to 40L).map(_ -> 1L).toMap,
+      s"40-chain must collapse to one cluster rooted at 1, got $labels")
+    // bounded-plan-depth assertion on the ANALYZED plan (cache substitution
+    // hasn't run there, so it reflects the tree the analyzer walks on every
+    // action): at most the ≤4 post-checkpoint rounds' worth of operators —
+    // each round nests a join+agg plus a full copy of the edges subtree —
+    // on top of a LogicalRDD checkpoint scan, independent of how many
+    // rounds ran before the last checkpoint. Uncheckpointed, a ~12-round
+    // chain carries every round's copy and blows well past the threshold.
+    val planSize = result.queryExecution.analyzed.collect { case p => p }.size
+    assert(planSize < 100,
+      s"components() plan carries $planSize operators — lineage checkpoint not applied?")
+  }
+
   test("embed near-dup: LSH-banded pairs are exact-threshold pairs with high recall") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSim.register(spark)

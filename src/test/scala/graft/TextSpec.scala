@@ -43,10 +43,12 @@ class TextSpec extends SparkSpec {
       "bonus" -> "bonus", "basis" -> "basis", "gas" -> "gas",
       "running" -> "run", "reading" -> "read",
       "stopped" -> "stop", "joined" -> "join",
-      // known approximation artifact: no wordlist to reject non-words, so
-      // -ed strips even when the base isn't a verb stem ("speed" → "spe");
-      // the contract is determinism + 3-way engine parity, not English
-      "speed" -> "spe",
+      // -eed guard (r6 brief): 'eed' is almost never a past tense, so the
+      // -ed rule skips it — "speed" stays "speed" (was "spe" pre-guard)
+      "speed" -> "speed", "agreed" -> "agreed", "indeed" -> "indeed",
+      // -ied → y (r6 brief): past tenses of -y verbs recover their stem
+      "tried" -> "try", "carried" -> "carry",
+      "died" -> "died", // len 4 ≤ guard — too short to strip safely
       "red" -> "red", "sing" -> "sing", "thing" -> "thing")
     cases.foreach { case (w, l) =>
       assert(suffixLemma(w) == l, s"suffixLemma($w) = ${suffixLemma(w)}, want $l")
@@ -59,8 +61,8 @@ class TextSpec extends SparkSpec {
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
     // bias toward rule-triggering suffixes so the generator actually
     // exercises every branch, not just the ELSE arm
-    val suffixes = Seq("", "", "s", "es", "ies", "ing", "ed", "ss", "us",
-      "is", "ches", "shes", "xes", "zes", "sses")
+    val suffixes = Seq("", "", "s", "es", "ies", "ied", "eed", "ing", "ed",
+      "ss", "us", "is", "ches", "shes", "xes", "zes", "sses")
     val words = (1 to 2000).map { _ =>
       val stemLen = 1 + rnd.nextInt(8)
       val stem = (1 to stemLen).map(_ => alphabet(rnd.nextInt(26))).mkString
@@ -93,7 +95,8 @@ class TextSpec extends SparkSpec {
     val vocab = Seq("parties", "boxes", "matches", "classes", "class",
       "runs", "bonus", "basis", "running", "reading", "stopped", "joined",
       "speed", "red", "sing", "words", "dishes", "fizzes", "mixes",
-      "planning", "dropped", "seed", "ties", "goes", "is", "us")
+      "planning", "dropped", "seed", "ties", "goes", "is", "us",
+      "tried", "carried", "died", "agreed", "indeed", "freed")
     val viaCol = vocab.toDF("w")
       .select(Lemmatizer.suffixLemmaCol(col("w")).as("l"))
       .as[String].collect().toSeq
