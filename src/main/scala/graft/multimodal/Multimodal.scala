@@ -9,13 +9,15 @@ import graft.{QuerySpec, Tables => T}
   * batched feature extraction — the Scala analogue of a Pandas-UDF
   * `mapInPandas` decode stage.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * `FakeDecoder` below derives deterministic pseudo-features from the bytes
-  * (clearly marked). Everything around it is real and tested: the binary
-  * schema, the `Dataset[MediaRecord]` encoder, partition-wise batching
-  * (bounded memory per batch, the shape a vectorized decode needs), and the
-  * feature schema. Swapping `FakeDecoder.decode` for a real codec is the
-  * only change needed on a real cluster.
+  * Two decode paths share the same partition-wise batched loop:
+  * [[PgmCodec]] is a REAL pure-JVM codec (binary netpbm PGM) driving the
+  * oracle-gated `mm_decode_features`; `FakeDecoder` below remains the
+  * clearly-marked STUB standing in for codecs the container lacks
+  * (JPEG/FLAC/H.264 need native libs). Everything around both is real and
+  * tested: the binary schema, the `Dataset[MediaRecord]` encoder,
+  * partition-wise batching (bounded memory per batch, the shape a
+  * vectorized decode needs), and the feature schema. Swapping either
+  * decoder for a JNI codec is the only change needed on a real cluster.
   *
   * Source data: the `documents` table's text bytes stand in for media blobs
   * (no binary table ships in /root/testdata).
@@ -109,19 +111,58 @@ object Multimodal {
       |  CAST(len(list_distinct(string_split(text, ''))) AS INT) AS n_distinct_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Full stub-decode pipeline (rows-only check: FakeDecoder features have
-    * no SQL twin). Aggregated per source so the output is compact. */
+  case class PixelFeatures(
+      id: Long, width: Int, height: Int, n_pixels: Long,
+      pixel_sum: Long, max_pixel: Int)
+
+  /** Real-codec decode pipeline, fully oracle-checkable (r6 brief stretch:
+    * rows-only → oracle): each record's payload is deterministically
+    * wrapped as a binary PGM ([[PgmCodec.encode]], the synthetic "camera")
+    * and then ACTUALLY decoded by the strict P5 parser inside the same
+    * partition-wise batched loop as the stub path. Every emitted feature
+    * is integer arithmetic over the real decoded raster (dimensions, pixel
+    * count incl. row padding, pixel sum, max sample), so DuckDB re-derives
+    * the identical values from the payload bytes and the driver hash-gates
+    * the whole encode→parse→raster→feature chain — a decoder bug (off-by-
+    * one raster offset, header misparse, dropped padding) breaks the hash. */
   private def decodeFeatures(s: SparkSession, d: String): DataFrame = {
-    val feats = extractFeatures(mediaRecords(s, d)).toDF()
+    import s.implicits._
+    val feats = mediaRecords(s, d).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { rec =>
+          val img = PgmCodec.decode(PgmCodec.encode(rec.media))
+          PixelFeatures(rec.id, img.width, img.height,
+            img.width.toLong * img.height,
+            img.pixels.foldLeft(0L)(_ + _),
+            if (img.pixels.isEmpty) 0 else img.pixels.max)
+        }
+      }
+    }.toDF()
     feats
       .join(T.documents(s, d).select(col("doc_id").as("id"), col("source")), "id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        sum(col("n_frames")).as("total_frames"),
-        round(avg(col("entropy_milli")), 2).as("avg_entropy_milli"))
+        sum(col("n_pixels")).as("total_pixels"),
+        sum(col("pixel_sum")).as("total_pixel_sum"),
+        max(col("max_pixel")).as("max_pixel"))
       .orderBy(col("source"))
   }
+
+  /** DuckDB twin re-derives the decoded-pixel stats from the payload:
+    * width is fixed at 16, height = ceil(len/16), padding bytes are zero
+    * (add nothing to sum, never win max), pixel values are the payload
+    * bytes (corpus is ASCII, so ascii(c) = the byte). */
+  private val decodeFeaturesSql =
+    """SELECT source, count(*) AS n_media,
+      |  CAST(sum(16 * ((length(text) + 15) // 16)) AS BIGINT) AS total_pixels,
+      |  CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, x) -> a + x) END) AS BIGINT) AS total_pixel_sum,
+      |  CAST(max(CASE WHEN length(text) = 0 THEN 0 ELSE
+      |    list_max(list_transform(string_split(text, ''), c -> ascii(c))) END) AS INT)
+      |    AS max_pixel
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Decode-integrity contract, oracle-checkable: every value below flows
     * through the REAL partition-wise decode stage (the same
@@ -130,9 +171,9 @@ object Multimodal {
     * — byte counts, 256-byte frame counts, and two per-record invariants
     * (frame arithmetic consistent with byte length; Shannon entropy within
     * [0, ln 256] nats) reduced with bool_and. DuckDB replays the byte
-    * arithmetic exactly, so the driver hard-gates the decode plumbing
-    * (schema, batching, per-record fan-out) even while the pseudo-decode
-    * fields stay rows-only in mm_decode_features. */
+    * arithmetic exactly, so the driver hard-gates the STUB decoder's
+    * plumbing (schema, batching, per-record fan-out); the real-codec path
+    * above is hash-gated on its full decoded output. */
   private def decodeIntegrity(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(mediaRecords(s, d)).toDF()
     feats
@@ -346,7 +387,7 @@ object Multimodal {
     QuerySpec("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QuerySpec("mm_waveform_stats", waveformStats, Some(waveformStatsSql)),
     QuerySpec("mm_avg_hash", avgHash, Some(avgHashSql)),
-    QuerySpec("mm_decode_features", decodeFeatures, None),
+    QuerySpec("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql)),
     QuerySpec("mm_decode_integrity", decodeIntegrity, Some(decodeIntegritySql)),
     QuerySpec("mm_hash_hamming", hashHamming, Some(hashHammingSql)))
 }

@@ -1519,9 +1519,84 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** AQE skew-join tuning scoped to a body: skew splitting enabled with
+    * thresholds sized to the FIXTURE's shuffle-partition bytes (the
+    * defaults are 256 MB-scale — correct for production, unreachable at
+    * test SFs), broadcast disabled so the join stays sort-merge (a
+    * broadcast join has no skewed shuffle to split). Restores every key
+    * after the body, so nothing leaks into the shared session. */
+  private[graft] def withSkewAqeTuning[A](s: SparkSession)(body: => A): A = {
+    val tuned = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1024",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+    tuned.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The deliberately SKEWED fact⋈dim join under [[withSkewAqeTuning]]:
+    * 80% of orders are remapped onto customer key 1, modeling the hot-key
+    * distribution `rel_salted_join` handles by hand. The join itself is a
+    * plain equi-join — AQE's OptimizeSkewedJoin detects the hot shuffle
+    * partition at runtime and splits it across tasks, which is the
+    * PREFERRED 100 TB skew answer (no SALT× dim replication, no salt in
+    * the semantics, reacts to actual runtime sizes instead of guessed hot
+    * keys); the salted twin remains for engines/paths where AQE is off.
+    * PlanShapeSpec pins that the executed plan really contains a
+    * `skew=true` sort-merge join, so the query can't silently degrade to
+    * an unsplit (or broadcast) plan. */
+  private[graft] def skewJoinPlan(s: SparkSession, d: String): DataFrame = {
+    // repartition(16) models the mapper count: AQE splits a skewed reduce
+    // partition at MAP-OUTPUT granularity, and at fixture scale the whole
+    // fact is one parquet split = one mapper = one unsplittable block. A
+    // 100 TB fact arrives from thousands of map tasks; 16 stands in for
+    // that so the skew machinery has blocks to redistribute.
+    val fact = T.orders(s, d).select(
+      when(col("o_orderkey") % 10 < 8, lit(1L))
+        .otherwise(col("o_custkey")).as("join_key"),
+      col("o_totalprice"))
+      .repartition(16)
+    val dim = T.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    fact.join(dim, col("join_key") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Registered form: the skew confs must hold at ACTION time, not build
+    * time, so the (≤5-segment) aggregate is executed eagerly inside the
+    * tuning scope and returned as a local frame — the streaming queries'
+    * materialize-inside-the-builder precedent. The collect is the final
+    * per-segment rollup, never row-level data. */
+  private def skewJoinAqe(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    withSkewAqeTuning(s) {
+      val df = skewJoinPlan(s, d)
+      s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    }
+  }
+
+  private val skewJoinAqeSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM (SELECT CASE WHEN o_orderkey % 10 < 8 THEN 1 ELSE o_custkey END
+      |        AS join_key, o_totalprice FROM orders) f
+      |JOIN customer ON join_key = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QuerySpec("rel_salted_join", saltedJoin, Some(saltedJoinSql)),
+    QuerySpec("rel_skew_join_aqe", skewJoinAqe, Some(skewJoinAqeSql)),
     QuerySpec("rel_scan_filter", scanFilter, Some(scanFilterSql)),
     QuerySpec("rel_topk_orders", topkOrders, Some(topkOrdersSql)),
     QuerySpec("rel_join_broadcast_part", joinBroadcastPart, Some(joinBroadcastPartSql)),

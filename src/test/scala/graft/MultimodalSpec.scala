@@ -30,6 +30,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pgm codec: encode/decode round-trips payload bytes through a real P5 image") {
+    import graft.multimodal.PgmCodec
+    val payload = "the quick brown fox jumps over the lazy dog".getBytes("US-ASCII")
+    val img = PgmCodec.decode(PgmCodec.encode(payload))
+    assert(img.width == 16 && img.maxVal == 255)
+    assert(img.height == (payload.length + 15) / 16)
+    assert(img.pixels.length == 16 * img.height)
+    // raster = payload then zero padding, byte-for-byte
+    assert(img.pixels.take(payload.length).toSeq == payload.map(_ & 0xff).toSeq)
+    assert(img.pixels.drop(payload.length).forall(_ == 0))
+    // empty payload → 16x0 image, zero pixels
+    val empty = PgmCodec.decode(PgmCodec.encode(Array.emptyByteArray))
+    assert(empty.height == 0 && empty.pixels.isEmpty)
+  }
+
+  test("pgm codec: parses headers with comments; rejects bad magic and truncated raster") {
+    import graft.multimodal.PgmCodec
+    // hand-built P5 with a comment line: 2x2 raster [1,2,3,4]
+    val withComment = "P5\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    val img = PgmCodec.decode(withComment)
+    assert(img.width == 2 && img.height == 2 && img.pixels.toSeq == Seq(1, 2, 3, 4))
+    // P2 (ASCII PGM) magic must be rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      PgmCodec.decode("P2\n2 2\n255\n1 2 3 4".getBytes("US-ASCII"))
+    }
+    // declared 2x2 but only 3 raster bytes → truncated
+    intercept[IllegalArgumentException] {
+      PgmCodec.decode("P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
+    }
+  }
+
   test("banded hamming pairs equal the brute-force pair set") {
     import org.apache.spark.sql.functions._
     val banded = SparkEntry.queries("mm_hash_hamming")(spark, sf001)

@@ -76,4 +76,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(") && "\\*\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2,
       s"expected codegen'd partial+final aggregates:\n$p")
   }
+
+  test("rel_skew_join_aqe: OptimizeSkewedJoin splits the hot partition (skew=true SMJ)") {
+    // executes (sub-second at sf0.001): the skew markers only exist in the
+    // FINAL adaptive plan, after AQE has seen the runtime shuffle sizes.
+    // 80% of the fact rows hit one key, and withSkewAqeTuning sizes the
+    // thresholds to fixture bytes, so the hot partition MUST be detected
+    // and split — a plan without skew=true means the skew path silently
+    // degraded (broadcast crept back in, thresholds drifted, or the rule
+    // was skipped) and the query no longer demonstrates what it claims.
+    graft.ops.Relational.withSkewAqeTuning(spark) {
+      val df = graft.ops.Relational.skewJoinPlan(spark, sf001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"skew query must stay sort-merge (broadcast has no skew path):\n$p")
+      assert(p.contains("skew=true"),
+        s"expected a skew=true join (OptimizeSkewedJoin fired):\n$p")
+    }
+  }
 }
