@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QuerySpec, Tables => T}
 import graft.functions.Text
 
@@ -818,6 +819,68 @@ object TextAnalysis {
        |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
        |FROM kept GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Seeded deterministic GLOBAL SHUFFLE + sharding — the "randomize
+    * training order" pass every pretraining pipeline runs between curation
+    * and tokenization. The permutation is md5("epoch0:" || doc_id): fully
+    * deterministic given the epoch seed (a new epoch string = a fresh
+    * permutation, no state to carry), uniform, and engine-portable. Shards
+    * are equal-width bands of the key's first byte (8 bands of 0x20), so
+    * shard assignment and within-shard order both derive from the one key.
+    *
+    * At 100 TB the materializing form of this op is
+    * `repartitionByRange(skey).sortWithinPartitions(skey)` writing one
+    * shard per output file — a single range-shuffle, the canonical
+    * hash-sort shuffle. THIS query is its verification twin, sized for an
+    * oracle: per shard, the doc count, token mass, and an ORDER-SENSITIVE
+    * checksum Σ pos·doc_id (pos = rank within shard by key) that pins the
+    * exact permutation, not just shard membership — any engine divergence
+    * in the key, banding, or sort order breaks the hash. The per-shard
+    * window is the same work the write path's sortWithinPartitions does. */
+  private def globalShuffle(s: SparkSession, d: String): DataFrame = {
+    val skey = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+    val bands = Seq("20", "40", "60", "80", "a0", "c0", "e0")
+    val h2 = substring(col("skey"), 1, 2)
+    val shard = bands.zipWithIndex
+      .foldRight(lit(bands.length): Column) { case ((bound, i), rest) =>
+        when(h2 < bound, i).otherwise(rest)
+      }
+    val keyed = T.documents(s, d)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_toks"),
+        skey.as("skey"))
+      .withColumn("shard", shard)
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  private val globalShuffleSql = {
+    val bands = Seq("20", "40", "60", "80", "a0", "c0", "e0")
+    val arms = bands.zipWithIndex
+      .map { case (b, i) => s"WHEN substr(skey, 1, 2) < '$b' THEN $i" }
+      .mkString(" ")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, CAST(len(${Text.toksSql}) AS BIGINT) AS n_toks,
+       |    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT doc_id, n_toks, skey,
+       |    CASE $arms ELSE ${bands.length} END AS shard
+       |  FROM keyed),
+       |ranked AS (
+       |  SELECT shard, doc_id, n_toks,
+       |    row_number() OVER (PARTITION BY shard ORDER BY skey) AS pos
+       |  FROM sharded)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+       |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QuerySpec("ta_mix_sample", mixSample, Some(mixSampleSql)),
@@ -838,5 +901,6 @@ object TextAnalysis {
     QuerySpec("ta_seq_pack", seqPack, Some(seqPackSql)),
     QuerySpec("ta_split_assign", splitAssign, Some(splitAssignSql)),
     QuerySpec("ta_domain_mix", domainMix, Some(domainMixSql)),
-    QuerySpec("ta_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)))
+    QuerySpec("ta_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
+    QuerySpec("ta_global_shuffle", globalShuffle, Some(globalShuffleSql)))
 }
