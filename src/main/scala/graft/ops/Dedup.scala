@@ -88,7 +88,7 @@ object Dedup {
   /** MinHash + LSH near-duplicate pairs: signatures → 4 band keys → bucket
     * join on (band, key) → signature-agreement estimate ≥ 0.5. The band join
     * is the scale path: candidate generation is linear in bucket sizes. */
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = signatures(s, d)
     // three consumers (band explosion + both signature-fetch join sides):
     // persist or the 16-md5-per-shingle signature pass runs three times
@@ -115,8 +115,15 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / P, 4))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Registered form: [[minhashPairs]] plus the presentation sort. The
+    * sort exists for the deterministic oracle hash only — internal
+    * consumers (clusters, levenshtein) use the unsorted core, so the
+    * global pair sort never sits inside a pipeline that immediately
+    * re-shuffles it (a pointless total order at 100 TB). */
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy(col("id_a"), col("id_b"))
 
   private val minhashLshSql = {
     val bandRows = (0 until B).map { b =>
@@ -251,7 +258,7 @@ object Dedup {
     * (DedupSpec pins the recall floor against the exact all-pairs twin).
     * At a real 100 TB near-dup threshold (cos ≳ 0.9, p ≈ 0.86) the same
     * banding prunes far harder; widen ER as n grows to keep buckets small. */
-  private def embedNearDup(s: SparkSession, d: String): DataFrame = {
+  private def embedPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     // two consumers (both sides of the bucket self-join): without the
     // persist the band-explosion scan runs twice
@@ -270,8 +277,12 @@ object Dedup {
         round(graft.functions.CosineSim.cosine_sim(col("ea"), col("eb")), 4))
       .filter(col("cos") >= 0.45)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Registered form: [[embedPairs]] plus the presentation sort (oracle
+    * determinism only; semanticClusters consumes the unsorted core). */
+  private def embedNearDup(s: SparkSession, d: String): DataFrame =
+    embedPairs(s, d).orderBy(col("id_a"), col("id_b"))
 
   private val embedNearDupSql = {
     val bandRows = (0 until EB).map { b =>
@@ -393,7 +404,7 @@ object Dedup {
   /** Near-duplicate clusters: fixpoint [[components]] over the LSH pair
     * graph (nodes = every doc appearing in a candidate pair). */
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b")).persist()
+    val pairs = minhashPairs(s, d).select(col("id_a"), col("id_b")).persist()
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
     components(pairs, nodes)
@@ -436,7 +447,7 @@ object Dedup {
     * the normalized text — the candidate-then-verify pattern production
     * fuzzy dedup uses (cheap recall stage, exact precision stage). */
   private def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
-    val cand = minhashLsh(s, d).select(col("id_a"), col("id_b"))
+    val cand = minhashPairs(s, d).select(col("id_a"), col("id_b"))
     val clean = T.documents(s, d)
       .select(col("doc_id"), array_join(Text.tokens(col("text")), " ").as("clean"))
     cand
@@ -491,7 +502,7 @@ object Dedup {
   private def semanticClusters(s: SparkSession, d: String): DataFrame = {
     // persist: the LSH+cosine pair pipeline feeds both union branches of
     // the edge set inside components()
-    val pairs = embedNearDup(s, d).select(col("id_a"), col("id_b")).persist()
+    val pairs = embedPairs(s, d).select(col("id_a"), col("id_b")).persist()
     val nodes = T.embeddings(s, d).select(col("vec_id").as("id"))
     components(pairs, nodes)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
