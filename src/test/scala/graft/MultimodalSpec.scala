@@ -62,6 +62,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pgm codec: round-trip holds for random binary payloads (raster bytes that mimic header syntax)") {
+    import graft.multimodal.PgmCodec
+    val rnd = new scala.util.Random(7) // seeded — deterministic
+    (0 until 200).foreach { i =>
+      val n = rnd.nextInt(600)
+      val payload = new Array[Byte](n)
+      rnd.nextBytes(payload) // includes 0x00, '\n', '#', 0xFF — raster is
+      // offset-addressed after the header, so none of these may confuse
+      // the parser into treating raster bytes as header syntax
+      val img = PgmCodec.decode(PgmCodec.encode(payload))
+      assert(img.width == 16 && img.height == (n + 15) / 16,
+        s"case $i: wrong dims ${img.width}x${img.height} for n=$n")
+      assert(img.pixels.take(n).toSeq == payload.map(_ & 0xff).toSeq,
+        s"case $i: raster diverged from payload (n=$n)")
+      assert(img.pixels.drop(n).forall(_ == 0), s"case $i: padding not zero")
+    }
+  }
+
   test("banded hamming pairs equal the brute-force pair set") {
     import org.apache.spark.sql.functions._
     val banded = SparkEntry.queries("mm_hash_hamming")(spark, sf001)
