@@ -32,7 +32,10 @@ object Bench {
     } catch { case e: Throwable =>
       println(s"""{"metric":"warmup_error","err":${jstr(e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(160))}}""")
     }
-    val results = selected.map { case (name, fn) =>
+    // fixed alphabetical run order: Map iteration order shifts whenever the
+    // registry grows, which confounds round-over-round per-query diffs with
+    // "which query happened to run after which" (r7 verdict #7)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE in bench output, not a suspiciously
       // fast wall-time: record the exception per query (r4 verdict)

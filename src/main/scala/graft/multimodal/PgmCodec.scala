@@ -73,7 +73,12 @@ object PgmCodec extends Codec {
     require(width > 0 && height >= 0, s"pgm: bad dimensions ${width}x$height")
     require(maxVal >= 1 && maxVal <= 255, s"pgm: unsupported maxval $maxVal")
     i += 1 // exactly one whitespace byte separates maxval from the raster
-    val n = width * height
+    // Long arithmetic: a hostile header like 65536x65536 overflows Int to
+    // n <= 0, which would slip past the truncation check and return an
+    // empty raster instead of throwing — strictness is the contract here.
+    val nL = width.toLong * height
+    require(nL <= Int.MaxValue, s"pgm: raster too large (${width}x$height)")
+    val n = nL.toInt
     require(b.length - i >= n, s"pgm: raster truncated (${b.length - i} < $n)")
     val pixels = new Array[Int](n)
     var j = 0

@@ -420,13 +420,16 @@ object Relational {
     * ⌊n/k⌋ — exactly SQL NTILE semantics, so the oracle is unchanged.
     * The only driver-scale structure is the (≤ #partitions)-row offset
     * table; no fact-table row ever leaves its executor. */
-  private def windowNtile(s: SparkSession, d: String): DataFrame = {
+  private def windowNtile(s: SparkSession, d: String): DataFrame =
+    ntileCore(s, T.customer(s, d))
+
+  private def ntileCore(s: SparkSession, customer: DataFrame): DataFrame = {
     val k = 4
     // scale with the session's shuffle parallelism, not a literal: the
     // offset table stays ≤ numShufflePartitions rows (broadcastable), and
     // a bigger cluster raises the setting rather than hitting a 32-way cap
     val nPart = s.sessionState.conf.numShufflePartitions
-    val sorted = T.customer(s, d)
+    val sorted = customer
       .select(col("c_custkey"), col("c_acctbal"))
       .repartitionByRange(nPart, col("c_acctbal"), col("c_custkey"))
       .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
@@ -830,9 +833,13 @@ object Relational {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** IN (subquery) predicate — Catalyst rewrites to a semi-join. */
-  private def inSubquery(s: SparkSession, d: String): DataFrame = {
-    T.orders(s, d).createOrReplaceTempView("orders_in_v")
-    T.customer(s, d).createOrReplaceTempView("customer_in_v")
+  private def inSubquery(s: SparkSession, d: String): DataFrame =
+    inSubqueryCore(s, T.orders(s, d), T.customer(s, d))
+
+  private def inSubqueryCore(
+      s: SparkSession, orders: DataFrame, customer: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_in_v")
+    customer.createOrReplaceTempView("customer_in_v")
     s.sql(
       """SELECT o_orderpriority, count(*) AS n FROM orders_in_v
         |WHERE o_custkey IN (SELECT c_custkey FROM customer_in_v
@@ -1112,7 +1119,10 @@ object Relational {
     * primitive a pipeline uses for eval splits and data audits. Map-only
     * filter (no shuffle) feeding a partial agg. */
   private def hashSample(s: SparkSession, d: String): DataFrame =
-    T.orders(s, d)
+    hashSampleCore(T.orders(s, d))
+
+  private def hashSampleCore(orders: DataFrame): DataFrame =
+    orders
       .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_sampled"),
@@ -1592,6 +1602,20 @@ object Relational {
       |        AS join_key, o_totalprice FROM orders) f
       |JOIN customer ON join_key = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** First-use warmup for the three relational plan shapes whose whole-stage
+    * codegen + JIT cost is not shared with any earlier query (r7 verdict:
+    * in-bench 1.3-2.5 s vs 0.2-0.8 s steady): the distributed-ntile
+    * range-repartition/offset-join shape, the IN-subquery semi-join shape,
+    * and the md5-sample filter+agg shape. Runs the REAL builders over
+    * limited slices — identical schema and operator chain, so the generated
+    * code and JIT profile carry over to the timed run. */
+  def warmShapes(s: SparkSession, d: String): Unit = {
+    ntileCore(s, T.customer(s, d).limit(512)).count()
+    inSubqueryCore(s, T.orders(s, d).limit(2048), T.customer(s, d).limit(512)).count()
+    hashSampleCore(T.orders(s, d).limit(2048)).count()
+    ()
+  }
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("rel_pricing_summary", pricingSummary, Some(pricingSummarySql)),
