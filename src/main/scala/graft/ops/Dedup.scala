@@ -375,13 +375,27 @@ object Dedup {
       // nests the previous round's, so a deep graph (100× diameters) would
       // otherwise carry an O(rounds) logical plan into every action —
       // analyzer/optimizer time grows superlinearly with nesting, and the
-      // driver re-walks it per job. localCheckpoint (eager) materializes
-      // the already-cached `next` to executor-local blocks and cuts its
-      // plan to a scan of those blocks; labels only — `edges`' plan is
-      // flat and shared. On a real cluster a reliable checkpoint dir
-      // swaps in via spark.sql.checkpointLocation; the bound is the same.
+      // driver re-walks it per job. By default localCheckpoint (eager)
+      // materializes the already-cached `next` to executor-local blocks
+      // and cuts its plan to a scan of those blocks; labels only —
+      // `edges`' plan is flat and shared.
+      //
+      // localCheckpoint blocks live on executors: losing one on a real
+      // cluster loses the blocks and kills the job mid-fixpoint. Setting
+      // `spark.graft.cc.checkpointDir` (runtime conf) switches to a
+      // RELIABLE checkpoint into that fault-tolerant path (HDFS/S3) —
+      // same lineage bound, survives executor loss; the write cost is
+      // one small labels table every 5 rounds. Default stays local: the
+      // right trade on local[n] and for short fixpoints.
       labels = if (rounds % 5 == 0) {
-        val cp = next.localCheckpoint(true)
+        val ss = next.sparkSession
+        val cp = ss.conf.getOption("spark.graft.cc.checkpointDir") match {
+          case Some(dir) =>
+            if (ss.sparkContext.getCheckpointDir.isEmpty)
+              ss.sparkContext.setCheckpointDir(dir)
+            next.checkpoint(true)
+          case None => next.localCheckpoint(true)
+        }
         next.unpersist()
         cp
       } else next

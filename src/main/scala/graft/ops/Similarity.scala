@@ -362,6 +362,31 @@ object Similarity {
        |  TRUE AS ann_recall_ok
        |FROM embeddings WHERE vec_id < $NQ""".stripMargin
 
+  /** Dedicated contract twin for `mllib_ann_join` (r7 verdict #2) — the one
+    * rows-only query that had no registered `*_contract` gate of its own
+    * (sim_ann_contract folds it into ann_recall_ok, but a reader auditing
+    * mllib_ann_join should find a driver-checked gate named for it).
+    * Recall@K of the MLlib BRP ANN join against the exact brute-force
+    * top-K: seeds are pinned, so the floor crossing is deterministic per
+    * dataset and the driver hash-gates the boolean. */
+  private def mllibAnnContract(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteforce(s, d).select(col("query_id"), col("cand_id")).persist()
+    val base = exact.count()
+    val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
+    val recall =
+      if (base == 0) 1.0
+      else exact.join(
+        MllibOps.annMllib(s, d).select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    import s.implicits._
+    Seq((nQueries, recall >= ANN_RECALL_FLOOR))
+      .toDF("n_queries", "mllib_recall_ok")
+  }
+
+  private val mllibAnnContractSql =
+    s"""SELECT count(*) AS n_queries, TRUE AS mllib_recall_ok
+       |FROM embeddings WHERE vec_id < $NQ""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     QuerySpec("sim_knn_lsh", knnLsh, Some(knnLshSql)),
@@ -369,5 +394,6 @@ object Similarity {
     QuerySpec("sim_vector_stats", vectorStats, Some(vectorStatsSql)),
     QuerySpec("sim_ivf_recall", ivfRecall, None),
     QuerySpec("sim_ann_contract", annContract, Some(annContractSql)),
+    QuerySpec("mllib_ann_contract", mllibAnnContract, Some(mllibAnnContractSql)),
     QuerySpec("sim_hybrid_search", hybridSearch, Some(hybridSearchSql)))
 }

@@ -848,18 +848,27 @@ object TextAnalysis {
     * exact permutation, not just shard membership — any engine divergence
     * in the key, banding, or sort order breaks the hash. The per-shard
     * window is the same work the write path's sortWithinPartitions does. */
-  private def globalShuffle(s: SparkSession, d: String): DataFrame = {
+  private val SHARD_BANDS = Seq("20", "40", "60", "80", "a0", "c0", "e0")
+
+  /** The shuffled-and-sharded frame both the verification twin and the
+    * materializing writer derive from: (doc_id, n_toks, skey, shard). */
+  private def shuffleKeyed(s: SparkSession, d: String): DataFrame = {
     val skey = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
-    val bands = Seq("20", "40", "60", "80", "a0", "c0", "e0")
     val h2 = substring(col("skey"), 1, 2)
-    val shard = bands.zipWithIndex
-      .foldRight(lit(bands.length): Column) { case ((bound, i), rest) =>
+    val shard = SHARD_BANDS.zipWithIndex
+      .foldRight(lit(SHARD_BANDS.length): Column) { case ((bound, i), rest) =>
         when(h2 < bound, i).otherwise(rest)
       }
-    val keyed = T.documents(s, d)
+    T.documents(s, d)
       .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_toks"),
         skey.as("skey"))
       .withColumn("shard", shard)
+  }
+
+  /** Per-shard order-sensitive summary of a (doc_id, n_toks, skey, shard)
+    * frame: the checksum Σ pos·doc_id (pos = rank within shard by skey)
+    * pins the exact permutation, not just shard membership. */
+  private def shuffleSummary(keyed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"))
     keyed
       .withColumn("pos", row_number().over(w).cast("long"))
@@ -870,8 +879,49 @@ object TextAnalysis {
       .orderBy(col("shard"))
   }
 
+  private def globalShuffle(s: SparkSession, d: String): DataFrame =
+    shuffleSummary(shuffleKeyed(s, d))
+
+  /** The MATERIALIZING form of the epoch shuffle (r7 verdict #3): one
+    * shuffle co-locating each shard in a single task, an in-task sort by
+    * the permutation key, and a Hive-style `partitionBy(shard)` parquet
+    * write — so every shard lands as exactly one file whose row order IS
+    * the permutation. Exposed for TextAnalysisSpec (file layout + in-file
+    * order assertions).
+    *
+    * Partitioning note: `repartition(n, shard)` (hash on the 8 shard ids)
+    * rather than `repartitionByRange(skey)` because the shard is already a
+    * fixed band of skey — sampled range boundaries could split one shard
+    * across two tasks (two files), while hashing 8 distinct ids is
+    * deterministic. At 100 TB each shard is further split into many
+    * sorted files by adding a sub-shard column to the repartition +
+    * partitionBy keys (same checksum contract per sub-file); the
+    * shard-per-task form here keeps the fixture layout exactly
+    * one-file-per-shard. */
+  private[graft] def shuffleWriteTo(s: SparkSession, d: String, outDir: String): Unit =
+    shuffleKeyed(s, d)
+      .repartition(SHARD_BANDS.length + 1, col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+
+  /** Driver-checked read-back of the durable epoch-shuffle write: runs the
+    * real sharded writer into a temp dir, re-reads what was written, and
+    * re-derives the same per-shard order checksum the verification twin
+    * (`ta_global_shuffle`) computes — equality with the oracle is the
+    * claim that the WRITE PATH preserved the permutation, the
+    * foreachBatch-sink precedent applied to the batch writer. */
+  private def shuffleWrite(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file._
+    val outTmp = Files.createTempDirectory("graft_epoch_shuffle")
+    outTmp.toFile.deleteOnExit()
+    val outDir = outTmp.toString
+    shuffleWriteTo(s, d, outDir)
+    shuffleSummary(
+      s.read.parquet(outDir).withColumn("shard", col("shard").cast("int")))
+  }
+
   private val globalShuffleSql = {
-    val bands = Seq("20", "40", "60", "80", "a0", "c0", "e0")
+    val bands = SHARD_BANDS
     val arms = bands.zipWithIndex
       .map { case (b, i) => s"WHEN substr(skey, 1, 2) < '$b' THEN $i" }
       .mkString(" ")
@@ -914,5 +964,6 @@ object TextAnalysis {
     QuerySpec("ta_split_assign", splitAssign, Some(splitAssignSql)),
     QuerySpec("ta_domain_mix", domainMix, Some(domainMixSql)),
     QuerySpec("ta_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
-    QuerySpec("ta_global_shuffle", globalShuffle, Some(globalShuffleSql)))
+    QuerySpec("ta_global_shuffle", globalShuffle, Some(globalShuffleSql)),
+    QuerySpec("ta_shuffle_write", shuffleWrite, Some(globalShuffleSql)))
 }

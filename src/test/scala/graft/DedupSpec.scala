@@ -144,6 +144,37 @@ class DedupSpec extends SparkSpec {
       s"components() plan carries $planSize operators — lineage checkpoint not applied?")
   }
 
+  test("components: reliable checkpoint dir survives-executor-loss path (conf-gated)") {
+    import spark.implicits._
+    // same 40-node chain as the localCheckpoint test, but with
+    // spark.graft.cc.checkpointDir set: the fixpoint must checkpoint into
+    // the RELIABLE directory (files on the fault-tolerant store, not
+    // executor-local blocks) and still converge to the same labels with
+    // the same bounded plan
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_cp").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", cpDir)
+    try {
+      val chain = (1L until 40L).map(i => (i, i + 1))
+      val pairs = chain.toDF("id_a", "id_b")
+      val nodes = (1L to 40L).toDF("id")
+      val result = ops.Dedup.components(pairs, nodes)
+      val labels = result.collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(labels == (1L to 40L).map(_ -> 1L).toMap,
+        s"40-chain must collapse to one cluster rooted at 1, got $labels")
+      val planSize = result.queryExecution.analyzed.collect { case p => p }.size
+      assert(planSize < 100,
+        s"plan carries $planSize operators — reliable checkpoint not applied?")
+      // the checkpoint actually landed in the reliable dir
+      def rddFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(rddFiles)
+        else if (f.getName.startsWith("part-")) Seq(f) else Nil
+      val files = rddFiles(new java.io.File(cpDir))
+      assert(files.nonEmpty,
+        s"no checkpoint partition files under $cpDir — localCheckpoint used instead?")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
+
   test("embed near-dup: LSH-banded pairs are exact-threshold pairs with high recall") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSim.register(spark)

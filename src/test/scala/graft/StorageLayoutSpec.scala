@@ -132,4 +132,34 @@ class StorageLayoutSpec extends SparkSpec {
     assert(zFiles < linFiles,
       s"z-order should localize the non-leading dimension: z=$zFiles vs linear=$linFiles files")
   }
+
+  test("epoch-shuffle writer lands one sorted file per shard, permutation intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_eshuffle").toString
+    graft.ops.TextAnalysis.shuffleWriteTo(spark, sf001, out)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty, s"no shard directories under $out")
+    // exactly one data file per shard: the shard was co-located in one
+    // task and written as a single sorted stream
+    shardDirs.foreach { dir =>
+      val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${dir.getName}: expected exactly one parquet file, got ${parts.length}")
+    }
+    // in-file row order IS the permutation (each file is a single split at
+    // this size, so collect order = physical file order)
+    shardDirs.foreach { dir =>
+      val skeys = spark.read.parquet(dir.toString)
+        .select("skey").collect().map(_.getString(0))
+      assert(skeys.sameElements(skeys.sorted),
+        s"${dir.getName}: rows not in permutation-key order on disk")
+    }
+    // the durable write round-trips to the exact verification-twin
+    // summary: same shards, counts, token mass, and order checksums
+    val twin = SparkEntry.queries("ta_global_shuffle")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val written = SparkEntry.queries("ta_shuffle_write")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(written == twin, s"write path diverged from twin:\n$written\nvs\n$twin")
+  }
 }
