@@ -9,15 +9,18 @@ import graft.{QuerySpec, Tables => T}
   * batched feature extraction — the Scala analogue of a Pandas-UDF
   * `mapInPandas` decode stage.
   *
-  * Two decode paths share the same partition-wise batched loop:
-  * [[PgmCodec]] is a REAL pure-JVM codec (binary netpbm PGM) driving the
-  * oracle-gated `mm_decode_features`; `FakeDecoder` below remains the
-  * clearly-marked STUB standing in for codecs the container lacks
-  * (JPEG/FLAC/H.264 need native libs). Everything around both is real and
-  * tested: the binary schema, the `Dataset[MediaRecord]` encoder,
-  * partition-wise batching (bounded memory per batch, the shape a
-  * vectorized decode needs), and the feature schema. Swapping either
-  * decoder for a JNI codec is the only change needed on a real cluster.
+  * The decode stage runs the REAL pure-JVM [[PgmCodec]] (binary netpbm
+  * PGM): each payload is deterministically wrapped as a P5 image and then
+  * actually parsed, so every emitted feature is integer arithmetic over a
+  * real decoded raster and the DuckDB oracle re-derives it exactly from
+  * the payload bytes (r7 verdict #5 — the earlier FakeDecoder stub is
+  * retired; its only surviving role, "codecs the container lacks need
+  * native libs", is documented on the [[Codec]] trait, whose JNI
+  * implementations slot into the same batched loop). Everything around the
+  * codec is real and tested: the binary schema, the
+  * `Dataset[MediaRecord]` encoder, partition-wise batching (bounded memory
+  * per batch, the shape a vectorized decode needs), and the feature
+  * schema.
   *
   * Source data: the `documents` table's text bytes stand in for media blobs
   * (no binary table ships in /root/testdata).
@@ -26,40 +29,36 @@ object Multimodal {
 
   case class MediaMeta(uri: String, codec: String, declared_len: Long)
   case class MediaRecord(id: Long, media: Array[Byte], meta: MediaMeta)
+
+  /** Features of one decoded record — all integer-exact functions of the
+    * payload: byte structure (length, 256-byte transport frames, a rolling
+    * hash of the first frame) plus raster stats from the REAL PGM decode
+    * (dimensions, pixel count incl. row padding, pixel sum, max sample). */
   case class MediaFeatures(
       id: Long, n_bytes: Int, n_frames: Int,
-      fake_width: Int, fake_height: Int,
-      entropy_milli: Long, first_frame_crc: Long)
+      width: Int, height: Int, n_pixels: Long,
+      pixel_sum: Long, max_pixel: Int,
+      first_frame_crc: Long)
 
-  /** STUB decoder — deterministic pseudo-decode over raw bytes. A real
-    * deployment replaces this object with JNI/codec calls; signatures and
-    * batch shape stay identical. */
-  object FakeDecoder {
-    private val FRAME = 256 // bytes per pseudo-frame
+  private val FRAME = 256 // bytes per transport frame
 
-    def decode(rec: MediaRecord): MediaFeatures = {
-      val b = rec.media
-      val n = b.length
-      // byte histogram → Shannon entropy (millinats, integerized)
-      val hist = new Array[Long](256)
-      b.foreach(x => hist(x & 0xff) += 1)
-      val entropy =
-        if (n == 0) 0.0
-        else hist.filter(_ > 0).map { c =>
-          val p = c.toDouble / n; -p * math.log(p)
-        }.sum
-      // pseudo dimensions from a rolling hash of the first frame
-      var h = 0L
-      b.take(FRAME).foreach(x => h = (h * 31 + (x & 0xff)) % 1000000007L)
-      MediaFeatures(
-        id = rec.id,
-        n_bytes = n,
-        n_frames = (n + FRAME - 1) / FRAME,
-        fake_width = (h % 1920).toInt + 1,
-        fake_height = ((h / 1920) % 1080).toInt + 1,
-        entropy_milli = math.round(entropy * 1000),
-        first_frame_crc = h)
-    }
+  /** Decode one record through the real codec. Exposed for MultimodalSpec
+    * determinism checks; the distributed path is [[extractFeatures]]. */
+  def decodeRecord(rec: MediaRecord): MediaFeatures = {
+    val b = rec.media
+    val img = PgmCodec.decode(PgmCodec.encode(b))
+    var h = 0L
+    b.take(FRAME).foreach(x => h = (h * 31 + (x & 0xff)) % 1000000007L)
+    MediaFeatures(
+      id = rec.id,
+      n_bytes = b.length,
+      n_frames = (b.length + FRAME - 1) / FRAME,
+      width = img.width,
+      height = img.height,
+      n_pixels = img.width.toLong * img.height,
+      pixel_sum = img.pixels.foldLeft(0L)(_ + _),
+      max_pixel = if (img.pixels.isEmpty) 0 else img.pixels.max,
+      first_frame_crc = h)
   }
 
   /** documents → binary media records (text bytes as the blob). */
@@ -80,8 +79,8 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // real impl: hand `batch` to the codec as one vectorized call
-        batch.map(FakeDecoder.decode)
+        // a heavier impl hands `batch` to the codec as one vectorized call
+        batch.map(decodeRecord)
       }
     }
   }
@@ -111,33 +110,18 @@ object Multimodal {
       |  CAST(len(list_distinct(string_split(text, ''))) AS INT) AS n_distinct_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  case class PixelFeatures(
-      id: Long, width: Int, height: Int, n_pixels: Long,
-      pixel_sum: Long, max_pixel: Int)
-
-  /** Real-codec decode pipeline, fully oracle-checkable (r6 brief stretch:
-    * rows-only → oracle): each record's payload is deterministically
-    * wrapped as a binary PGM ([[PgmCodec.encode]], the synthetic "camera")
-    * and then ACTUALLY decoded by the strict P5 parser inside the same
-    * partition-wise batched loop as the stub path. Every emitted feature
-    * is integer arithmetic over the real decoded raster (dimensions, pixel
-    * count incl. row padding, pixel sum, max sample), so DuckDB re-derives
-    * the identical values from the payload bytes and the driver hash-gates
-    * the whole encode→parse→raster→feature chain — a decoder bug (off-by-
-    * one raster offset, header misparse, dropped padding) breaks the hash. */
+  /** Real-codec decode pipeline, fully oracle-checkable: each record's
+    * payload is deterministically wrapped as a binary PGM
+    * ([[PgmCodec.encode]], the synthetic "camera") and ACTUALLY decoded by
+    * the strict P5 parser inside the partition-wise batched loop. Every
+    * emitted feature is integer arithmetic over the real decoded raster
+    * (dimensions, pixel count incl. row padding, pixel sum, max sample),
+    * so DuckDB re-derives the identical values from the payload bytes and
+    * the driver hash-gates the whole encode→parse→raster→feature chain —
+    * a decoder bug (off-by-one raster offset, header misparse, dropped
+    * padding) breaks the hash. */
   private def decodeFeatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val feats = mediaRecords(s, d).mapPartitions { it =>
-      it.grouped(64).flatMap { batch =>
-        batch.map { rec =>
-          val img = PgmCodec.decode(PgmCodec.encode(rec.media))
-          PixelFeatures(rec.id, img.width, img.height,
-            img.width.toLong * img.height,
-            img.pixels.foldLeft(0L)(_ + _),
-            if (img.pixels.isEmpty) 0 else img.pixels.max)
-        }
-      }
-    }.toDF()
+    val feats = extractFeatures(mediaRecords(s, d)).toDF()
     feats
       .join(T.documents(s, d).select(col("doc_id").as("id"), col("source")), "id")
       .groupBy(col("source"))
@@ -164,16 +148,15 @@ object Multimodal {
       |    AS max_pixel
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  /** Decode-integrity contract, oracle-checkable: every value below flows
-    * through the REAL partition-wise decode stage (the same
-    * mapPartitions/batch path as mm_decode_features), but only features
-    * that are deterministically derivable from byte structure are emitted
-    * — byte counts, 256-byte frame counts, and two per-record invariants
-    * (frame arithmetic consistent with byte length; Shannon entropy within
-    * [0, ln 256] nats) reduced with bool_and. DuckDB replays the byte
-    * arithmetic exactly, so the driver hard-gates the STUB decoder's
-    * plumbing (schema, batching, per-record fan-out); the real-codec path
-    * above is hash-gated on its full decoded output. */
+  /** Decode-integrity contract, oracle-checkable and now VALUE-exact on
+    * every feature (r7 verdict #5 — no more range-only checks): byte
+    * counts, transport-frame counts, and the per-record rolling-hash CRC
+    * of the first frame are summed per source; DuckDB replays the exact
+    * integer arithmetic (including the mod-1e9+7 rolling hash), so a
+    * wrong byte anywhere in the first 256 of any record breaks the hash.
+    * Two structural invariants from the REAL decode ride along: frame
+    * arithmetic consistent with byte length, and raster padding within
+    * one row (0 ≤ n_pixels − n_bytes < width). */
   private def decodeIntegrity(s: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(mediaRecords(s, d)).toDF()
     feats
@@ -182,10 +165,10 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("n_frames")).as("total_frames"),
+        sum(col("first_frame_crc")).as("crc_checksum"),
         expr("bool_and(n_frames = CAST(ceil(n_bytes / 256.0) AS INT))")
           .as("frames_consistent"),
-        // max possible byte entropy is ln 256 ≈ 5545.18 millinats
-        expr("bool_and(entropy_milli BETWEEN 0 AND 5546)").as("entropy_in_range"))
+        expr("bool_and(n_pixels - n_bytes BETWEEN 0 AND 15)").as("padding_ok"))
       .orderBy(col("source"))
   }
 
@@ -194,7 +177,13 @@ object Multimodal {
       |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
       |  CAST(sum(CAST(ceil(length(text) / 256.0) AS BIGINT)) AS BIGINT)
       |    AS total_frames,
-      |  TRUE AS frames_consistent, TRUE AS entropy_in_range
+      |  CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, '')[1:256],
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (h, x) -> (h * 31 + x) % 1000000007) END) AS BIGINT)
+      |    AS crc_checksum,
+      |  TRUE AS frames_consistent, TRUE AS padding_ok
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Frame sampling over the raw binary (no decode): the first 8 bytes of
@@ -363,7 +352,14 @@ object Multimodal {
 
   /** Metadata-vs-payload integrity: declared size (n_chars) against actual
     * byte length — the validation pass a media pipeline runs before
-    * spending decode cycles. */
+    * spending decode cycles. `ascii_only` is the corpus guard behind every
+    * byte-level oracle in this file (and binaryStats/waveformStats/
+    * avgHash): the DuckDB twins re-derive pixel/sample values via
+    * `ascii(c)` over character splits, which equals the UTF-8 byte only
+    * while the corpus is pure ASCII. Spark COMPUTES the predicate
+    * (char length = byte length for every doc) while the oracle pins TRUE,
+    * so a non-ASCII fixture entering the corpus fails HERE by name
+    * instead of as an opaque hash mismatch downstream. */
   private def metaIntegrity(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .withColumn("actual", length(col("text")))
@@ -371,14 +367,16 @@ object Multimodal {
         count(lit(1)).as("n_total"),
         sum(when(col("n_chars") =!= col("actual"), 1L).otherwise(0L)).as("n_mismatched"),
         max(abs(col("n_chars") - col("actual"))).as("max_abs_diff"),
-        sum(when(col("actual") === 0, 1L).otherwise(0L)).as("n_empty"))
+        sum(when(col("actual") === 0, 1L).otherwise(0L)).as("n_empty"),
+        expr("bool_and(length(text) = octet_length(text))").as("ascii_only"))
 
   private val metaIntegritySql =
     """SELECT count(*) AS n_total,
       |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_mismatched,
       |  CAST(max(abs(n_chars - length(text))) AS BIGINT) AS max_abs_diff,
-      |  CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+      |  CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+      |  TRUE AS ascii_only
       |FROM documents""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(

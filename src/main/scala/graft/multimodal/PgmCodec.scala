@@ -20,13 +20,12 @@ final case class Decoded(width: Int, height: Int, maxVal: Int, pixels: Array[Int
   * `#` comments and whitespace separators, then a raw raster of
   * width×height samples (1 byte each for maxval ≤ 255).
   *
-  * This is the container-friendly "real codec" for the decode path: unlike
-  * [[Multimodal.FakeDecoder]] (a stub that hashes bytes into pseudo
-  * features), `decode` actually parses a public image format, validates
-  * its header, and returns the raster — so every downstream feature is a
-  * function of real decoded pixels and can be cross-checked by an oracle
-  * that re-derives the same pixels independently. Heavy formats (JPEG,
-  * FLAC, H.264) would implement the same [[Codec]] trait via JNI.
+  * This is the container-friendly "real codec" for the decode path:
+  * `decode` actually parses a public image format, validates its header,
+  * and returns the raster — so every downstream feature is a function of
+  * real decoded pixels and can be cross-checked by an oracle that
+  * re-derives the same pixels independently. Heavy formats (JPEG, FLAC,
+  * H.264) would implement the same [[Codec]] trait via JNI.
   */
 object PgmCodec extends Codec {
   val name = "pgm"

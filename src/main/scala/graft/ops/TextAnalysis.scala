@@ -916,8 +916,12 @@ object TextAnalysis {
     outTmp.toFile.deleteOnExit()
     val outDir = outTmp.toString
     shuffleWriteTo(s, d, outDir)
+    // explicit schema: an empty corpus writes zero data files, which
+    // would otherwise fail parquet schema inference (and inference would
+    // also widen the shard partition-directory values anyway)
     shuffleSummary(
-      s.read.parquet(outDir).withColumn("shard", col("shard").cast("int")))
+      s.read.schema("doc_id BIGINT, n_toks BIGINT, skey STRING, shard INT")
+        .parquet(outDir))
   }
 
   private val globalShuffleSql = {

@@ -1,32 +1,38 @@
 package graft
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{FakeDecoder, MediaMeta, MediaRecord}
+import graft.multimodal.Multimodal.{MediaMeta, MediaRecord}
 
-/** Multimodal plumbing: the decode stage is a stub (no codecs in the
-  * container), but schema, batching, and distribution are real — these
-  * tests pin the parts that survive a real-codec swap. */
+/** Multimodal plumbing: binary schema, real PGM decode, partition-wise
+  * batching — these tests pin the parts that survive a heavier-codec swap
+  * (a JNI JPEG/FLAC decoder implements the same Codec trait and rides the
+  * same batched loop). */
 class MultimodalSpec extends SparkSpec {
 
   test("decode is deterministic and batch-shape-independent") {
     val rec = MediaRecord(7L, "hello multimodal world".getBytes("UTF-8"),
       MediaMeta("synthetic://x/7", "en", 22))
-    assert(FakeDecoder.decode(rec) == FakeDecoder.decode(rec))
+    assert(Multimodal.decodeRecord(rec) == Multimodal.decodeRecord(rec))
     val ds = Multimodal.mediaRecords(spark, sf001)
     val f1 = Multimodal.extractFeatures(ds, batchSize = 1).collect().sortBy(_.id)
     val f64 = Multimodal.extractFeatures(ds, batchSize = 64).collect().sortBy(_.id)
     assert(f1.sameElements(f64), "batch size must not change features")
   }
 
-  test("frame count and byte length are consistent") {
+  test("decoded features are structurally consistent with the payload") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaRecords(spark, sf001))
       .collect()
     assert(feats.nonEmpty)
     feats.foreach { f =>
       assert(f.n_frames == (f.n_bytes + 255) / 256)
-      assert(f.fake_width >= 1 && f.fake_width <= 1920)
-      assert(f.fake_height >= 1 && f.fake_height <= 1080)
-      assert(f.entropy_milli >= 0)
+      assert(f.width == 16, "synthetic camera writes fixed-width rasters")
+      assert(f.height == (f.n_bytes + 15) / 16)
+      assert(f.n_pixels == f.width.toLong * f.height)
+      // raster = payload + zero padding: sum bounded by bytes, padding < 1 row
+      assert(f.n_pixels - f.n_bytes >= 0 && f.n_pixels - f.n_bytes < 16)
+      assert(f.pixel_sum >= 0 && f.pixel_sum <= 255L * f.n_bytes)
+      assert(f.max_pixel >= 0 && f.max_pixel <= 255)
+      assert(f.first_frame_crc >= 0 && f.first_frame_crc < 1000000007L)
     }
   }
 
