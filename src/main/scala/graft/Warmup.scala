@@ -41,6 +41,11 @@ object Warmup {
     graft.ops.TextAnalysis.warmTriangles(s, d)
     // distributed-ntile, IN-subquery semi-join, md5-sample shapes
     graft.ops.Relational.warmShapes(s, d)
+    // dedup family: banded-LSH pair builder, CC fixpoint join+agg loop,
+    // levenshtein verify join, sign-LSH embed band join + cosine verify —
+    // the alphabetically-FIRST bench family, which since the r8 fixed
+    // alphabetical order pays its own first-use cost on the clock
+    graft.ops.Dedup.warmDedup(s, d)
     s.catalog.clearCache()
   }
 }

@@ -22,14 +22,20 @@ object Dedup {
   private val P = 16 // minhash permutations
   private val B = 4  // LSH bands (4 rows each): catches jaccard ≳ 0.5
 
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+
   private def withToks(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d).select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    withToks(T.documents(s, d))
 
   /** Distinct (doc_id, shingle). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    withToks(s, d)
+  private def shingleSets(docs: DataFrame): DataFrame =
+    withToks(docs)
       .select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("sh"))
       .distinct()
+
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleSets(T.documents(s, d))
 
   private val shingleSetsSql =
     s"""SELECT DISTINCT doc_id, unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
@@ -68,8 +74,8 @@ object Dedup {
     * corpus, and the min-agg result is identical either way). The join
     * is left to AQE: a small dictionary auto-broadcasts; a 100 TB-scale
     * one degrades to a shuffle hash join on the shingle. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d)
+  private def signatures(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
     val dict = sh.select(col("sh")).distinct()
       .select(Seq(col("sh")) ++
         (0 until P).map(p => md5(concat(lit(s"$p|"), col("sh"))).as(s"h$p")): _*)
@@ -88,8 +94,8 @@ object Dedup {
   /** MinHash + LSH near-duplicate pairs: signatures → 4 band keys → bucket
     * join on (band, key) → signature-agreement estimate ≥ 0.5. The band join
     * is the scale path: candidate generation is linear in bucket sizes. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d)
+  private def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = signatures(docs)
     // three consumers (band explosion + both signature-fetch join sides):
     // persist or the 16-md5-per-shingle signature pass runs three times
     val sigArr = sig.withColumn("sig", array((0 until P).map(p => col(s"mh$p")): _*))
@@ -123,7 +129,7 @@ object Dedup {
     * global pair sort never sits inside a pipeline that immediately
     * re-shuffles it (a pointless total order at 100 TB). */
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashPairs(s, d).orderBy(col("id_a"), col("id_b"))
+    minhashPairs(T.documents(s, d)).orderBy(col("id_a"), col("id_b"))
 
   private val minhashLshSql = {
     val bandRows = (0 until B).map { b =>
@@ -233,14 +239,14 @@ object Dedup {
     * bit-for-bit). Two vectors are candidates iff they agree on ALL ER sign
     * bits of at least one band — the same AND-then-OR banding as MinHash
     * LSH, applied to random-hyperplane signatures. */
-  private def embedBands(s: SparkSession, d: String): DataFrame = {
+  private def embedBands(emb: DataFrame): DataFrame = {
     val bandStructs = (0 until EB).map { b =>
       val key = (1 to ER).map(r =>
         when(element_at(col("embedding"), b * ER + r) > 0f, lit(1L << (r - 1)))
           .otherwise(0L)).reduce(_ + _)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    T.embeddings(s, d)
+    emb
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
@@ -258,18 +264,18 @@ object Dedup {
     * (DedupSpec pins the recall floor against the exact all-pairs twin).
     * At a real 100 TB near-dup threshold (cos ≳ 0.9, p ≈ 0.86) the same
     * banding prunes far harder; widen ER as n grows to keep buckets small. */
-  private def embedPairs(s: SparkSession, d: String): DataFrame = {
+  private def embedPairs(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.CosineSim.register(s)
     // two consumers (both sides of the bucket self-join): without the
     // persist the band-explosion scan runs twice
-    val bands = embedBands(s, d).persist()
+    val bands = embedBands(emb).persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = emb.select(col("vec_id"), col("embedding"))
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
@@ -282,7 +288,7 @@ object Dedup {
   /** Registered form: [[embedPairs]] plus the presentation sort (oracle
     * determinism only; semanticClusters consumes the unsorted core). */
   private def embedNearDup(s: SparkSession, d: String): DataFrame =
-    embedPairs(s, d).orderBy(col("id_a"), col("id_b"))
+    embedPairs(s, T.embeddings(s, d)).orderBy(col("id_a"), col("id_b"))
 
   private val embedNearDupSql = {
     val bandRows = (0 until EB).map { b =>
@@ -334,11 +340,21 @@ object Dedup {
     // Callers persist pairsIn if its lineage is expensive (both current
     // callers do); edges is the frame every propagation round re-reads, so
     // it is persisted here and dropped once the loop converges.
+    //
+    // No distinct over the EDGE set: callers produce distinct (id_a <
+    // id_b) pairs by construction, their mirror is disjoint (id_a >
+    // id_b), and self-loops (id_a = id_b) are disjoint from both — so
+    // after deduping only the node list (≪ edges; callers may pass
+    // duplicates, e.g. pair endpoints) the union is already
+    // duplicate-free. Duplicate edges wouldn't change the min-agg
+    // fixpoint anyway; dropping the distinct removes a full shuffle +
+    // hash-agg of the edge set — the frame that dominates at corpus
+    // scale — from every clusters query.
     val pairs = pairsIn.select(col("id_a"), col("id_b"))
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .union(nodes.select(col("id").as("id_a"), col("id").as("id_b")))
-      .distinct()
+      .union(nodes.select(col("id")).distinct()
+        .select(col("id").as("id_a"), col("id").as("id_b")))
       .persist()
     var labels = edges.groupBy(col("id_a").as("node"))
       .agg(min(col("id_b")).as("label"))
@@ -418,7 +434,8 @@ object Dedup {
   /** Near-duplicate clusters: fixpoint [[components]] over the LSH pair
     * graph (nodes = every doc appearing in a candidate pair). */
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select(col("id_a"), col("id_b")).persist()
+    val pairs = minhashPairs(T.documents(s, d))
+      .select(col("id_a"), col("id_b")).persist()
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
     components(pairs, nodes)
@@ -460,9 +477,12 @@ object Dedup {
   /** Two-stage fuzzy dedup: LSH candidates validated by edit distance on
     * the normalized text — the candidate-then-verify pattern production
     * fuzzy dedup uses (cheap recall stage, exact precision stage). */
-  private def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
-    val cand = minhashPairs(s, d).select(col("id_a"), col("id_b"))
-    val clean = T.documents(s, d)
+  private def levenshteinPairs(s: SparkSession, d: String): DataFrame =
+    levenshteinCore(T.documents(s, d))
+
+  private def levenshteinCore(docs: DataFrame): DataFrame = {
+    val cand = minhashPairs(docs).select(col("id_a"), col("id_b"))
+    val clean = docs
       .select(col("doc_id"), array_join(Text.tokens(col("text")), " ").as("clean"))
     cand
       .join(clean.select(col("doc_id").as("id_a"), col("clean").as("text_a")), "id_a")
@@ -516,7 +536,8 @@ object Dedup {
   private def semanticClusters(s: SparkSession, d: String): DataFrame = {
     // persist: the LSH+cosine pair pipeline feeds both union branches of
     // the edge set inside components()
-    val pairs = embedPairs(s, d).select(col("id_a"), col("id_b")).persist()
+    val pairs = embedPairs(s, T.embeddings(s, d))
+      .select(col("id_a"), col("id_b")).persist()
     val nodes = T.embeddings(s, d).select(col("vec_id").as("id"))
     components(pairs, nodes)
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
@@ -537,6 +558,57 @@ object Dedup {
        |SELECT node AS vec_id, min(r) AS cluster_id,
        |  node = min(r) AS is_survivor
        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+
+  /** First-use warmup for the dedup-family plan shapes. Bench runs queries
+    * in fixed alphabetical order (r8), which puts `dedup_*` first — so the
+    * family that used to inherit a warmed predecessor in registry-map order
+    * now pays its own whole-stage-codegen + JIT first-use cost on the clock
+    * (r8 verdict: dedup_clusters 15.8 s in-bench vs 5.3-5.4 s steady,
+    * dedup_levenshtein 8.7 vs 2.5, dedup_embed_cosine 4.8 vs 2.1-2.6).
+    * Same pattern as [[graft.ops.TextAnalysis.warmTriangles]]: run the REAL
+    * builders over limited slices — identical schemas and operator chains,
+    * so the generated code and JIT profile carry over to the timed run.
+    * Shapes covered: the 16-permutation signature build + banded-LSH
+    * bucket self-join, the CC fixpoint join+min-agg loop (incl. the
+    * changed-count join), the levenshtein verify join, and the sign-LSH
+    * embedding band join + codegen'd cosine verify. */
+  def warmDedup(s: SparkSession, d: String): Unit = {
+    // A 128-row slice compiles every join as a broadcast join, but the
+    // full-scale timed run executes sort-merge/shuffle-hash shapes — and
+    // whole-stage codegen caches by generated source, so a broadcast-warm
+    // carries nothing over. Disable auto-broadcast while warming so the
+    // slice compiles (and JITs) the same shuffle-side generated code the
+    // timed run executes; restored after.
+    val static = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val adaptive = s.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", static)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 2048 docs, fixpoint warmed twice: big enough — and repeated
+      // enough — that the md5/min-agg/join hot loops cross the JIT's
+      // compiled-tier threshold during the warm pass (a 128-doc slice
+      // left run-1 ~2x steady; one 1024-doc pass still left a 2-run
+      // ramp, profile r9), while staying O(seconds) and constant-cost
+      // at any SF
+      val docs = T.documents(s, d).limit(2048)
+      // banded-LSH pair builder + CC fixpoint (propagation rounds of
+      // join+agg, plus the changed-count join)
+      val pairs = minhashPairs(docs).select(col("id_a"), col("id_b")).persist()
+      val nodes = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+      components(pairs, nodes).count()
+      components(pairs, nodes).count()
+      pairs.unpersist()
+      // candidate-then-verify levenshtein join
+      levenshteinCore(docs).count()
+      // sign-LSH band join + exact-cosine verify over an embeddings slice
+      embedPairs(s, T.embeddings(s, d).limit(512)).count()
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", static)
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", adaptive)
+    }
+    ()
+  }
 
   // ------------------------------------------------------------ registry
 
