@@ -53,8 +53,12 @@ object MllibOps {
   private[ops] def annMllib(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-    // LSH.fit rejects an empty dataset; an empty corpus has no neighbors
-    if (e.isEmpty)
+    // LSH.fit rejects an empty dataset; an empty corpus has no neighbors.
+    // Checked via a single-column limit-1 count so the probe job prunes to
+    // one id column of one row group — `e.isEmpty` ran the array_to_vector
+    // projection and an executeTake escalation over the full frame on the
+    // hot path before every fit (r8 verdict #3).
+    if (e.select(col("vec_id")).limit(1).count() == 0L)
       return e.sparkSession.createDataFrame(
         e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(

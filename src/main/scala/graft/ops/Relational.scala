@@ -1614,6 +1614,12 @@ object Relational {
     ntileCore(s, T.customer(s, d).limit(512)).count()
     inSubqueryCore(s, T.orders(s, d).limit(2048), T.customer(s, d).limit(512)).count()
     hashSampleCore(T.orders(s, d).limit(2048)).count()
+    // the warm pass bound orders_in_v/customer_in_v to .limit() slices;
+    // inSubqueryCore re-registers them on every call, but no other reader
+    // should ever be able to resolve a truncated view between warmup and
+    // that re-registration
+    s.catalog.dropTempView("orders_in_v")
+    s.catalog.dropTempView("customer_in_v")
     ()
   }
 

@@ -352,6 +352,10 @@ object Similarity {
     val ivfRec = recallOf(knnIvf(s, d))
     val annRec = recallOf(MllibOps.annMllib(s, d)
       .select(col("query_id"), col("cand_id")))
+    // every dependent count is materialized above and the returned frame
+    // is a driver-local literal — without this, callers outside Bench's
+    // per-query clearCache leak the cached brute-force frame
+    exact.unpersist()
     import s.implicits._
     Seq((nQueries, ivfRec >= IVF_RECALL_FLOOR, annRec >= ANN_RECALL_FLOOR))
       .toDF("n_queries", "ivf_recall_ok", "ann_recall_ok")
@@ -378,6 +382,8 @@ object Similarity {
       else exact.join(
         MllibOps.annMllib(s, d).select(col("query_id"), col("cand_id")),
         Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    // same as annContract: all consumers of the cached frame ran eagerly
+    exact.unpersist()
     import s.implicits._
     Seq((nQueries, recall >= ANN_RECALL_FLOOR))
       .toDF("n_queries", "mllib_recall_ok")

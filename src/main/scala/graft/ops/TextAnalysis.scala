@@ -913,7 +913,20 @@ object TextAnalysis {
   private def shuffleWrite(s: SparkSession, d: String): DataFrame = {
     import java.nio.file._
     val outTmp = Files.createTempDirectory("graft_epoch_shuffle")
-    outTmp.toFile.deleteOnExit()
+    // deleteOnExit on the top-level dir is a no-op once the writer fills
+    // it (non-empty dirs don't delete); a shutdown hook walks the tree
+    // bottom-up instead, so repeated invocations (correctness run, bench
+    // reps, tests) stop accumulating full parquet copies in /tmp. The
+    // deletion must wait for JVM exit: the returned summary frame reads
+    // the written files lazily.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = Files.walk(outTmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () }
+    }))
     val outDir = outTmp.toString
     shuffleWriteTo(s, d, outDir)
     // explicit schema: an empty corpus writes zero data files, which
