@@ -56,11 +56,18 @@ object Text {
     STOPWORDS.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")
 
   /** Preprocessed token array: lowercase, whitespace-split, alpha-only
-    * (unicode-safe `\p{L}`, matching Python `str.isalpha`), stopwords out. */
+    * (unicode `\p{L}+`, matching Python `str.isalpha` — both accept
+    * exactly the Unicode letter categories Lu/Ll/Lt/Lm/Lo, so "café"
+    * survives like the reference's `t.isalpha()` keeps it; r8 verdict #4
+    * closed the gap where the code was ASCII `[a-z]+` while this doc and
+    * SURVEY T2 claimed `\p{L}`), stopwords out. Java regex `\p{L}` is
+    * Unicode-category Letter by default, and the DuckDB oracle twin below
+    * uses RE2's identical `\p{L}` — NltkParitySpec pins the agreement on
+    * unicode rows. */
   def tokens(text: Column): Column =
     filter(
       split(lower(text), " "),
-      t => t.rlike("^[a-z]+$") && !t.isInCollection(STOPWORDS))
+      t => t.rlike("^\\p{L}+$") && !t.isInCollection(STOPWORDS))
 
   /** k=3 shingles joined by spaces (duplicate_detector.py:7-13): the i-th
     * shingle is tokens[i..i+2]; fewer than 3 tokens → no shingles.
@@ -90,7 +97,7 @@ object Text {
 
   /** DuckDB oracle fragments mirroring the builders above, verbatim. */
   val toksSql: String =
-    s"list_filter(string_split(lower(text), ' '), t -> regexp_full_match(t, '[a-z]+') AND t NOT IN ${stopwordsSqlList})"
+    s"list_filter(string_split(lower(text), ' '), t -> regexp_full_match(t, '\\p{L}+') AND t NOT IN ${stopwordsSqlList})"
 
   def shingles3Sql(toksExpr: String): String =
     s"list_transform(range(1, len($toksExpr) - 1), i -> array_to_string(($toksExpr)[i:i+2], ' '))"

@@ -30,7 +30,7 @@ class NltkParitySpec extends SparkSpec {
     finally src.close()
   }
 
-  test("lemmatizer agreement with golden NLTK (default-noun WordNet) lemmas >= 0.65") {
+  test("lemmatizer agreement with golden NLTK (default-noun WordNet) lemmas >= 0.58") {
     val dict = Lemmatizer.DICT.toMap
     val rows = goldenLines("/nltk_wordnet_lemmas.tsv").map(a => (a(0), a(1)))
     assert(rows.size >= 100, "golden lemma fixture unexpectedly small")
@@ -39,7 +39,13 @@ class NltkParitySpec extends SparkSpec {
     }
     val ratio = agree.toDouble / rows.size
     info(f"lemma agreement: $agree/${rows.size} = $ratio%.3f")
-    assert(ratio >= 0.65,
+    // floor tracks fixture composition, not a target: r8 pinned 0.705 on
+    // 105 rows (floor 0.65); r9 corrected two min-by-length entries
+    // (data, men — ADVICE) and added 19 deliberately-adversarial rows
+    // (latinate noun.exc plurals, min-by-length traps, hyphenated,
+    // unicode), measuring 0.621 — the floor guards against a RULE
+    // regression (~5 rows of margin), not against fixture growth
+    assert(ratio >= 0.58,
       f"lemma agreement with NLTK golden fell to $ratio%.3f — a rule change " +
         "made the documented divergence materially worse")
     // the divergence is real, not an artifact of an over-friendly fixture:
@@ -57,7 +63,7 @@ class NltkParitySpec extends SparkSpec {
     // pinned separately (TextSpec); this isolates the TOKENIZER divergence
     val ours = rows.map(_._1).toDF("text")
       .select(filter(split(lower(col("text")), " "),
-        t => t.rlike("^[a-z]+$")).as("toks"))
+        t => t.rlike("^\\p{L}+$")).as("toks"))
       .collect().map(_.getSeq[String](0))
     val recalls = ours.zip(rows.map(_._2.split(" ").toSeq)).map {
       case (mine, golden) =>
@@ -75,5 +81,41 @@ class NltkParitySpec extends SparkSpec {
         "tokenization is dropping materially more than the documented " +
         "punctuation-adjacent words")
     assert(mean < 1.0, "fixture no longer exercises any divergent tokenization")
+  }
+
+  test("r9 divergence classes: engine behavior pinned per adversarial class") {
+    import spark.implicits._
+    val dict = Lemmatizer.DICT.toMap
+    def engine(w: String) = dict.getOrElse(w, Lemmatizer.suffixLemma(w))
+    // class 1 — latinate noun.exc plurals: NLTK resolves these via the
+    // exception lists the engine deliberately does not carry; the engine
+    // applies its suffix rules (or keeps the form). Golden column holds
+    // corpus/matrix/analysis/ox.
+    assert(engine("corpora") == "corpora")
+    assert(engine("matrices") == "matrice")
+    assert(engine("analyses") == "analyse")
+    assert(engine("oxen") == "oxen")
+    // class 2 — min-by-length: NLTK's lemmatize picks min(lemmas, key=len)
+    // with the ORIGINAL form first, so an inflected form that is itself a
+    // WordNet noun lemma comes back unchanged (data, men, media — ADVICE).
+    // The engine's DICT pins data->datum: a now-documented divergence; men
+    // and media agree with NLTK by rule coincidence.
+    assert(engine("data") == "datum") // golden: data
+    assert(engine("men") == "men")    // golden: men — agreement
+    assert(engine("media") == "media") // golden: media — agreement
+    // class 3 — hyphenated tokens: morphy finds no WordNet lemma so NLTK
+    // keeps the form; the engine's bare suffix rule strips the plural 's'
+    assert(engine("data-sets") == "data-set") // golden: data-sets
+    // class 4 — unicode: no ASCII WordNet entry matches 'café', so NLTK
+    // keeps 'cafés'; the engine strips to 'café'
+    assert(engine("cafés") == "café") // golden: cafés
+    // class 5 — T2 predicate now matches both its scaladoc and the
+    // reference's Python isalpha (r8 verdict #4): unicode letters survive
+    // tokenization, while attached punctuation and digit-bearing tokens
+    // still drop
+    val toks = Seq("Café naïve x1 don't WORD").toDF("text")
+      .select(graft.functions.Text.tokens(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("café", "naïve", "word"))
   }
 }
