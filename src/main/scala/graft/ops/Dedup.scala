@@ -361,6 +361,7 @@ object Dedup {
       .persist()
     var changed = 1L
     var rounds = 0
+    var cpDirAligned = false
     while (changed > 0 && rounds < 50) {
       val viaEdges = edges
         .join(labels, edges("id_b") === labels("node"))
@@ -400,15 +401,34 @@ object Dedup {
       // cluster loses the blocks and kills the job mid-fixpoint. Setting
       // `spark.graft.cc.checkpointDir` (runtime conf) switches to a
       // RELIABLE checkpoint into that fault-tolerant path (HDFS/S3) —
-      // same lineage bound, survives executor loss; the write cost is
-      // one small labels table every 5 rounds. Default stays local: the
-      // right trade on local[n] and for short fixpoints.
+      // same lineage bound, survives executor loss (DedupSpec proves the
+      // fixpoint result stays recomputable after every cached/checkpoint
+      // BLOCK is evicted, which kills the localCheckpoint path); the
+      // write cost is one small labels table every 5 rounds. Default
+      // stays local: the right trade on local[n] and for short fixpoints.
+      // Long-running services should also set
+      // `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+      // reliable files of GC'd label RDDs are removed instead of
+      // accumulating one per 5 rounds per fixpoint.
       labels = if (rounds % 5 == 0) {
         val ss = next.sparkSession
         val cp = ss.conf.getOption("spark.graft.cc.checkpointDir") match {
           case Some(dir) =>
-            if (ss.sparkContext.getCheckpointDir.isEmpty)
+            if (!cpDirAligned) {
+              // the explicit conf is user intent for THIS fixpoint: it
+              // must override a checkpoint dir some earlier code set on
+              // the shared context (the old isEmpty guard let the stale
+              // global dir win silently), but only re-point the context
+              // once per call — setCheckpointDir mints a fresh UUID
+              // subdir on every invocation.
+              val prev = ss.sparkContext.getCheckpointDir
               ss.sparkContext.setCheckpointDir(dir)
+              if (prev.exists(p => !p.contains(dir)))
+                System.err.println(
+                  s"[graft] components(): spark.graft.cc.checkpointDir=$dir " +
+                    s"overrides the context checkpoint dir $prev for this fixpoint")
+              cpDirAligned = true
+            }
             next.checkpoint(true)
           case None => next.localCheckpoint(true)
         }

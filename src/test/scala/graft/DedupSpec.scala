@@ -172,7 +172,55 @@ class DedupSpec extends SparkSpec {
       val files = rddFiles(new java.io.File(cpDir))
       assert(files.nonEmpty,
         s"no checkpoint partition files under $cpDir — localCheckpoint used instead?")
-    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      // don't leave the context checkpoint dir pointing at this test's
+      // temp dir for the rest of the shared session (ADVICE)
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
+  test("components: reliable checkpoint survives total block eviction (executor loss); local does not") {
+    import spark.implicits._
+    // The executor-loss scenario the conf exists for, simulated the only
+    // way local[n] allows: evict EVERY cached/checkpoint BLOCK after the
+    // fixpoint (localCheckpoint data is ordinary ephemeral block storage —
+    // exactly what dies with an executor) and act on the returned frame
+    // again. The reliable path must recompute from the checkpoint FILES
+    // alone; the localCheckpoint path must fail — which makes this test
+    // fail if checkpoint(true) is ever swapped back to localCheckpoint.
+    val chain = (1L until 40L).map(i => (i, i + 1)) // ~12 rounds, 2 checkpoints
+    val expected = (1L to 40L).map(_ -> 1L).toMap
+    def evictAllBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    // reliable path: conf set -> post-eviction recompute succeeds
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_evict").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", cpDir)
+    try {
+      val result = ops.Dedup.components(
+        chain.toDF("id_a", "id_b"), (1L to 40L).toDF("id"))
+      result.count() // run the fixpoint, then lose every block
+      evictAllBlocks()
+      val labels = result.collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(labels == expected,
+        s"post-eviction recompute from reliable checkpoint files diverged: $labels")
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      spark.sparkContext.setCheckpointDir(null)
+    }
+    // local path: same eviction kills the recompute (blocks were the only
+    // copy) — the failure mode the reliable conf exists to remove
+    val local = ops.Dedup.components(
+      chain.toDF("id_a", "id_b"), (1L to 40L).toDF("id"))
+    local.count()
+    evictAllBlocks()
+    val e = intercept[org.apache.spark.SparkException](local.collect())
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("checkpoint"),
+      s"expected lost-checkpoint-block failure, got: ${e.getMessage}")
   }
 
   test("embed near-dup: LSH-banded pairs are exact-threshold pairs with high recall") {
