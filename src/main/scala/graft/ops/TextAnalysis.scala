@@ -893,16 +893,38 @@ object TextAnalysis {
     * rather than `repartitionByRange(skey)` because the shard is already a
     * fixed band of skey — sampled range boundaries could split one shard
     * across two tasks (two files), while hashing 8 distinct ids is
-    * deterministic. At 100 TB each shard is further split into many
-    * sorted files by adding a sub-shard column to the repartition +
-    * partitionBy keys (same checksum contract per sub-file); the
-    * shard-per-task form here keeps the fixture layout exactly
-    * one-file-per-shard. */
-  private[graft] def shuffleWriteTo(s: SparkSession, d: String, outDir: String): Unit =
-    shuffleKeyed(s, d)
-      .repartition(SHARD_BANDS.length + 1, col("shard"))
-      .sortWithinPartitions(col("shard"), col("skey"))
-      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    * deterministic.
+    *
+    * At 100 TB each shard is further split into `subShards` sorted files
+    * (a petabyte shard cannot be one task/file): the sub-shard is a FINER
+    * RANGE BAND of the same sort key — each shard band is 0x20 wide on
+    * the first key byte, and sub-shard k takes the k-th contiguous
+    * sub-range — so every (shard, sub_shard) file is a contiguous slice
+    * of the shard's key order, and reading files back in sub_shard order
+    * IS the shard permutation (the same per-shard checksum contract
+    * holds; a hash split would interleave keys and break it). The default
+    * `subShards = 1` keeps the fixture layout exactly one-file-per-shard. */
+  private[graft] def shuffleWriteTo(
+      s: SparkSession, d: String, outDir: String, subShards: Int = 1): Unit = {
+    val keyed = shuffleKeyed(s, d)
+    if (subShards <= 1)
+      keyed
+        .repartition(SHARD_BANDS.length + 1, col("shard"))
+        .sortWithinPartitions(col("shard"), col("skey"))
+        .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    else {
+      val h2int = conv(substring(col("skey"), 1, 2), 16, 10).cast("int")
+      // Column `/` is double division; the cast truncates back to the
+      // integer sub-band index in [0, subShards)
+      val sub = ((h2int % 32) * subShards / 32).cast("int")
+      keyed
+        .withColumn("sub_shard", sub)
+        .repartition((SHARD_BANDS.length + 1) * subShards,
+          col("shard"), col("sub_shard"))
+        .sortWithinPartitions(col("shard"), col("sub_shard"), col("skey"))
+        .write.partitionBy("shard", "sub_shard").mode("overwrite").parquet(outDir)
+    }
+  }
 
   /** Driver-checked read-back of the durable epoch-shuffle write: runs the
     * real sharded writer into a temp dir, re-reads what was written, and
