@@ -86,6 +86,80 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pgm codec: hostile headers always throw, never return garbage (property)") {
+    import graft.multimodal.PgmCodec
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def run(name: String, prop: Prop): Unit = {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+      assert(res.passed, s"$name: ${res.status}")
+    }
+    val throwsIae = (b: Array[Byte]) =>
+      Prop(scala.util.Try(PgmCodec.decode(b)) match {
+        // NumberFormatException ⊂ IllegalArgumentException: a strict
+        // header parse failure, same contract
+        case scala.util.Failure(_: IllegalArgumentException) => true
+        case _ => false
+      })
+    // out-of-range maxval (0, negative, > 255): netpbm P5 with 1-byte
+    // samples only supports 1..255; the header must be rejected before
+    // any raster byte is interpreted
+    run("maxval", Prop.forAll(
+      Gen.oneOf(Gen.const(0), Gen.const(-7), Gen.choose(256, 1000000))) { mv =>
+      throwsIae(ascii(s"P5\n2 2\n$mv\n") ++ Array[Byte](1, 2, 3, 4))
+    })
+    // truncated raster: any shortfall from the declared w*h must throw —
+    // silently returning a short raster would corrupt every downstream
+    // feature
+    run("truncated", Prop.forAll(
+      Gen.choose(1, 20), Gen.choose(1, 20), Gen.choose(0.0, 1.0)) { (w, h, frac) =>
+      val n = w * h
+      val short = math.min(n - 1, (n * frac).toInt)
+      throwsIae(ascii(s"P5\n$w $h\n255\n") ++ Array.fill(short)(1.toByte))
+    })
+    // comment mid-token: netpbm's own reader would splice the token
+    // around the comment ("2#x\n4" -> 24); the strict parser refuses the
+    // spliced form rather than guessing — pinned as a throw
+    run("comment-mid-token", Prop.forAll(
+      Gen.choose(1, 99), Gen.alphaNumStr.map(_.take(8))) { (wHead, cmt) =>
+      throwsIae(ascii(s"P5\n$wHead#$cmt\n4 2\n255\n") ++ Array.fill(99 * 4 * 2)(1.toByte))
+    })
+    // dimension overflow: w*h past Int.MaxValue must throw (the Long-arith
+    // guard), not wrap negative and slip past the truncation check
+    // 65536*65536 is already past Int.MaxValue, so every drawn pair
+    // overflows by construction
+    run("overflow", Prop.forAll(
+      Gen.choose(65536, 1000000), Gen.choose(65536, 1000000)) { (w, h) =>
+      throwsIae(ascii(s"P5\n$w $h\n255\n") ++ Array.fill(64)(1.toByte))
+    })
+    // negative/zero width and negative height must throw. Height 0 is the
+    // ONE deliberate deviation: encode(empty payload) produces a legal
+    // 16x0 image, so 0-height decodes to an empty raster (a well-defined
+    // value, not garbage) — pinned by the round-trip test above.
+    run("bad-dims", Prop.forAll(
+      Gen.oneOf(Gen.choose(-20, 0).map(w => (w, 2)),
+        Gen.choose(-20, -1).map(h => (2, h)))) { case (w, h) =>
+      throwsIae(ascii(s"P5\n$w $h\n255\n") ++ Array.fill(16)(1.toByte))
+    })
+    // safety net over ARBITRARY byte arrays: decode either throws the
+    // contract exception or returns a structurally consistent image
+    // (dims match raster length, samples within maxval bounds) — there is
+    // no third outcome
+    run("arbitrary-bytes", Prop.forAll(
+      Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { b =>
+      scala.util.Try(PgmCodec.decode(b)) match {
+        case scala.util.Success(img) =>
+          img.width > 0 && img.height >= 0 &&
+            img.pixels.length == img.width * img.height &&
+            img.maxVal >= 1 && img.maxVal <= 255 &&
+            img.pixels.forall(p => p >= 0 && p <= 255)
+        case scala.util.Failure(_: IllegalArgumentException) => true
+        case scala.util.Failure(_) => false
+      }
+    })
+  }
+
   test("banded hamming pairs equal the brute-force pair set") {
     import org.apache.spark.sql.functions._
     val banded = SparkEntry.queries("mm_hash_hamming")(spark, sf001)
