@@ -311,8 +311,91 @@ object Sketches {
       |  TRUE AS median_rel_err_ok, TRUE AS p99_rel_err_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------- hash-faithful twins
+  //
+  // The queries above ride Spark's built-in sketches: same (ε,δ) bounds as
+  // the reference but a different hash family, so per-key estimates differ
+  // (the r8 "missing #2" divergence). The sketch_*_faithful queries ride
+  // graft.functions.RefSketches instead — the reference's blake2b/sha256
+  // hashing reproduced byte-for-byte (goldens captured from Python hashlib,
+  // SketchSpec) — so a reference user gets IDENTICAL per-key estimates and
+  // membership bits, not merely the same bounds.
+
+  /** Faithful-CMS estimates vs exact counts for the corpus top-20 tokens —
+    * [[cmsTokenFreq]]'s twin with the reference's exact per-key columns
+    * (seed 0, the reference constructor default). Estimates are
+    * blake2b-internal → rows-only; gated by sketch_cms_faithful_contract. */
+  private def cmsFaithful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // two actions (sketch build, exact top-20): one tokenize scan
+    val toks = T.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token")).persist()
+    val cms = toks.as[String]
+      .select(graft.functions.RefSketches.cmsAgg(0, 544, 7).toColumn).head()
+    val bc = s.sparkContext.broadcast(cms)
+    val estimate = udf((t: String) => bc.value.estimate(t))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      .withColumn("ref_est", estimate(col("token")))
+      .withColumn("overestimate", col("ref_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  /** Faithful-CMS accuracy contract, oracle-checkable (the [[cmsContract]]
+    * pattern, reference sizing): width=⌈e/ε⌉ ⇒ ε=e/width, so the Count-Min
+    * guarantee is est ≤ exact + ⌈e·N/544⌉ with the reference's own bound. */
+  private def cmsFaithfulContract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = T.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token")).persist()
+    val cms = toks.as[String]
+      .select(graft.functions.RefSketches.cmsAgg(0, 544, 7).toColumn).head()
+    val epsN = math.ceil(math.E * cms.total / 544).toLong
+    val bc = s.sparkContext.broadcast(cms)
+    val estimate = udf((t: String) => bc.value.estimate(t))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      .withColumn("est", estimate(col("token")))
+      .select(col("token"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("no_underestimate"),
+        (col("est") <= col("exact_cnt") + lit(epsN)).as("within_eps"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  /** Faithful-Bloom contract, oracle-checkable (the [[bloomContract]]
+    * pattern through the reference's double-hash filter): zero false
+    * negatives on inserted keys, realized fp rate on never-inserted keys
+    * within 5× the 1% design. The aggregator's empty zero is a valid
+    * all-bits-clear filter, so the empty-history path needs no null. */
+  private def bloomFaithfulContract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("sh"))
+      .persist()
+    val half = T.documents(s, d).count() / 2
+    val inserted = sh.filter(col("doc_id") < half).select(col("sh")).distinct().persist()
+    val nIns = inserted.count()
+    val bloom = sh.filter(col("doc_id") < half).select(col("sh")).as[String]
+      .select(graft.functions.RefSketches
+        .bloomAgg(math.max(100000L, nIns), 0.01).toColumn).head()
+    val bc = s.sparkContext.broadcast(bloom)
+    val seen = udf((x: String) => bc.value.mightContain(x))
+    val nMissed = inserted.filter(!seen(col("sh"))).count()
+    val fresh = sh.filter(col("doc_id") >= half).select(col("sh")).distinct()
+      .join(inserted, Seq("sh"), "left_anti").persist()
+    val nNew = fresh.count()
+    val nFalsePos = fresh.filter(seen(col("sh"))).count()
+    val fpOk = nNew == 0 || nFalsePos.toDouble / nNew <= 0.05
+    Seq((nIns, nMissed == 0L, nNew, fpOk))
+      .toDF("n_inserted", "zero_false_negatives", "n_new", "fp_rate_ok")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sketch_cms_token_freq", cmsTokenFreq, None),
+    QuerySpec("sketch_cms_faithful", cmsFaithful, None),
+    QuerySpec("sketch_cms_faithful_contract", cmsFaithfulContract, Some(cmsContractSql)),
+    QuerySpec("sketch_bloom_faithful_contract", bloomFaithfulContract, Some(bloomContractSql)),
     QuerySpec("sketch_cms_contract", cmsContract, Some(cmsContractSql)),
     QuerySpec("sketch_bloom_dedup", bloomShingleDedup, None),
     QuerySpec("sketch_bloom_contract", bloomContract, Some(bloomContractSql)),

@@ -85,4 +85,89 @@ class SketchSpec extends SparkSpec {
       assert(r.getAs[Double]("p99_abs_err") <= 0.01 * scale)
     }
   }
+
+  // ---------------------------------------------------- hash-faithful twins
+  //
+  // Unlike everything above (bounds, not hash values), these tests pin HASH
+  // VALUES: graft.functions.Blake2b/RefSketches must reproduce the
+  // reference's Python hashlib calls byte-for-byte. Goldens in
+  // src/test/resources/blake2b_goldens.tsv are CAPTURED hashlib output
+  // (scripts/gen_blake2b_goldens.py), not a hand reconstruction.
+
+  private def goldens(section: String): Seq[Array[String]] = {
+    val in = getClass.getResourceAsStream("/blake2b_goldens.tsv")
+    assert(in != null, "missing blake2b_goldens.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map(_.split("\t", -1)).filter(_.head == section).toVector
+    finally src.close()
+  }
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("Blake2b matches captured hashlib.blake2b output (keyed, sizes, block boundaries)") {
+    val rows = goldens("blake2b")
+    assert(rows.size >= 10, "blake2b golden section unexpectedly small")
+    rows.foreach { case Array(_, dataHex, keyHex, n, expect) =>
+      val got = graft.functions.Blake2b
+        .hash(unhex(dataHex), n.toInt, unhex(keyHex))
+        .map("%02x".format(_)).mkString
+      assert(got == expect,
+        s"blake2b(data=$dataHex key=$keyHex n=$n): $got != $expect")
+    }
+  }
+
+  test("faithful CMS columns match the reference's blake2b+sha256 hashing") {
+    import graft.functions.RefSketches
+    goldens("cms_cols").foreach {
+      case Array(_, item, seed, width, depth, colsCsv) =>
+        val salts = RefSketches.cmsSalts(seed.toInt, depth.toInt)
+        val got = (0 until depth.toInt)
+          .map(r => RefSketches.cmsCol(item.getBytes("UTF-8"), salts(r), width.toInt))
+        assert(got == colsCsv.split(",").map(_.toInt).toSeq,
+          s"cms columns for '$item' diverge from hashlib capture")
+    }
+  }
+
+  test("faithful Bloom sizing and indices match the reference's formulas and hashing") {
+    import graft.functions.RefSketches
+    goldens("bloom_mk").foreach { case Array(_, cap, err, m, k) =>
+      assert(RefSketches.bloomDims(cap.toLong, err.toDouble) == (m.toInt, k.toInt),
+        s"bloom dims for cap=$cap err=$err diverge")
+    }
+    goldens("bloom_idx").foreach { case Array(_, item, m, k, idxCsv) =>
+      val got = RefSketches.bloomIndices(item.getBytes("UTF-8"), m.toInt, k.toInt)
+      assert(got.toSeq == idxCsv.split(",").map(_.toInt).toSeq,
+        s"bloom indices for '$item' diverge from hashlib capture")
+    }
+  }
+
+  test("faithful CMS/Bloom aggregators honor the sketch contracts end to end") {
+    import spark.implicits._
+    import graft.functions.RefSketches
+    // CMS: never undercounts, bound at the REFERENCE's ε=e/width; the
+    // distributed partial+final build must equal a sequential build
+    (1 to 5).foreach { seed =>
+      val words = randomWords(seed)
+      val cms = words.toDF("w").as[String]
+        .select(RefSketches.cmsAgg(0, 544, 7).toColumn).head()
+      assert(cms.total == words.size)
+      words.groupBy(identity).view.mapValues(_.size.toLong).foreach { case (w, n) =>
+        val est = cms.estimate(w)
+        assert(est >= n, s"faithful CMS underestimated $w (seed $seed)")
+        assert(est <= n + math.ceil(math.E * words.size / 544).toLong,
+          s"faithful CMS overestimated $w beyond eps*N (seed $seed)")
+      }
+    }
+    // Bloom: zero false negatives; unseen keys mostly absent
+    val words = randomWords(1).distinct
+    val bloom = words.toDF("w").as[String]
+      .select(RefSketches.bloomAgg(100000L, 0.01).toColumn).head()
+    assert(bloom.m == 958506 && bloom.k == 7) // reference dims at (100k, 1%)
+    words.foreach(w => assert(bloom.mightContain(w), s"false negative: $w"))
+    val unseen = (1 to 1000).map(i => s"never-inserted-$i")
+    val fp = unseen.count(bloom.mightContain)
+    assert(fp <= 50, s"$fp/1000 false positives at 1% design fpp")
+  }
 }
