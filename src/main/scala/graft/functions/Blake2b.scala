@@ -124,6 +124,50 @@ object Blake2b {
     out
   }
 
+  /** Post-key chain state: `h` after compressing the padded key block —
+    * a pure function of (key, digestSize). Hot-loop form for the sketch
+    * aggregators, which hash millions of short tokens under a handful of
+    * fixed keys (7 CMS salts, 2 Bloom keys): precompute this once per key
+    * and each item costs ONE compression via [[hashKeyed]] instead of two
+    * via [[hash]]. Only valid for continuing with non-empty data (an empty
+    * message would need the key block itself flagged final). */
+  def keyedState(key: Array[Byte], digestSize: Int): Array[Long] = {
+    require(key.nonEmpty && key.length <= 64, s"key length ${key.length} out of 1..64")
+    require(digestSize >= 1 && digestSize <= 64, s"digestSize $digestSize out of 1..64")
+    val h = IV.clone()
+    h(0) ^= 0x01010000L ^ (key.length.toLong << 8) ^ digestSize.toLong
+    val kb = new Array[Byte](128)
+    System.arraycopy(key, 0, kb, 0, key.length)
+    compress(h, kb, 0, 128L, last = false)
+    h
+  }
+
+  /** Keyed digest continuing from a [[keyedState]]; bit-identical to
+    * `hash(data, digestSize, key)` for non-empty `data` (property-pinned in
+    * SketchSpec). */
+  def hashKeyed(state: Array[Long], data: Array[Byte], digestSize: Int): Array[Byte] = {
+    require(data.nonEmpty, "hashKeyed requires non-empty data; use hash() for empty messages")
+    val h = state.clone()
+    var t = 128L
+    var off = 0
+    while (data.length - off > 128) {
+      t += 128
+      compress(h, data, off, t, last = false)
+      off += 128
+    }
+    val fin = new Array[Byte](128)
+    System.arraycopy(data, off, fin, 0, data.length - off)
+    t += data.length - off
+    compress(h, fin, 0, t, last = true)
+    val out = new Array[Byte](digestSize)
+    var i = 0
+    while (i < digestSize) {
+      out(i) = ((h(i / 8) >>> (8 * (i % 8))) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** The 16-byte digest as an unsigned big-endian BigInt — the reference's
     * `int.from_bytes(h.digest(), "big")` step. */
   def bigIntOf(digest: Array[Byte]): BigInt = BigInt(1, digest)

@@ -49,6 +49,15 @@ object RefSketches {
   def cmsCol(itemUtf8: Array[Byte], salt: Array[Byte], width: Int): Int =
     beMod(Blake2b.hash(itemUtf8, 16, salt), width).toInt
 
+  /** Hot-loop form of [[cmsCol]]: the salt's post-key chain state is
+    * precomputed once per task (see [[Blake2b.keyedState]]), so each item
+    * pays one BLAKE2b compression, not two. Non-empty items only. */
+  def cmsColFast(itemUtf8: Array[Byte], saltState: Array[Long], width: Int): Int =
+    beMod(Blake2b.hashKeyed(saltState, itemUtf8, 16), width).toInt
+
+  def cmsSaltStates(seed: Int, depth: Int): Array[Array[Long]] =
+    cmsSalts(seed, depth).map(Blake2b.keyedState(_, 16))
+
   /** Reference sizing: width=⌈e/ε⌉, depth=⌈ln(1/δ)⌉
     * (count_min_sketch.py:from_error_delta). 544×7 at (0.005, 1e-3). */
   def cmsDims(epsilon: Double, delta: Double): (Int, Int) =
@@ -65,13 +74,20 @@ object RefSketches {
 
   private val H1 = "h1".getBytes("US-ASCII")
   private val H2 = "h2".getBytes("US-ASCII")
+  // fixed keys → the post-key states are constants; computed once per JVM
+  private lazy val H1State = Blake2b.keyedState(H1, 16)
+  private lazy val H2State = Blake2b.keyedState(H2, 16)
 
   /** The k bit indices for an item — (h1 + i·h2 + i²) % m over the two
     * keyed 16-byte digests. h1/h2 are pre-reduced mod m (modular arithmetic
     * distributes), so the per-probe math stays in Long. */
   def bloomIndices(itemUtf8: Array[Byte], m: Int, k: Int): Array[Int] = {
-    val h1 = beMod(Blake2b.hash(itemUtf8, 16, H1), m)
-    val h2 = beMod(Blake2b.hash(itemUtf8, 16, H2), m)
+    val h1 =
+      if (itemUtf8.nonEmpty) beMod(Blake2b.hashKeyed(H1State, itemUtf8, 16), m)
+      else beMod(Blake2b.hash(itemUtf8, 16, H1), m)
+    val h2 =
+      if (itemUtf8.nonEmpty) beMod(Blake2b.hashKeyed(H2State, itemUtf8, 16), m)
+      else beMod(Blake2b.hash(itemUtf8, 16, H2), m)
     Array.tabulate(k)(i => ((h1 + i.toLong * h2 + i.toLong * i) % m).toInt)
   }
 
@@ -101,8 +117,10 @@ object RefSketches {
   def cmsAgg(seed: Int, width: Int, depth: Int): Aggregator[String, CmsBuf, RefCms] =
     new Aggregator[String, CmsBuf, RefCms] {
       // recomputed once per deserialized task closure, never shipped with
-      // the 30 KB buffer
+      // the 30 KB buffer; post-key chain states so each item costs one
+      // compression per row, not two
       @transient private lazy val salts: Array[Array[Byte]] = cmsSalts(seed, depth)
+      @transient private lazy val saltStates: Array[Array[Long]] = cmsSaltStates(seed, depth)
 
       override def zero: CmsBuf = new CmsBuf(new Array[Long](width * depth), 0L)
 
@@ -110,7 +128,10 @@ object RefSketches {
         val bytes = item.getBytes("UTF-8")
         var r = 0
         while (r < depth) {
-          b.table(r * width + cmsCol(bytes, salts(r), width)) += 1
+          val c =
+            if (bytes.nonEmpty) cmsColFast(bytes, saltStates(r), width)
+            else cmsCol(bytes, salts(r), width)
+          b.table(r * width + c) += 1
           r += 1
         }
         b.total += 1

@@ -387,6 +387,12 @@ object Sketches {
     val nNew = fresh.count()
     val nFalsePos = fresh.filter(seen(col("sh"))).count()
     val fpOk = nNew == 0 || nFalsePos.toDouble / nNew <= 0.05
+    // every dependent count is materialized above and the returned frame is
+    // a driver-local literal — unpersist here so direct callers (outside the
+    // bench's per-query clearCache) don't leak the cached frames
+    sh.unpersist()
+    inserted.unpersist()
+    fresh.unpersist()
     Seq((nIns, nMissed == 0L, nNew, fpOk))
       .toDF("n_inserted", "zero_false_negatives", "n_new", "fp_rate_ok")
   }

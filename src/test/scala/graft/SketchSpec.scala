@@ -118,6 +118,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hashKeyed (cached post-key state) is bit-identical to hash for non-empty data") {
+    // the hot-loop form the sketch aggregators use: one compression per
+    // item via a precomputed key-block state. Must equal the two-compression
+    // reference form for every (key, data, digestSize), across block
+    // boundaries.
+    import graft.functions.Blake2b
+    val rnd = new scala.util.Random(4242)
+    val sizes = Seq(1, 2, 7, 63, 64, 65, 127, 128, 129, 200, 255, 256, 257, 300)
+    for (dataLen <- sizes; _ <- 1 to 20) {
+      val data = Array.fill(dataLen)(rnd.nextInt(256).toByte)
+      val key = Array.fill(1 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val n = 1 + rnd.nextInt(64)
+      val viaState = Blake2b.hashKeyed(Blake2b.keyedState(key, n), data, n)
+      val direct = Blake2b.hash(data, n, key)
+      assert(java.util.Arrays.equals(viaState, direct),
+        s"hashKeyed diverged at dataLen=$dataLen keyLen=${key.length} n=$n")
+    }
+    // empty data is rejected (the key block itself would need the final flag)
+    intercept[IllegalArgumentException] {
+      Blake2b.hashKeyed(Blake2b.keyedState(Array[Byte](1), 16), Array.emptyByteArray, 16)
+    }
+  }
+
   test("faithful CMS columns match the reference's blake2b+sha256 hashing") {
     import graft.functions.RefSketches
     goldens("cms_cols").foreach {
