@@ -326,16 +326,34 @@ object Dedup {
     * propagation run to FIXPOINT. Labels only decrease (min over
     * neighbors' labels, self-loops included), so convergence is "no label
     * changed this round" — one cheap count per round — and the number of
-    * rounds tracks the component diameter, not a guessed constant. Each
-    * round is one shuffle join + groupBy-min: the simplified
-    * large-star/small-star loop used for web-scale components. Past 8
-    * rounds the loop adds pointer jumping (label ← label(label)), so deep
-    * components finish in O(log diameter) extra rounds and the 50-round
-    * safety bound is effectively unreachable for a connected input (a
-    * deep near-dup chain usually means the threshold, not the loop, is
-    * wrong — hence the warning below). The cluster id is the
-    * smallest member — the survivor a keep-one dedup pass retains. Pure
-    * integer mins — bit-exact oracle (WITH RECURSIVE closure). */
+    * rounds tracks the component diameter, not a guessed constant. The
+    * loop is the simplified large-star/small-star kernel used for
+    * web-scale components, with two standard scale refinements:
+    *
+    *  - the edge cache is hash-partitioned AND sorted on the probe key
+    *    (`id_b`) ONCE before the loop, so no round re-shuffles or re-sorts
+    *    the dominant frame — each round's join reuses the cached layout
+    *    (labels/candidate frames are node-sized and already co-partitioned
+    *    on `node` by their own groupBy/join lineage);
+    *  - FRONTIER (delta) propagation: after round 1, only labels that
+    *    CHANGED last round are joined against edges — a node's min can
+    *    only improve when an in-neighbor improved the round before, so
+    *    propagating the frontier reaches the identical fixpoint (round 1
+    *    starts with every node in the frontier; unchanged nodes carry
+    *    forward through a co-partitioned left-merge with the previous
+    *    labels). On a near-dup graph most nodes converge in 1–2 rounds,
+    *    so late rounds join a vanishing frontier instead of the full
+    *    corpus — the difference between O(E) and O(frontier) per round at
+    *    100 TB.
+    *
+    * Past 8 rounds the loop switches to full-relation rounds with pointer
+    * jumping (label ← label(label)), so deep components finish in
+    * O(log diameter) extra rounds and the 50-round safety bound is
+    * effectively unreachable for a connected input (a deep near-dup chain
+    * usually means the threshold, not the loop, is wrong — hence the
+    * warning below). The cluster id is the smallest member — the survivor
+    * a keep-one dedup pass retains. Pure integer mins — bit-exact oracle
+    * (WITH RECURSIVE closure). */
   private[graft] def components(pairsIn: DataFrame, nodes: DataFrame): DataFrame = {
     // Callers persist pairsIn if its lineage is expensive (both current
     // callers do); edges is the frame every propagation round re-reads, so
@@ -351,42 +369,69 @@ object Dedup {
     // hash-agg of the edge set — the frame that dominates at corpus
     // scale — from every clusters query.
     val pairs = pairsIn.select(col("id_a"), col("id_b"))
+    // One co-locating shuffle + in-partition sort of the edge set, before
+    // the loop: every round's probe join requires exactly this layout, and
+    // the cached plan advertises both (InMemoryTableScan preserves the
+    // child's outputPartitioning/outputOrdering), so rounds touch the edge
+    // frame without an Exchange or a Sort.
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .union(nodes.select(col("id")).distinct()
         .select(col("id").as("id_a"), col("id").as("id_b")))
+      .repartition(col("id_b"))
+      .sortWithinPartitions(col("id_b"))
       .persist()
-    var labels = edges.groupBy(col("id_a").as("node"))
+    // State carried between rounds: (node, label, chg) — `chg` marks the
+    // frontier (labels that decreased last round). Round 1's frontier is
+    // every node.
+    var state = edges.groupBy(col("id_a").as("node"))
       .agg(min(col("id_b")).as("label"))
+      .withColumn("chg", lit(true))
       .persist()
     var changed = 1L
     var rounds = 0
     var cpDirAligned = false
     while (changed > 0 && rounds < 50) {
-      val viaEdges = edges
-        .join(labels, edges("id_b") === labels("node"))
+      val labels = state.select(col("node"), col("label"))
+      val frontier = rounds < 8
+      // Frontier rounds probe edges with only the changed labels; full
+      // rounds (deep graphs, 8+) probe with all labels and add pointer
+      // jumping below.
+      val probe =
+        if (frontier) state.filter(col("chg")).select(col("node"), col("label"))
+        else labels
+      val cand = edges
+        .join(probe, edges("id_b") === probe("node"))
         .groupBy(edges("id_a").as("node"))
-        .agg(min(col("label")).as("label"))
+        .agg(min(col("label")).as("cand"))
+      // Left-merge with the previous labels (co-partitioned on `node`, no
+      // extra shuffle): nodes outside the candidate set carry forward, and
+      // labels only ever decrease. In full rounds `cand` covers every node
+      // (self-loops) and cand ≤ label, so the merge degenerates to the
+      // plain propagation.
+      val mergedCore = labels.as("o")
+        .join(cand.as("c"), col("o.node") === col("c.node"), "left")
+        .select(col("o.node").as("node"),
+          least(col("o.label"), coalesce(col("c.cand"), col("o.label"))).as("label"),
+          (coalesce(col("c.cand"), col("o.label")) < col("o.label")).as("chg"))
       // Adaptive pointer jumping: once the graph has proven deeper than a
       // typical near-dup cluster (8+ rounds without converging), also
       // shortcut node → label → label(label) each round. Labels only
       // decrease and a node's label is always a member of its own
-      // component (the inner join never drops rows — self-loops in
-      // `edges` give every node a label), so the fixpoint is unchanged;
-      // path lengths halve per jumping round, so the 50-round bound then
-      // covers diameters ~8+2^42 rather than 50. Plain rounds stay
-      // single-join, so the common shallow case pays nothing.
-      val next = (if (rounds < 8) viaEdges
-        else viaEdges.as("x")
+      // component (so the inner join never drops rows), hence the
+      // fixpoint is unchanged; path lengths halve per jumping round, so
+      // the 50-round bound then covers diameters ~8+2^42 rather than 50.
+      // Frontier rounds stay single-join, so the common shallow case pays
+      // nothing.
+      val next = (if (frontier) mergedCore
+        else mergedCore.as("x")
           .join(labels.as("y"), col("x.label") === col("y.node"))
           .select(col("x.node").as("node"),
-            least(col("x.label"), col("y.label")).as("label")))
+            least(col("x.label"), col("y.label")).as("label"),
+            (col("x.chg") || col("y.label") < col("x.label")).as("chg")))
         .persist()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") < col("o.label"))
-        .count()
-      labels.unpersist()
+      changed = next.filter(col("chg")).count()
+      state.unpersist()
       rounds += 1
       // Truncate the fixpoint lineage every 5 rounds: each round's plan
       // nests the previous round's, so a deep graph (100× diameters) would
@@ -410,7 +455,7 @@ object Dedup {
       // `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
       // reliable files of GC'd label RDDs are removed instead of
       // accumulating one per 5 rounds per fixpoint.
-      labels = if (rounds % 5 == 0) {
+      state = if (rounds % 5 == 0) {
         val ss = next.sparkSession
         val cp = ss.conf.getOption("spark.graft.cc.checkpointDir") match {
           case Some(dir) =>
@@ -435,8 +480,14 @@ object Dedup {
         next.unpersist()
         cp
       } else next
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
+      if (sys.env.contains("GRAFT_CC_DEBUG")) {
         println(s"[components] round $rounds: $changed labels changed")
+        // round-2 plan = the steady frontier shape; lets the cache-reuse
+        // claims (no per-round Exchange/Sort on the edge side) be checked
+        // from the outside: GRAFT_CC_DEBUG=1 and read the dump
+        if (rounds == 2)
+          println(s"[components] round-2 physical plan:\n${next.queryExecution.executedPlan}")
+      }
     }
     if (changed > 0)
       // Diagnose instead of surfacing as a bare oracle hash mismatch: the
@@ -448,7 +499,7 @@ object Dedup {
           "converging; returned labels are NOT a fixpoint and will not " +
           "match the transitive-closure oracle")
     edges.unpersist()
-    labels
+    state.select(col("node"), col("label"))
   }
 
   /** Near-duplicate clusters: fixpoint [[components]] over the LSH pair
@@ -611,8 +662,8 @@ object Dedup {
       // ramp, profile r9), while staying O(seconds) and constant-cost
       // at any SF
       val docs = T.documents(s, d).limit(2048)
-      // banded-LSH pair builder + CC fixpoint (propagation rounds of
-      // join+agg, plus the changed-count join)
+      // banded-LSH pair builder + CC fixpoint (frontier propagation
+      // rounds of join+agg+left-merge over the pre-partitioned edge cache)
       val pairs = minhashPairs(docs).select(col("id_a"), col("id_b")).persist()
       val nodes = pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))

@@ -97,6 +97,34 @@ class DedupSpec extends SparkSpec {
       s"chain must collapse to one cluster rooted at 1, got $labels")
   }
 
+  test("components: frontier propagation matches driver union-find on random graphs") {
+    import spark.implicits._
+    // After round 1 only CHANGED labels are joined against edges (delta
+    // iteration); a frontier bug would under-propagate and strand nodes on
+    // intermediate labels — invisible on symmetric chains, so check random
+    // graphs (mixed component sizes, cycles, isolated nodes) against an
+    // exact driver-side union-find.
+    val rnd = new scala.util.Random(1337)
+    (1 to 3).foreach { trial =>
+      val n = 60 + trial * 40
+      val edges = (1 to n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = ops.Dedup.components(
+        edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("id")).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(got == expected, s"trial $trial (n=$n): frontier CC diverged from union-find")
+    }
+  }
+
   test("components: pointer-jumping branch (rounds >= 8) converges a deep chain") {
     import spark.implicits._
     // a 24-node path (diameter 23) cannot converge in the 8 plain rounds,
