@@ -21,6 +21,26 @@ object Bench {
     def jstr(v: String): String =
       "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\r\n\t]", " ") + "\""
+    // Machine-speed canary: a fixed single-threaded LCG loop, timed at
+    // bench start and end. Identical code has measured 96-160s totals on
+    // this box depending on ambient load; the canary pair turns that
+    // context into data the round-over-round comparison can use (a slow
+    // canary = slow machine, not a plan regression). Values are emitted as
+    // STRINGS so the driver's "name":float tail regex cannot misread them
+    // as query timings.
+    def cpuCanary(): Double = {
+      var acc = 0x9e3779b97f4a7c15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 200000000L) {
+        acc = acc * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) println("") // defeat dead-code elimination
+      dt
+    }
+    val canaryStart = cpuCanary()
     // untimed warmup — the shared Warmup.run entry point (session first-job
     // init, streaming state-store/RocksDB + per-family stateful-operator
     // first use, IVF index build, decode + token-window first-use) so Bench
@@ -109,6 +129,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
+    val canaryEnd = cpuCanary()
+    println(s"""{"metric":"cpu_canary","start_sec":${jstr(f(canaryStart))},"end_sec":${jstr(f(canaryEnd))}}""")
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
