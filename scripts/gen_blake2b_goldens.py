@@ -52,5 +52,37 @@ for item in ["spark query scan", "the quick brown", "café au lait"]:
     idx = [(h1 + i*h2 + i*i) % m for i in range(k)]
     out.append(f"bloom_idx\t{item}\t{m}\t{k}\t" + ",".join(map(str, idx)))
 
+# --- end-to-end sketch STATE vectors: the reference's full serialized ---
+# Bloom bytearray and CMS table after inserting a fixed item stream —
+# pins the engine's aggregator output byte-for-byte / cell-for-cell, not
+# just the per-item hashing.
+STREAM = ("spark query scan the quick brown fox jumps over the lazy dog "
+          "spark spark query count min sketch bloom filter café naïve "
+          "the the the a b c x y z data pipeline shuffle partition "
+          "broadcast join agg window state watermark").split()
+
+cap, err = 500, 0.01
+m = -int(round(cap * math.log(err) / (math.log(2) ** 2)))
+k = max(1, int(round((m / cap) * math.log(2))))
+bits = bytearray((m + 7) // 8)
+for item in STREAM:
+    h1 = int.from_bytes(hashlib.blake2b(item.encode(), digest_size=16, key=b"h1").digest(), "big")
+    h2 = int.from_bytes(hashlib.blake2b(item.encode(), digest_size=16, key=b"h2").digest(), "big")
+    for i in range(k):
+        idx = (h1 + i * h2 + i * i) % m
+        bits[idx >> 3] |= 1 << (idx & 7)  # LSB-first, reference bytearray
+out.append(f"bloom_state\t{cap}\t{err}\t{' '.join(STREAM)}\t{bytes(bits).hex()}")
+
+seed, width, depth = 0, 28, 3  # cmsDims(0.1, 0.05): small enough to pin whole
+salts = [hashlib.sha256(f"{seed}-{i}".encode()).digest() for i in range(depth)]
+table = [[0] * width for _ in range(depth)]
+for item in STREAM:
+    for r in range(depth):
+        c = int.from_bytes(hashlib.blake2b(item.encode(), digest_size=16,
+                                           key=salts[r]).digest(), "big") % width
+        table[r][c] += 1
+flat = ",".join(str(v) for row in table for v in row)
+out.append(f"cms_state\t{seed}\t{width}\t{depth}\t{' '.join(STREAM)}\t{flat}")
+
 open("src/test/resources/blake2b_goldens.tsv", "w").write("\n".join(out) + "\n")
 print(f"wrote {len(out)} lines")

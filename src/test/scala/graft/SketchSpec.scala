@@ -166,6 +166,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("faithful aggregators reproduce the reference's full serialized state") {
+    // Strongest form of the hash-faithfulness claim: not just per-item
+    // hashing, but the FULL Bloom bytearray / CMS table after a fixed item
+    // stream, captured from a Python replay of the reference's code paths
+    // (gen_blake2b_goldens.py). Runs through the Spark aggregators, so the
+    // partial+final merge path is covered too.
+    import spark.implicits._
+    import graft.functions.RefSketches
+    goldens("bloom_state").foreach { case Array(_, cap, err, items, hexBits) =>
+      val bloom = items.split(" ").toSeq.toDS()
+        .repartition(4) // force a multi-partition partial+final merge
+        .select(RefSketches.bloomAgg(cap.toLong, err.toDouble).toColumn).head()
+      assert(bloom.bits.map("%02x".format(_)).mkString == hexBits,
+        "faithful Bloom bytearray diverged from the Python-replay capture")
+    }
+    goldens("cms_state").foreach { case Array(_, seed, width, depth, items, flat) =>
+      val cms = items.split(" ").toSeq.toDS()
+        .repartition(4)
+        .select(RefSketches.cmsAgg(seed.toInt, width.toInt, depth.toInt).toColumn).head()
+      assert(cms.table.toSeq == flat.split(",").map(_.toLong).toSeq,
+        "faithful CMS table diverged from the Python-replay capture")
+    }
+  }
+
   test("faithful CMS/Bloom aggregators honor the sketch contracts end to end") {
     import spark.implicits._
     import graft.functions.RefSketches
