@@ -91,21 +91,39 @@ object Dedup {
        |  FROM sh_sets GROUP BY doc_id""".stripMargin
   }
 
-  /** MinHash + LSH near-duplicate pairs: signatures → 4 band keys → bucket
-    * join on (band, key) → signature-agreement estimate ≥ 0.5. The band join
-    * is the scale path: candidate generation is linear in bucket sizes. */
-  private def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = signatures(docs)
-    // three consumers (band explosion + both signature-fetch join sides):
-    // persist or the 16-md5-per-shingle signature pass runs three times
-    val sigArr = sig.withColumn("sig", array((0 until P).map(p => col(s"mh$p")): _*))
-      .persist()
-    val bands = sigArr.select(col("doc_id"),
+  /** Signatures with the flat per-perm columns packed into one `sig`
+    * array — the form both the pair builder and the persisted LSH index
+    * store/probe. Each doc's signature depends only on its own shingles
+    * (global per-perm md5 hashing), so signatures computed for different
+    * doc batches are mutually consistent — the property incremental
+    * intake relies on. */
+  private def sigWithArray(docs: DataFrame): DataFrame =
+    signatures(docs).withColumn("sig", array((0 until P).map(p => col(s"mh$p")): _*))
+
+  /** LSH band rows (doc_id, band, bkey) for banded AND-OR candidate
+    * generation: B bands of 4 concatenated minhash rows each. */
+  private def bandsOf(sigArr: DataFrame): DataFrame =
+    sigArr.select(col("doc_id"),
       explode(array((0 until B).map { b =>
         struct(lit(b).as("band"),
           concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("bkey"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** Fraction of agreeing minhash positions, rounded — the LSH Jaccard
+    * estimate used as the verify stage everywhere. */
+  private def sigAgreement(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / P, 4)
+
+  /** MinHash + LSH near-duplicate pairs: signatures → 4 band keys → bucket
+    * join on (band, key) → signature-agreement estimate ≥ 0.5. The band join
+    * is the scale path: candidate generation is linear in bucket sizes. */
+  private def minhashPairs(docs: DataFrame): DataFrame = {
+    // three consumers (band explosion + both signature-fetch join sides):
+    // persist or the 16-md5-per-shingle signature pass runs three times
+    val sigArr = sigWithArray(docs).persist()
+    val bands = bandsOf(sigArr)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -115,10 +133,7 @@ object Dedup {
     val sa = sigArr.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val sb = sigArr.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_jaccard",
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / P, 4))
+      .withColumn("est_jaccard", sigAgreement(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
@@ -681,6 +696,91 @@ object Dedup {
     ()
   }
 
+  // ---------------------------------------------- incremental intake dedup
+
+  /** Incremental near-dup intake against a PERSISTED corpus LSH index —
+    * the daily-ingest shape at corpus scale: the historical corpus's
+    * signatures and band keys are MATERIALIZED once (parquet, bands
+    * partitioned by `band`) and every new batch probes that store instead
+    * of re-hashing the corpus. Sound because a doc's signature depends
+    * only on its own shingles (see [[sigWithArray]]) — index and batch
+    * hash spaces are identical by construction.
+    *
+    * Split convention mirrors the Bloom contract: corpus = doc_id < n/2,
+    * batch = the rest. Output: verified (batch_id, corpus_id) near-dup
+    * links at the 0.5 signature-agreement threshold — what an intake
+    * pipeline drops or routes to review. The DuckDB twin computes the
+    * same result directly from the raw tables, so oracle equality proves
+    * the index write/read/probe path is lossless.
+    *
+    * 100 TB design: the index is written `partitionBy(band)` so a probe
+    * shuffles only on (band, bkey) against co-bucketable band files, and
+    * batch-side work is proportional to the BATCH, not the corpus; the
+    * corpus is touched only through the index files. */
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val half = docs.count() / 2
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_lsh_index_")
+    // clean the materialized index on JVM exit (same bottom-up walker
+    // pattern as shuffleWrite: deleteOnExit on a non-empty dir is a no-op)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      if (Files.exists(idxRoot)) {
+        Files.walk(idxRoot).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }))
+    val idx = idxRoot.toFile.getAbsolutePath
+    // ---- index build (once per corpus epoch, amortized over batches)
+    val corpusSig = sigWithArray(docs.filter(col("doc_id") < half)).persist()
+    bandsOf(corpusSig).write.partitionBy("band").parquet(s"$idx/bands")
+    corpusSig.select(col("doc_id"), col("sig")).write.parquet(s"$idx/sigs")
+    corpusSig.unpersist() // index is durable; nothing else reads the frame
+    // ---- batch probe (what actually runs per ingest)
+    val batchSig = sigWithArray(docs.filter(col("doc_id") >= half)).persist()
+    val idxBands = s.read.parquet(s"$idx/bands")
+    val idxSigs = s.read.parquet(s"$idx/sigs")
+    val cand = bandsOf(batchSig).as("q")
+      .join(idxBands.as("x"),
+        col("q.band") === col("x.band") && col("q.bkey") === col("x.bkey"))
+      .select(col("q.doc_id").as("batch_id"), col("x.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(batchSig.select(col("doc_id").as("batch_id"), col("sig").as("sig_q")), "batch_id")
+      .join(idxSigs.select(col("doc_id").as("corpus_id"), col("sig").as("sig_x")), "corpus_id")
+      .withColumn("est_jaccard", sigAgreement(col("sig_q"), col("sig_x")))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  private val incrementalDedupSql = {
+    val bandRows = (0 until B).map { b =>
+      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matches = (0 until P).map(p =>
+      s"CASE WHEN q.mh$p = x.mh$p THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh_sets AS ($shingleSetsSql),
+       |sig AS (
+       |  $signaturesSql),
+       |h AS (SELECT count(*) // 2 AS half FROM documents),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM bands b JOIN bands c
+       |    ON b.band = c.band AND b.bkey = c.bkey
+       |   AND b.doc_id >= (SELECT half FROM h)
+       |   AND c.doc_id < (SELECT half FROM h))
+       |SELECT batch_id, corpus_id,
+       |  round(($matches) / 16.0, 4) AS est_jaccard
+       |FROM cand JOIN sig q ON q.doc_id = batch_id
+       |          JOIN sig x ON x.doc_id = corpus_id
+       |WHERE round(($matches) / 16.0, 4) >= 0.5
+       |ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -691,5 +791,6 @@ object Dedup {
     QuerySpec("dedup_embed_cosine", embedNearDup, Some(embedNearDupSql)),
     QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QuerySpec("dedup_levenshtein", levenshteinPairs, Some(levenshteinPairsSql)),
-    QuerySpec("dedup_semantic_clusters", semanticClusters, Some(semanticClustersSql)))
+    QuerySpec("dedup_semantic_clusters", semanticClusters, Some(semanticClustersSql)),
+    QuerySpec("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)))
 }

@@ -251,6 +251,28 @@ class DedupSpec extends SparkSpec {
       s"expected lost-checkpoint-block failure, got: ${e.getMessage}")
   }
 
+  test("incremental dedup against the persisted index equals the direct cross-split pairs") {
+    // The persisted-LSH-index probe must be LOSSLESS: every near-dup link
+    // between the batch half and the corpus half that the direct
+    // (recompute-everything) pair builder finds, and nothing else. Compare
+    // dedup_incremental to dedup_minhash_lsh restricted to cross-split
+    // pairs at the same threshold.
+    val half = graft.Tables.documents(spark, sf001).count() / 2
+    val direct = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("id_a") < half &&
+        org.apache.spark.sql.functions.col("id_b") >= half)
+      .collect()
+      .map(r => (r.getAs[Long]("id_b"), r.getAs[Long]("id_a"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    val viaIndex = SparkEntry.queries("dedup_incremental")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    assert(viaIndex == direct,
+      s"index probe diverged from direct pairs: only-index=${viaIndex -- direct}, " +
+        s"missed=${direct -- viaIndex}")
+  }
+
   test("embed near-dup: LSH-banded pairs are exact-threshold pairs with high recall") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSim.register(spark)
