@@ -738,8 +738,14 @@ object Dedup {
     corpusSig.unpersist() // index is durable; nothing else reads the frame
     // ---- batch probe (what actually runs per ingest)
     val batchSig = sigWithArray(docs.filter(col("doc_id") >= half)).persist()
-    val idxBands = s.read.parquet(s"$idx/bands")
-    val idxSigs = s.read.parquet(s"$idx/sigs")
+    // explicit read schemas: an empty corpus writes no parquet part files
+    // (only _SUCCESS), and a schema-less read of that dir cannot infer one
+    val idxBands = s.read
+      .schema("doc_id BIGINT, bkey STRING, band INT")
+      .parquet(s"$idx/bands")
+    val idxSigs = s.read
+      .schema("doc_id BIGINT, sig ARRAY<STRING>")
+      .parquet(s"$idx/sigs")
     val cand = bandsOf(batchSig).as("q")
       .join(idxBands.as("x"),
         col("q.band") === col("x.band") && col("q.bkey") === col("x.bkey"))
