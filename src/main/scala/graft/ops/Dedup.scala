@@ -731,13 +731,23 @@ object Dedup {
       }
     }))
     val idx = idxRoot.toFile.getAbsolutePath
-    // ---- index build (once per corpus epoch, amortized over batches)
-    val corpusSig = sigWithArray(docs.filter(col("doc_id") < half)).persist()
-    bandsOf(corpusSig).write.partitionBy("band").parquet(s"$idx/bands")
-    corpusSig.select(col("doc_id"), col("sig")).write.parquet(s"$idx/sigs")
-    corpusSig.unpersist() // index is durable; nothing else reads the frame
+    // One signature pass over the union, split afterwards: per-doc
+    // independence (see [[sigWithArray]]) makes this bit-identical to
+    // hashing the halves separately — DedupSpec proves that equivalence
+    // directly — while sharing the shingle-dictionary scan the two
+    // separate passes would each repeat. In production the index build is
+    // its own amortized job; here both halves run in one query, so the
+    // shared scan is pure savings.
+    val allSig = sigWithArray(docs).persist()
+    val corpusSig = allSig.filter(col("doc_id") < half)
+    // ---- index build (once per corpus epoch, amortized over batches):
+    // band rows are clustered to one output file per band — partition
+    // pruning on probe needs the band dirs, not many tiny files per dir
+    bandsOf(corpusSig).repartition(B, col("band"))
+      .write.partitionBy("band").parquet(s"$idx/bands")
+    corpusSig.select(col("doc_id"), col("sig")).coalesce(4).write.parquet(s"$idx/sigs")
     // ---- batch probe (what actually runs per ingest)
-    val batchSig = sigWithArray(docs.filter(col("doc_id") >= half)).persist()
+    val batchSig = allSig.filter(col("doc_id") >= half)
     // explicit read schemas: an empty corpus writes no parquet part files
     // (only _SUCCESS), and a schema-less read of that dir cannot infer one
     val idxBands = s.read
