@@ -141,6 +141,7 @@ object Similarity {
     * 4.5→7.5 s while its probe-side work was unchanged). */
   def warmIndex(s: SparkSession, d: String): Unit = {
     knnIvf(s, d).count()
+    knnPq(s, d).count() // PQ codebook fit — same fit-once/probe-many shape
     s.catalog.clearCache()
   }
 
@@ -393,6 +394,127 @@ object Similarity {
     s"""SELECT count(*) AS n_queries, TRUE AS mllib_recall_ok
        |FROM embeddings WHERE vec_id < $NQ""".stripMargin
 
+  // --------------------------------------------------- product quantization
+
+  private val PQ_M = 8          // subspaces (dim must divide evenly)
+  private val PQ_KC = 16        // codebook centroids per subspace
+  private val PQ_SHORTLIST = 64 // ADC shortlist re-ranked with exact cosine
+  private[graft] val PQ_RECALL_FLOOR = 0.5
+
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[org.apache.spark.ml.clustering.KMeansModel]]
+
+  /** Product-quantization ANN — the memory-compressed form of the 100 TB
+    * vector path: each dim-d float vector (4·d bytes) is stored as PQ_M
+    * one-byte codebook codes (d=64 → 32× compression), and the candidate
+    * scan reads ONLY the codes plus a per-query lookup table of
+    * PQ_M×PQ_KC partial distances (asymmetric distance computation —
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011). Codebooks are per-subspace seeded KMeans over the
+    * L2-NORMALIZED subvectors (spherical, matching the cosine metric —
+    * same argument as [[knnIvf]]), fit once per dataset and cached like
+    * the IVF quantizer. The ADC shortlist is re-ranked with exact cosine
+    * over the original vectors (standard PQ + refine).
+    *
+    * Plan shape at scale: the LUT is NQ×PQ_M×PQ_KC rows (broadcast-tiny,
+    * corpus-size-invariant), the ADC scan is a broadcast join + partial
+    * agg over the code table (PQ_M smallints per corpus row — the ONLY
+    * corpus-sized input), and the original vectors are touched for
+    * PQ_SHORTLIST rows per query. Codes are model-derived → rows-only;
+    * hard-gated by `sim_pq_contract` (recall floor vs brute force). */
+  private def knnPq(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nrm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    val e = T.embeddings(s, d)
+      .withColumn("nvec", transform(col("embedding"), x => x.cast("double") / nrm))
+    // single-row probe doubles as the empty guard (KMeans.fit rejects
+    // empty input; the PQ of an empty corpus is the empty result)
+    val head = e.select(size(col("embedding")).as("dim")).limit(1).collect()
+    if (head.isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("adc", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
+    val subDim = head(0).getInt(0) / PQ_M
+    val withSubs = (0 until PQ_M).foldLeft(e)((df, m) =>
+      df.withColumn(s"f$m", array_to_vector(slice(col("nvec"), m * subDim + 1, subDim))))
+    val models = pqModels.getOrElseUpdate(ivfKey(d),
+      (0 until PQ_M).map(m =>
+        new KMeans().setK(PQ_KC).setSeed(42L + m).setMaxIter(5)
+          .setFeaturesCol(s"f$m").setPredictionCol(s"code$m")
+          .fit(withSubs)))
+    val codes = models.foldLeft(withSubs)((df, km) => km.transform(df))
+      .select(Seq(col("vec_id"), col("embedding"), col("nvec")) ++
+        (0 until PQ_M).map(m => col(s"code$m")): _*)
+      .persist()
+    // codebook table: PQ_M×PQ_KC rows of subDim doubles — broadcast-tiny
+    import s.implicits._
+    val cents = models.zipWithIndex.flatMap { case (km, m) =>
+      km.clusterCenters.zipWithIndex.map { case (ctr, c) => (m, c, ctr.toArray.toSeq) }
+    }.toDF("m", "code", "ctr")
+    val queries = codes.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nvec").as("qn"))
+    // per-query ADC lookup table: partial squared distance from the query
+    // subvector to every (subspace, centroid) — NQ×PQ_M×PQ_KC rows
+    val lut = queries.crossJoin(broadcast(cents))
+      .withColumn("pdist",
+        aggregate(zip_with(slice(col("qn"), col("m") * subDim + 1, lit(subDim)), col("ctr"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+      .select(col("query_id"), col("m"), col("code"), col("pdist"))
+    // ADC scan: codes only on the corpus side
+    val candCodes = codes.select(col("vec_id").as("cand_id"),
+      explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"), col(s"code$m").as("code"))): _*)).as("mc"))
+      .select(col("cand_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    val adc = candCodes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id")).agg(sum(col("pdist")).as("adc"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))
+    val shortlist = adc.withColumn("pr", row_number().over(wAdc))
+      .filter(col("pr") <= PQ_SHORTLIST)
+      .select(col("query_id"), col("cand_id"), col("adc"))
+    // refine: exact cosine over the original vectors, shortlist rows only
+    val rer = shortlist
+      .join(codes.select(col("vec_id").as("cand_id"), col("embedding").as("ce")), "cand_id")
+      .join(broadcast(queries.select(col("query_id"), col("qe"))), "query_id")
+      .withColumn("cos", cosine_sim(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("adc"), 4).as("adc"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Contract twin for `sim_knn_pq`: recall@K against the exact
+    * brute-force top-K crosses the pinned floor. Seeds are fixed, so the
+    * boolean is deterministic per dataset and the driver hash-gates it. */
+  private def pqContract(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteforce(s, d).select(col("query_id"), col("cand_id")).persist()
+    val base = exact.count()
+    val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
+    val recall =
+      if (base == 0) 1.0
+      else exact.join(knnPq(s, d).select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    // all consumers of the cached frame ran eagerly (same as annContract)
+    exact.unpersist()
+    import s.implicits._
+    Seq((nQueries, recall >= PQ_RECALL_FLOOR))
+      .toDF("n_queries", "pq_recall_ok")
+  }
+
+  private val pqContractSql =
+    s"""SELECT count(*) AS n_queries, TRUE AS pq_recall_ok
+       |FROM embeddings WHERE vec_id < $NQ""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     QuerySpec("sim_knn_lsh", knnLsh, Some(knnLshSql)),
@@ -401,5 +523,7 @@ object Similarity {
     QuerySpec("sim_ivf_recall", ivfRecall, None),
     QuerySpec("sim_ann_contract", annContract, Some(annContractSql)),
     QuerySpec("mllib_ann_contract", mllibAnnContract, Some(mllibAnnContractSql)),
+    QuerySpec("sim_knn_pq", knnPq, None),
+    QuerySpec("sim_pq_contract", pqContract, Some(pqContractSql)),
     QuerySpec("sim_hybrid_search", hybridSearch, Some(hybridSearchSql)))
 }

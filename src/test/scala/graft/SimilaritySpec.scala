@@ -44,4 +44,31 @@ class SimilaritySpec extends SparkSpec {
     assert(avg > 0.2 && avg <= 1.0, s"IVF nprobe-3 recall out of range: $avg")
     assert(r1.getAs[Long]("n_queries") > 0)
   }
+
+  test("PQ: deterministic, re-ranked cosines are true cosines, top-K per query") {
+    val r1 = SparkEntry.queries("sim_knn_pq")(spark, sf001).collect()
+    val r2 = SparkEntry.queries("sim_knn_pq")(spark, sf001).collect()
+    assert(r1.toSeq == r2.toSeq, "seeded codebooks must make PQ deterministic")
+    val bf = resultMap("sim_knn_bruteforce")
+    r1.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q returned more than K rows")
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length),
+        "ranks must be dense from 1")
+      // the refine stage computes exact cosine, so any PQ hit that brute
+      // force also returned must carry the identical score
+      val bfCos = bf(q).map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("cos")).toMap
+      rows.foreach { r =>
+        bfCos.get(r.getAs[Long]("cand_id")).foreach { c =>
+          assert(c == r.getAs[Double]("cos"), "re-ranked cosine must match brute force")
+        }
+      }
+    }
+  }
+
+  test("PQ contract: recall floor crossed at test scale") {
+    val r = SparkEntry.queries("sim_pq_contract")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("pq_recall_ok"),
+      s"PQ recall under floor ${ops.Similarity.PQ_RECALL_FLOOR}")
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
 }
