@@ -530,8 +530,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val dedupClustersSql =
-    s"""WITH RECURSIVE sh_sets AS ($shingleSetsSql),
+  /** The shared WITH-RECURSIVE CTE chain: shingles → signatures → LSH
+    * bands → verified pairs → symmetric/reflexive edges → transitive
+    * closure. Consumers append their own final SELECT (dedup_clusters,
+    * dedup_cluster_rep). */
+  private val closureCtesSql =
+    s"""sh_sets AS ($shingleSetsSql),
        |sig AS (
        |  $signaturesSql),
        |bands AS (
@@ -555,7 +559,10 @@ object Dedup {
        |reach(node, r) AS (
        |  SELECT id_a, id_b FROM edges
        |  UNION
-       |  SELECT e.id_a, w.r FROM edges e JOIN reach w ON w.node = e.id_b)
+       |  SELECT e.id_a, w.r FROM edges e JOIN reach w ON w.node = e.id_b)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $closureCtesSql
        |SELECT node AS doc_id, min(r) AS cluster_id,
        |  node = min(r) AS is_survivor
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
@@ -797,6 +804,58 @@ object Dedup {
        |ORDER BY batch_id, corpus_id""".stripMargin
   }
 
+  // ------------------------------------------- cluster representative pick
+
+  /** Quality-weighted canonical selection — the decision a curation
+    * pipeline actually ships after near-dup clustering: keep ONE doc per
+    * cluster, elected by the ta_quality composite score (ties → lowest
+    * doc_id) instead of blindly the lowest id. Covers ALL docs: a doc in
+    * no near-dup pair is its own cluster and survives. Output per doc:
+    * cluster, quality, elected representative, keep flag.
+    *
+    * The quality scalar is [[TextAnalysis.withQuality]] — ONE definition
+    * (same rounding chain) shared with `ta_quality`, so the two queries
+    * can never disagree on a score.
+    *
+    * Plan shape at scale: CC labels (frontier fixpoint) hash-join the
+    * quality frame on doc_id, then one cluster-keyed window elects the
+    * representative — the only shuffles are the label join and the
+    * window partition, both on corpus keys. */
+  private def clusterRep(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val pairs = minhashPairs(docs).select(col("id_a"), col("id_b")).persist()
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+    val labels = components(pairs, nodes)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality"))
+    val member = q.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+    member.withColumn("rep_id", first(col("doc_id")).over(w))
+      .withColumn("keep", col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("rep_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val clusterRepSql =
+    s"""WITH RECURSIVE $closureCtesSql,
+       |labs AS (
+       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+       |q AS (
+       |  ${TextAnalysis.qualityCteSql}),
+       |m AS (
+       |  SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id, q.quality
+       |  FROM q LEFT JOIN labs l ON l.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_id, quality,
+       |  first_value(doc_id) OVER w AS rep_id,
+       |  doc_id = first_value(doc_id) OVER w AS keep
+       |FROM m
+       |WINDOW w AS (PARTITION BY cluster_id ORDER BY quality DESC NULLS LAST, doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -808,5 +867,6 @@ object Dedup {
     QuerySpec("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QuerySpec("dedup_levenshtein", levenshteinPairs, Some(levenshteinPairsSql)),
     QuerySpec("dedup_semantic_clusters", semanticClusters, Some(semanticClustersSql)),
-    QuerySpec("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)))
+    QuerySpec("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
+    QuerySpec("dedup_cluster_rep", clusterRep, Some(clusterRepSql)))
 }

@@ -66,8 +66,12 @@ object TextAnalysis {
 
   /** Quality scoring: length/stopword/punctuation heuristics composed into
     * one deterministic [0,1] score. */
-  private def quality(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+  /** Adds the ta_quality intermediate + composite-score columns — the one
+    * definition of the curation quality scalar, shared with
+    * [[Dedup]]'s cluster-representative selection (same rounding chain,
+    * so both sides agree bit-for-bit with the DuckDB twin). */
+  private[ops] def withQuality(docs: DataFrame): DataFrame =
+    docs
       .withColumn("len_chars", length(col("text")))
       .withColumn("n_tok", size(split(col("text"), " ")))
       .withColumn("stop_hits", hits(rawToks(col("text")), Text.STOPWORDS))
@@ -75,11 +79,26 @@ object TextAnalysis {
         length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
       .withColumn("stop_ratio", round(col("stop_hits").cast("double") / col("n_tok"), 4))
       .withColumn("punct_ratio", round(col("punct_chars").cast("double") / col("len_chars"), 4))
-      .withColumn("avg_tok_len",
-        round((col("len_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"), 4))
       .withColumn("quality",
         round(least(lit(1.0), col("n_tok").cast("double") / 100) *
           (lit(1.0) - col("stop_ratio")) * (lit(1.0) - col("punct_ratio")), 4))
+
+  /** The matching DuckDB fragment: `quality` per doc_id (a CTE body). */
+  private[ops] val qualityCteSql =
+    s"""SELECT doc_id,
+       |  round(least(1.0, n_tok / 100.0) * (1.0 - round(stop_hits * 1.0 / n_tok, 4))
+       |        * (1.0 - round(punct_chars * 1.0 / len_chars, 4)), 4) AS quality
+       |FROM (SELECT doc_id,
+       |    CAST(length(text) AS INT) AS len_chars,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |    ${hitsSql(Text.STOPWORDS)} AS stop_hits,
+       |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct_chars
+       |  FROM documents)""".stripMargin
+
+  private def quality(s: SparkSession, d: String): DataFrame =
+    withQuality(T.documents(s, d))
+      .withColumn("avg_tok_len",
+        round((col("len_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"), 4))
       .select(col("doc_id"), col("len_chars"), col("n_tok"), col("stop_ratio"),
         col("punct_ratio"), col("avg_tok_len"), col("quality"))
       .orderBy(col("doc_id"))

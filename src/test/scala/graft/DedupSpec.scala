@@ -295,6 +295,32 @@ class DedupSpec extends SparkSpec {
       s"recall too low: found ${(exact & lsh).size}/${exact.size}")
   }
 
+  test("cluster rep: one keeper per cluster, and it is the max-quality member") {
+    val rows = SparkEntry.queries("dedup_cluster_rep")(spark, sf001).collect()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every document appears exactly once (singletons included)
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    assert(rows.length.toLong == nDocs, "rep table must cover every doc")
+    // clustered docs carry the CC label; unclustered docs are their own cluster
+    rows.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("cluster_id") == clusters.getOrElse(doc, doc))
+    }
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (c, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"cluster $c must elect exactly one keeper")
+      val best = members.map(m =>
+        (Option(m.getAs[java.lang.Double]("quality")).map(-_.doubleValue).getOrElse(1.0),
+          m.getAs[Long]("doc_id"))).min
+      assert(keepers.head.getAs[Long]("doc_id") == best._2,
+        s"cluster $c keeper is not the max-quality (ties: min id) member")
+      assert(members.forall(m =>
+        m.getAs[Long]("rep_id") == keepers.head.getAs[Long]("doc_id")),
+        s"cluster $c members must all point at the keeper")
+    }
+  }
+
   test("knn: brute-force rank-1 neighbor has the highest cosine; lsh is a subset of candidates") {
     val bf = SparkEntry.queries("sim_knn_bruteforce")(spark, sf001).collect()
     val byQuery = bf.groupBy(_.getAs[Long]("query_id"))
