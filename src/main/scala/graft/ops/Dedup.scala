@@ -97,12 +97,12 @@ object Dedup {
     * (global per-perm md5 hashing), so signatures computed for different
     * doc batches are mutually consistent — the property incremental
     * intake relies on. */
-  private def sigWithArray(docs: DataFrame): DataFrame =
+  private[graft] def sigWithArray(docs: DataFrame): DataFrame =
     signatures(docs).withColumn("sig", array((0 until P).map(p => col(s"mh$p")): _*))
 
   /** LSH band rows (doc_id, band, bkey) for banded AND-OR candidate
     * generation: B bands of 4 concatenated minhash rows each. */
-  private def bandsOf(sigArr: DataFrame): DataFrame =
+  private[graft] def bandsOf(sigArr: DataFrame): DataFrame =
     sigArr.select(col("doc_id"),
       explode(array((0 until B).map { b =>
         struct(lit(b).as("band"),
@@ -746,17 +746,29 @@ object Dedup {
     // its own amortized job; here both halves run in one query, so the
     // shared scan is pure savings.
     val allSig = sigWithArray(docs).persist()
-    val corpusSig = allSig.filter(col("doc_id") < half)
-    // ---- index build (once per corpus epoch, amortized over batches):
-    // band rows are clustered to one output file per band — partition
-    // pruning on probe needs the band dirs, not many tiny files per dir
+    buildLshIndex(allSig.filter(col("doc_id") < half), idx)
+    probeLshIndex(s, allSig.filter(col("doc_id") >= half), idx)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** Materialize the LSH index (band keys + signatures) for a corpus
+    * signature frame (the [[sigWithArray]] form) under `idx` — the
+    * once-per-epoch build step both `dedup_incremental` and the
+    * streaming intake share. Band rows are clustered to one output file
+    * per `band=` partition dir: partition pruning on probe needs the
+    * band dirs, not many tiny files per dir. */
+  private[graft] def buildLshIndex(corpusSig: DataFrame, idx: String): Unit = {
     bandsOf(corpusSig).repartition(B, col("band"))
       .write.partitionBy("band").parquet(s"$idx/bands")
     corpusSig.select(col("doc_id"), col("sig")).coalesce(4).write.parquet(s"$idx/sigs")
-    // ---- batch probe (what actually runs per ingest)
-    val batchSig = allSig.filter(col("doc_id") >= half)
-    // explicit read schemas: an empty corpus writes no parquet part files
-    // (only _SUCCESS), and a schema-less read of that dir cannot infer one
+  }
+
+  /** Verified (batch_id, corpus_id, est_jaccard) near-dup links of a
+    * batch signature frame against a persisted index — the per-ingest
+    * probe. Unsorted; callers order or aggregate. Explicit read schemas:
+    * an empty corpus writes no parquet part files (only _SUCCESS), and a
+    * schema-less read of that dir cannot infer one. */
+  private[graft] def probeLshIndex(s: SparkSession, batchSig: DataFrame, idx: String): DataFrame = {
     val idxBands = s.read
       .schema("doc_id BIGINT, bkey STRING, band INT")
       .parquet(s"$idx/bands")
@@ -774,10 +786,9 @@ object Dedup {
       .withColumn("est_jaccard", sigAgreement(col("sig_q"), col("sig_x")))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
-      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
-  private val incrementalDedupSql = {
+  private[graft] val incrementalDedupSql = {
     val bandRows = (0 until B).map { b =>
       val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"

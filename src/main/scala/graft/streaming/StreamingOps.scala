@@ -680,6 +680,56 @@ object StreamingOps {
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM wins GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** Streaming incremental intake dedup (dedup family × ST surface): the
+    * corpus LSH index is a BATCH artifact, built once per epoch; arriving
+    * documents stream through foreachBatch, each micro-batch probing the
+    * persisted index with EXACTLY the same build/probe code as
+    * `dedup_incremental` ([[graft.ops.Dedup.buildLshIndex]] /
+    * [[graft.ops.Dedup.probeLshIndex]] — shared, not reimplemented) and
+    * landing its verified links in the idempotent batchId-keyed sink.
+    * The oracle is the SAME SQL as `dedup_incremental`: a replayed batch
+    * overwrites its own attempt, so the union over batches equals the
+    * one-shot probe — that equality is the exactly-once claim for the
+    * intake path. At scale this is the daily-ingest topology: index on
+    * durable storage, stream partitions probe it independently, and
+    * per-batch cost is proportional to the BATCH. */
+  private def incrementalIntake(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+    import java.nio.file._
+    val docs = graft.Tables.documents(s, d)
+    val half = docs.count() / 2
+    val idxTmp = Files.createTempDirectory("graft_stream_lshidx")
+    val outTmp = Files.createTempDirectory("graft_stream_intake")
+    Seq(idxTmp, outTmp).foreach { p =>
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+    }
+    val idx = idxTmp.toString
+    val outDir = outTmp.toString
+    graft.ops.Dedup.buildLshIndex(
+      graft.ops.Dedup.sigWithArray(docs.filter(col("doc_id") < half)), idx)
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+      .filter(col("doc_id") >= half)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // three consumers of the batch signatures (bands + both join
+        // sides) — persist for the life of the micro-batch only
+        val batchSig = graft.ops.Dedup.sigWithArray(batch).persist()
+        writeBatchIdempotent(
+          graft.ops.Dedup.probeLshIndex(batch.sparkSession, batchSig, idx),
+          batchId, outDir)
+        batchSig.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.schema("batch_id BIGINT, corpus_id BIGINT, est_jaccard DOUBLE")
+      .parquet(s"$outDir/batch=*")
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("stream_token_counts", tokenCounts, Some(tokenCountsSql)),
     QuerySpec("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
@@ -693,5 +743,7 @@ object StreamingOps {
     QuerySpec("stream_dgim_burst", dgimBurst, None),
     QuerySpec("stream_dgim_contract", dgimContract, Some(dgimContractSql)),
     QuerySpec("stream_tws_counts", twsCounts, Some(twsCountsSql)),
-    QuerySpec("stream_sliding_window", slidingWindow, Some(slidingWindowSql)))
+    QuerySpec("stream_sliding_window", slidingWindow, Some(slidingWindowSql)),
+    QuerySpec("stream_incremental_intake", incrementalIntake,
+      Some(graft.ops.Dedup.incrementalDedupSql)))
 }

@@ -273,6 +273,33 @@ class DedupSpec extends SparkSpec {
         s"missed=${direct -- viaIndex}")
   }
 
+  test("lsh index: probing arrivals in separate batches equals one combined probe") {
+    // The streaming-intake soundness claim: because a doc's signature
+    // depends only on its own shingles, splitting the arriving half into
+    // any number of micro-batches and probing each independently yields
+    // exactly the union of links the one-shot probe yields.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf001)
+    val n = docs.count()
+    val (half, q3) = (n / 2, 3 * n / 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_split").toString
+    ops.Dedup.buildLshIndex(
+      ops.Dedup.sigWithArray(docs.filter(col("doc_id") < half)), idx)
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      ops.Dedup.probeLshIndex(spark, ops.Dedup.sigWithArray(df), idx)
+        .collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("est_jaccard"))).toSet
+    val combined = probe(docs.filter(col("doc_id") >= half))
+    val batchwise =
+      probe(docs.filter(col("doc_id") >= half && col("doc_id") < q3)) ++
+        probe(docs.filter(col("doc_id") >= q3))
+    assert(batchwise == combined,
+      s"batchwise != combined: only-batchwise=${batchwise -- combined}, " +
+        s"missed=${combined -- batchwise}")
+    assert(combined.nonEmpty, "fixture must produce at least one cross-split link")
+  }
+
   test("embed near-dup: LSH-banded pairs are exact-threshold pairs with high recall") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSim.register(spark)
