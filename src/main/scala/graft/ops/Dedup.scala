@@ -867,6 +867,116 @@ object Dedup {
        |WINDOW w AS (PARTITION BY cluster_id ORDER BY quality DESC NULLS LAST, doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- exact substring dedup
+
+  /** Substring span length (chars) for exact repeated-span detection. 40
+    * chars ≈ the published exact-substring dedup operating point (50 BPE
+    * tokens in the train-dedup literature works out to a few hundred
+    * chars; the synthetic corpus' boilerplate spans are shorter). */
+  private val SpanL = 40
+
+  /** Exact substring dedup (the repeated-SPAN form of dedup, vs the
+    * whole-doc forms above): any `SpanL`-char window whose exact text
+    * occurs ≥2 times anywhere in the corpus (cross-doc or self-repeat)
+    * marks its positions duplicated; per doc, overlapping marked windows
+    * are unioned into islands and reported as duplicated-char coverage —
+    * the removal signal a span-level deduper acts on.
+    *
+    * Plan shape, scale notes: one anchor row per char position (exactly
+    * the cost a suffix-array approach pays), aggregated on the md5 of the
+    * span — partial map-side aggregation collapses each doc's repeated
+    * boilerplate before the shuffle, and the shuffle carries 32-hex
+    * digests, not raw spans. At 100 TB the digest would drop to an 8-byte
+    * xxhash + a confirm pass; the relational shape (anchor explode →
+    * hash-count → semi-join back → per-doc window interval-union) is
+    * unchanged. No all-pairs anything: cost is O(total chars) rows and
+    * one count-shuffle over distinct spans. */
+  private def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringCoverage(T.documents(s, d))
+
+  /** Core of [[substringDedup]] over any (doc_id, text) frame — separate
+    * so specs can pin the interval-union semantics on synthetic corpora. */
+  private[graft] def substringCoverage(docs: DataFrame): DataFrame = {
+    val base = docs
+      .filter(length(col("text")) >= SpanL)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("doc_len"))
+    // span identity travels as a codegen'd 8-byte xxhash64, not the raw
+    // span (shuffle carries longs) and not a cryptographic digest; the
+    // hash is internal only — output columns never expose it — so the
+    // oracle groups on the span text itself and agrees as long as the
+    // hash is collision-free on the data (~n²/2⁶⁵; a 100 TB run would
+    // add a confirm pass over raw spans per colliding bucket)
+    val anchors = base
+      .select(col("doc_id"), col("doc_len"), col("text"),
+        explode(sequence(lit(0L), col("doc_len") - SpanL)).as("pos"))
+      .select(col("doc_id"), col("doc_len"), col("pos"),
+        xxhash64(col("text").substr(col("pos").cast("int") + 1, lit(SpanL))).as("h"))
+    // one shuffle total: count-over-hash window instead of a
+    // groupBy+semi-join pair, which would recompute the anchor pass on
+    // the probe side and shuffle it twice
+    val hits = anchors
+      .withColumn("n_h", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n_h") >= 2)
+      .select(col("doc_id"), col("doc_len"), col("pos"),
+        (col("pos") + SpanL).as("end_pos"))
+    // interval union per doc: a window is a new island iff it starts
+    // past every earlier window's end (positions are unique per doc)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("end_pos"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("new_island",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("doc_id"), col("doc_len"), col("island"))
+      .agg(count(lit(1)).as("n_anchors"),
+        (max(col("end_pos")) - min(col("pos"))).as("cov"))
+    islands.groupBy(col("doc_id"), col("doc_len"))
+      .agg(sum(col("n_anchors")).as("dup_anchors"),
+        count(lit(1)).as("dup_islands"),
+        sum(col("cov")).as("dup_chars"))
+      .select(col("doc_id"), col("dup_anchors"), col("dup_islands"),
+        col("dup_chars"), col("doc_len"),
+        round(col("dup_chars").cast("double") / col("doc_len"), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val substringDedupSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS doc_len
+       |  FROM documents WHERE strlen(text) >= $SpanL),
+       |anchors AS (
+       |  SELECT doc_id, doc_len, unnest(range(0, doc_len - $SpanL + 1)) AS pos, text
+       |  FROM base),
+       |sp AS (
+       |  SELECT doc_id, doc_len, pos,
+       |    substr(text, CAST(pos AS INT) + 1, $SpanL) AS h
+       |  FROM anchors),
+       |dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+       |hits AS (
+       |  SELECT s.doc_id, s.doc_len, s.pos, s.pos + $SpanL AS end_pos
+       |  FROM sp s JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, doc_len, pos, end_pos,
+       |    CASE WHEN pos > coalesce(max(end_pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS new_island
+       |  FROM hits),
+       |isl2 AS (
+       |  SELECT doc_id, doc_len, pos, end_pos,
+       |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |per_island AS (
+       |  SELECT doc_id, doc_len, island, count(*) AS n_anchors,
+       |    max(end_pos) - min(pos) AS cov
+       |  FROM isl2 GROUP BY doc_id, doc_len, island)
+       |SELECT doc_id, CAST(sum(n_anchors) AS BIGINT) AS dup_anchors,
+       |  CAST(count(*) AS BIGINT) AS dup_islands,
+       |  CAST(sum(cov) AS BIGINT) AS dup_chars, doc_len,
+       |  round(CAST(sum(cov) AS DOUBLE) / doc_len, 4) AS dup_ratio
+       |FROM per_island GROUP BY doc_id, doc_len ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -879,5 +989,6 @@ object Dedup {
     QuerySpec("dedup_levenshtein", levenshteinPairs, Some(levenshteinPairsSql)),
     QuerySpec("dedup_semantic_clusters", semanticClusters, Some(semanticClustersSql)),
     QuerySpec("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
-    QuerySpec("dedup_cluster_rep", clusterRep, Some(clusterRepSql)))
+    QuerySpec("dedup_cluster_rep", clusterRep, Some(clusterRepSql)),
+    QuerySpec("dedup_substring", substringDedup, Some(substringDedupSql)))
 }

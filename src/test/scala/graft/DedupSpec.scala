@@ -300,6 +300,40 @@ class DedupSpec extends SparkSpec {
     assert(combined.nonEmpty, "fixture must produce at least one cross-split link")
   }
 
+  test("substring dedup: coverage is the interval union of duplicated 40-char spans") {
+    import spark.implicits._
+    // doc 1 and 2 share one exact 60-char block (=> 21 anchor windows
+    // each, merging into ONE island of 60 chars); doc 3 shares nothing.
+    // Unique prefixes/suffixes are longer than SpanL so no accidental
+    // cross-doc window alignment, and every char is distinct filler.
+    val block = "the quick brown fox jumps over the lazy dog again and again!" // 60 chars
+    assert(block.length == 60)
+    def filler(seed: Long): String = {
+      // seeded => deterministic; random => no accidental shared or
+      // self-repeated 40-char windows among the fillers
+      val r = new java.util.Random(seed)
+      (0 until 50).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val docs = Seq(
+      (1L, filler(1) + block + filler(2)),
+      (2L, filler(3) + block + filler(4)),
+      (3L, filler(5) + filler(6) + filler(7))
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.substringCoverage(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_anchors"),
+        r.getAs[Long]("dup_islands"), r.getAs[Long]("dup_chars"),
+        r.getAs[Double]("dup_ratio")))
+    // a shared 60-char block yields 60-40+1 = 21 duplicated windows that
+    // union to exactly the 60 shared chars; doc 3 must be absent
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    out.foreach { case (_, anchors, islands, chars, ratio) =>
+      assert(anchors == 21, s"anchors=$anchors")
+      assert(islands == 1, s"islands=$islands")
+      assert(chars == 60, s"chars=$chars")
+      assert(ratio == math.round(60.0 / 160 * 10000) / 10000.0)
+    }
+  }
+
   test("embed near-dup: LSH-banded pairs are exact-threshold pairs with high recall") {
     import org.apache.spark.sql.functions._
     graft.functions.CosineSim.register(spark)
