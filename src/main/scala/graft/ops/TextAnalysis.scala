@@ -1001,7 +1001,158 @@ object TextAnalysis {
        |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // --------------------------------------------------- BPE vocab training
+
+  /** Merge-learning rounds for [[bpeTrain]]. */
+  private val BpeRounds = 6
+
+  /** BPE vocabulary TRAINING (vs [[bpeTokens]], which only applies a
+    * fixed segmentation): the classic merge-learning loop — represent
+    * each distinct word as its character sequence, count adjacent symbol
+    * pairs weighted by corpus word frequency, merge the most frequent
+    * pair (ties: lexicographic on the pair), repeat. Output is the
+    * learned merge table, the artifact a tokenizer trainer ships.
+    *
+    * Scale design: the ONLY corpus-scale stage is the word-frequency
+    * count (one shuffle over tokens). Every merge round then runs on the
+    * distinct-word symbol table — vocab-sized, corpus-size-INVARIANT —
+    * so 100 TB of text costs one count plus K vocab-scale rounds, which
+    * is why BPE trainers at web scale are count-then-iterate. Per round
+    * the frame is persisted and materialized (vocab-sized) so rounds
+    * don't recompute each other; the round's argmax pair is a bounded
+    * 1-row collect (same class as the documented skew-rollup collect).
+    * Merge application is relational: matched adjacent positions,
+    * overlap resolution by keeping even offsets within each run of
+    * consecutive matches (= left-to-right non-overlapping semantics),
+    * then re-indexing via row_number. The DuckDB twin unrolls the same
+    * K rounds as CTEs and must agree bit-for-bit. */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val wordFreq = T.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    bpeMerges(s, wordFreq, BpeRounds)
+  }
+
+  /** Merge-learning core over a (word, freq) table — the vocab-scale
+    * iterate stage of [[bpeTrain]], factored so TextSpec can drive it
+    * with synthetic corpora against a driver-side reference BPE. */
+  private[graft] def bpeMerges(s: SparkSession, wordFreq: DataFrame,
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    var sym = wordFreq
+      .withColumn("pos", explode(sequence(lit(0L), length(col("word")).cast("long") - 1)))
+      .withColumn("sym", col("word").substr(col("pos").cast("int") + 1, lit(1)))
+      .select(col("word"), col("freq"), col("pos"), col("sym"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
+    // Lineage MUST be cut every round, not just cached: each round
+    // references its input several times (pair count, match, keep,
+    // rebuild), so with persist() alone the LOGICAL plan multiplies
+    // ~6x per round and the optimizer walks an exponentially growing
+    // tree (measured: 80-118 s at sf0.1; with per-round truncation:
+    // seconds). Same mechanics as the CC fixpoint (Dedup.components);
+    // a long-lived 100 TB trainer would use reliable checkpoints there.
+    sym = sym.localCheckpoint(true)
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val withNext = sym.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("l"), col("nxt").as("r2"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r2"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r2, cnt) = (best(0).getAs[String]("l"),
+          best(0).getAs[String]("r2"), best(0).getAs[Long]("cnt"))
+        merges += ((r.toLong, l, r2, l + r2, cnt))
+        val m = withNext.withColumn("is_match",
+          col("sym") === lit(l) && col("nxt") === lit(r2))
+        // left-to-right non-overlap: within each run of consecutive
+        // matched positions, keep even offsets from the run start
+        val kept = m.filter(col("is_match"))
+          .withColumn("grp", col("pos") - row_number().over(wWin))
+          .withColumn("g0", min(col("pos")).over(
+            Window.partitionBy(col("word"), col("grp"))))
+          .filter((col("pos") - col("g0")) % 2 === 0)
+          .select(col("word").as("kw"), col("pos").as("kp"))
+        val k1 = kept.select(col("kw").as("k1w"), col("kp").as("k1p"))
+        val k0 = kept.select(col("kw").as("k0w"), col("kp").as("k0p"))
+        val next = m
+          .join(k1, col("word") === col("k1w") && col("pos") === col("k1p"), "left")
+          .join(k0, col("word") === col("k0w") && col("pos") === col("k0p") + 1, "left")
+          .filter(col("k0p").isNull)
+          .withColumn("sym2", when(col("k1p").isNotNull,
+            concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+          .withColumn("pos2", (row_number().over(wWin) - 1).cast("long"))
+          .select(col("word"), col("freq"), col("pos2").as("pos"),
+            col("sym2").as("sym"))
+        val cut = next.localCheckpoint(true) // materialize + truncate lineage
+        sym.unpersist()
+        sym = cut
+        r += 1
+      }
+    }
+    sym.unpersist()
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_round"))
+  }
+
+  private val bpeTrainSql = {
+    val toks = Text.toksSql
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = if (r == 1) "sym0" else s"sym${r - 1}"
+      s"""n$r AS MATERIALIZED (
+         |  SELECT word, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM $p),
+         |c$r AS MATERIALIZED (
+         |  SELECT sym AS l, nxt AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM n$r WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+         |b$r AS MATERIALIZED (SELECT l, r2, cnt FROM c$r ORDER BY cnt DESC, l, r2 LIMIT 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT n.word, n.freq, n.pos, n.sym, n.nxt,
+         |    (n.sym = b.l AND n.nxt = b.r2) AS is_match
+         |  FROM n$r n CROSS JOIN b$r b),
+         |mr$r AS MATERIALIZED (
+         |  SELECT word, pos,
+         |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+         |  FROM m$r WHERE is_match),
+         |k$r AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS g0
+         |    FROM mr$r) t
+         |  WHERE (pos - g0) % 2 = 0),
+         |sym$r AS MATERIALIZED (
+         |  SELECT m.word, m.freq,
+         |    CAST(row_number() OVER (PARTITION BY m.word ORDER BY m.pos) - 1
+         |      AS BIGINT) AS pos,
+         |    CASE WHEN k1.pos IS NOT NULL THEN m.sym || m.nxt ELSE m.sym END AS sym
+         |  FROM m$r m
+         |  LEFT JOIN k$r k1 ON k1.word = m.word AND k1.pos = m.pos
+         |  LEFT JOIN k$r k0 ON k0.word = m.word AND k0.pos = m.pos - 1
+         |  WHERE k0.pos IS NULL)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, r2 AS rhs, l || r2 AS merged, cnt AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq, unnest(range(0, CAST(length(word) AS BIGINT))) AS pos
+       |  FROM wf),
+       |sym0 AS MATERIALIZED (
+       |  SELECT word, freq, pos, substr(word, CAST(pos AS INT) + 1, 1) AS sym
+       |  FROM s0),
+       |$rounds
+       |$out
+       |ORDER BY merge_round""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("ta_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QuerySpec("ta_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QuerySpec("ta_mix_sample", mixSample, Some(mixSampleSql)),
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),

@@ -144,4 +144,84 @@ class TextSpec extends SparkSpec {
     // "hello", " world", " 42", "!?" -> 4
     assert(n == 4)
   }
+
+  // Driver-side reference BPE trainer: greedy left-to-right merge
+  // application, most-frequent pair first, ties lexicographic — the
+  // published algorithm, independent of the engine's relational form.
+  private def refBpe(wordFreq: Seq[(String, Long)], rounds: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var words: Map[String, (Vector[String], Long)] =
+      wordFreq.map { case (w, f) => w -> (w.map(_.toString).toVector, f) }.toMap
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      words.values.foreach { case (syms, f) =>
+        (0 until syms.length - 1).foreach { i =>
+          counts((syms(i), syms(i + 1))) += f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), cnt) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r.toLong, l, rr, l + rr, cnt))
+        words = words.map { case (w, (syms, f)) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              nb += (l + rr); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          w -> (nb.result(), f)
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def engineBpe(wordFreq: Seq[(String, Long)], rounds: Int)
+      : Seq[(Long, String, String, String, Long)] =
+    ops.TextAnalysis.bpeMerges(spark, wordFreq.toDF("word", "freq"), rounds)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  test("bpe training: repeated-symbol runs merge left-to-right non-overlapping") {
+    // "aaaa": pair (a,a) counts 3; greedy merge -> ["aa","aa"], so round 2
+    // must see ("aa","aa") with count 1 — the overlap-resolution contract.
+    val wf = Seq(("aaaa", 1L))
+    val got = engineBpe(wf, 3)
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 3L),
+      (2L, "aa", "aa", "aaaa", 1L)))
+    assert(got == refBpe(wf, 3))
+  }
+
+  test("bpe training: most-frequent pair wins, ties break lexicographically") {
+    // (a,b) and (c,d) both count 5 -> ab merges first; then cd.
+    val wf = Seq(("ab", 5L), ("cd", 5L))
+    val got = engineBpe(wf, 2)
+    assert(got == Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "c", "d", "cd", 5L)))
+    assert(got == refBpe(wf, 2))
+  }
+
+  test("bpe training: matches the driver-side reference on random corpora") {
+    // small alphabet forces pair collisions, ties, and within-word runs
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { _ =>
+      val wf = (1 to 20).map { _ =>
+        val w = (1 to (2 + rnd.nextInt(6)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }.toSeq
+      assert(engineBpe(wf, 6) == refBpe(wf, 6))
+    }
+  }
 }
