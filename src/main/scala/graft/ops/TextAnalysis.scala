@@ -1026,19 +1026,56 @@ object TextAnalysis {
     * consecutive matches (= left-to-right non-overlapping semantics),
     * then re-indexing via row_number. The DuckDB twin unrolls the same
     * K rounds as CTEs and must agree bit-for-bit. */
-  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    val wordFreq = T.documents(s, d)
+  private def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeMerges(s, bpeWordFreq(s, d), BpeRounds)
+
+  /** Learned-vocabulary accounting: apply the [[BpeRounds]] trained
+    * merges and report corpus occurrence counts per learned symbol —
+    * the top of the token distribution a trainer inspects before
+    * shipping a vocab. The final symbol table already exists as the
+    * fixpoint's last materialized state; this aggregates it (weighted
+    * by word frequency — each (word,pos) symbol row counts `freq`
+    * corpus occurrences), so the marginal cost over [[bpeTrain]] is
+    * one vocab-sized aggregation. Output is bounded (top 20), built
+    * driver-local after the eager fixpoint so the checkpointed state
+    * can be unpersisted before returning (no cached-frame leak). */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fin = bpeFinalSymbols(s, bpeWordFreq(s, d), BpeRounds)
+    val top = fin.groupBy(col("sym"))
+      .agg(sum(col("freq")).as("token_count"))
+      .orderBy(col("token_count").desc, col("sym"))
+      .limit(20)
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("token_count")))
+    fin.unpersist()
+    top.toSeq.toDF("sym", "token_count")
+  }
+
+  private def bpeWordFreq(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    bpeMerges(s, wordFreq, BpeRounds)
-  }
 
   /** Merge-learning core over a (word, freq) table — the vocab-scale
     * iterate stage of [[bpeTrain]], factored so TextSpec can drive it
     * with synthetic corpora against a driver-side reference BPE. */
   private[graft] def bpeMerges(s: SparkSession, wordFreq: DataFrame,
       rounds: Int): DataFrame = {
+    val (fin, merges) = bpeLoop(s, wordFreq, rounds)
+    fin.unpersist()
     import s.implicits._
+    merges.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_round"))
+  }
+
+  /** Post-merge symbol table: (word, freq, pos, sym) after `rounds`
+    * learned merges — still localCheckpoint-persisted; caller must
+    * unpersist. */
+  private[graft] def bpeFinalSymbols(s: SparkSession, wordFreq: DataFrame,
+      rounds: Int): DataFrame = bpeLoop(s, wordFreq, rounds)._1
+
+  private def bpeLoop(s: SparkSession, wordFreq: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     var sym = wordFreq
       .withColumn("pos", explode(sequence(lit(0L), length(col("word")).cast("long") - 1)))
       .withColumn("sym", col("word").substr(col("pos").cast("int") + 1, lit(1)))
@@ -1094,12 +1131,13 @@ object TextAnalysis {
         r += 1
       }
     }
-    sym.unpersist()
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
-      .orderBy(col("merge_round"))
+    (sym, merges.toSeq)
   }
 
-  private val bpeTrainSql = {
+  /** Shared WITH-prefix for the BPE twins: word-freq → char symbols →
+    * [[BpeRounds]] unrolled merge rounds, ending at CTE `sym{BpeRounds}`
+    * (the post-merge symbol table) with per-round argmax CTEs `b{r}`. */
+  private lazy val bpeCtePrefix = {
     val toks = Text.toksSql
     val rounds = (1 to BpeRounds).map { r =>
       val p = if (r == 1) "sym0" else s"sym${r - 1}"
@@ -1134,9 +1172,6 @@ object TextAnalysis {
          |  LEFT JOIN k$r k0 ON k0.word = m.word AND k0.pos = m.pos - 1
          |  WHERE k0.pos IS NULL)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, r2 AS rhs, l || r2 AS merged, cnt AS pair_count FROM b$r"
-    }.mkString("\nUNION ALL\n")
     s"""WITH wf AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY word),
@@ -1146,13 +1181,27 @@ object TextAnalysis {
        |sym0 AS MATERIALIZED (
        |  SELECT word, freq, pos, substr(word, CAST(pos AS INT) + 1, 1) AS sym
        |  FROM s0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val bpeTrainSql = {
+    val out = (1 to BpeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs, r2 AS rhs, l || r2 AS merged, cnt AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""$bpeCtePrefix
        |$out
        |ORDER BY merge_round""".stripMargin
   }
 
+  private lazy val bpeVocabSql =
+    s"""$bpeCtePrefix
+       |SELECT sym, CAST(sum(freq) AS BIGINT) AS token_count
+       |FROM sym$BpeRounds
+       |GROUP BY sym ORDER BY token_count DESC, sym LIMIT 20""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("ta_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QuerySpec("ta_bpe_vocab", bpeVocab, Some(bpeVocabSql)),
     QuerySpec("ta_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QuerySpec("ta_mix_sample", mixSample, Some(mixSampleSql)),
     QuerySpec("ta_char_ngrams", charNgrams, Some(charNgramsSql)),

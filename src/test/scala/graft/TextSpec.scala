@@ -224,4 +224,41 @@ class TextSpec extends SparkSpec {
       assert(engineBpe(wf, 6) == refBpe(wf, 6))
     }
   }
+
+  // reference final segmentation: replay refBpe's merges greedily
+  private def refSegment(wordFreq: Seq[(String, Long)], rounds: Int)
+      : Map[String, Vector[String]] = {
+    val merges = refBpe(wordFreq, rounds).map(m => (m._2, m._3))
+    wordFreq.map { case (w, _) =>
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (l, rr) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+            nb += (l + rr); i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        syms = nb.result()
+      }
+      w -> syms
+    }.toMap
+  }
+
+  test("bpe final segmentation (the vocab query's input) matches the reference replay") {
+    val rnd = new scala.util.Random(43)
+    val wf = (1 to 25).map { _ =>
+      val w = (1 to (2 + rnd.nextInt(6)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      w -> (1L + rnd.nextInt(9))
+    }.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }.toSeq
+    val fin = ops.TextAnalysis.bpeFinalSymbols(spark, wf.toDF("word", "freq"), 6)
+    val got = fin.collect()
+      .groupBy(_.getAs[String]("word"))
+      .map { case (w, rows) =>
+        w -> rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("sym")).toVector
+      }
+    fin.unpersist()
+    assert(got == refSegment(wf, 6))
+  }
 }
