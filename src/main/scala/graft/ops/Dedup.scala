@@ -977,6 +977,110 @@ object Dedup {
        |  round(CAST(sum(cov) AS DOUBLE) / doc_len, 4) AS dup_ratio
        |FROM per_island GROUP BY doc_id, doc_len ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- fuzzy decontamination
+
+  /** Fuzzy train/test decontamination via MinHash LSH — the approximate
+    * complement of `ta_contamination`'s exact n-gram-overlap audit
+    * (TextAnalysis.scala): exact overlap misses near-verbatim leaks
+    * (reworded spans, token insertions), which is why published
+    * decontamination pipelines run a near-dup pass against the eval
+    * sets as well. Split by doc_id half (same convention as the exact
+    * audit and `dedup_incremental`); ONE shared signature pass over the
+    * union (per-doc independence makes it bit-identical to hashing the
+    * halves separately); test-side band rows bucket-join train-side band
+    * rows — candidates ∝ shared buckets, never |train|×|test| — and
+    * candidates are verified by signature agreement ≥ 0.5. Output is one
+    * row per auditable test doc (has ≥1 shingle): match count, best
+    * train match (ties → lowest id), and the contaminated flag.
+    *
+    * At 100 TB the train side is the corpus-scale input and the test
+    * side (eval suites) is small: the same plan degrades gracefully —
+    * the band join's probe side is tiny, train band rows come from the
+    * persisted LSH index ([[buildLshIndex]]) rather than a rescan, and
+    * nothing here is quadratic. */
+  private def fuzzyContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    fuzzyContaminationCore(docs, docs.count() / 2)
+  }
+
+  /** Core of [[fuzzyContamination]] over any (doc_id, text) frame with an
+    * explicit split point — separate so DedupSpec can pin the semantics
+    * on synthetic corpora. */
+  private[graft] def fuzzyContaminationCore(docs: DataFrame, half: Long): DataFrame = {
+    // three consumers (both band sides + both signature-fetch sides)
+    val allSig = sigWithArray(docs).persist()
+    val train = allSig.filter(col("doc_id") < half)
+    val test = allSig.filter(col("doc_id") >= half)
+    val cand = bandsOf(test).as("q")
+      .join(bandsOf(train).as("x"),
+        col("q.band") === col("x.band") && col("q.bkey") === col("x.bkey"))
+      .select(col("q.doc_id").as("test_id"), col("x.doc_id").as("train_id"))
+      .distinct()
+    val ver = cand
+      .join(test.select(col("doc_id").as("test_id"), col("sig").as("sig_q")), "test_id")
+      .join(train.select(col("doc_id").as("train_id"), col("sig").as("sig_x")), "train_id")
+      .withColumn("est_jaccard", sigAgreement(col("sig_q"), col("sig_x")))
+      .filter(col("est_jaccard") >= 0.5)
+    // count + argmax share one test_id window partition (single exchange)
+    val wOrd = Window.partitionBy(col("test_id"))
+      .orderBy(col("est_jaccard").desc, col("train_id"))
+    val best = ver
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy(col("test_id"))))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(col("test_id").as("doc_id"), col("n_matches"),
+        col("train_id").as("best_train_id"),
+        col("est_jaccard").as("best_est"))
+    test.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+      .withColumn("best_train_id", coalesce(col("best_train_id"), lit(-1L)))
+      .withColumn("best_est", coalesce(col("best_est"), lit(0.0)))
+      .withColumn("contaminated", col("n_matches") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val fuzzyContaminationSql = {
+    val bandRows = (0 until B).map { b =>
+      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matches = (0 until P).map(p =>
+      s"CASE WHEN q.mh$p = x.mh$p THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh_sets AS ($shingleSetsSql),
+       |sig AS (
+       |  $signaturesSql),
+       |h AS (SELECT count(*) // 2 AS half FROM documents),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT q.doc_id AS test_id, x.doc_id AS train_id
+       |  FROM bands q JOIN bands x
+       |    ON q.band = x.band AND q.bkey = x.bkey
+       |   AND q.doc_id >= (SELECT half FROM h)
+       |   AND x.doc_id < (SELECT half FROM h)),
+       |ver AS (
+       |  SELECT test_id, train_id, round(($matches) / 16.0, 4) AS est
+       |  FROM cand JOIN sig q ON q.doc_id = test_id
+       |            JOIN sig x ON x.doc_id = train_id
+       |  WHERE round(($matches) / 16.0, 4) >= 0.5),
+       |best AS (
+       |  SELECT test_id, train_id, est,
+       |    count(*) OVER (PARTITION BY test_id) AS n_matches,
+       |    row_number() OVER (PARTITION BY test_id
+       |      ORDER BY est DESC, train_id) AS rn
+       |  FROM ver)
+       |SELECT s.doc_id,
+       |  CAST(coalesce(b.n_matches, 0) AS BIGINT) AS n_matches,
+       |  CAST(coalesce(b.train_id, -1) AS BIGINT) AS best_train_id,
+       |  coalesce(b.est, 0.0) AS best_est,
+       |  coalesce(b.n_matches, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM sig WHERE doc_id >= (SELECT half FROM h)) s
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.test_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -990,5 +1094,6 @@ object Dedup {
     QuerySpec("dedup_semantic_clusters", semanticClusters, Some(semanticClustersSql)),
     QuerySpec("dedup_incremental", incrementalDedup, Some(incrementalDedupSql)),
     QuerySpec("dedup_cluster_rep", clusterRep, Some(clusterRepSql)),
-    QuerySpec("dedup_substring", substringDedup, Some(substringDedupSql)))
+    QuerySpec("dedup_substring", substringDedup, Some(substringDedupSql)),
+    QuerySpec("dedup_contamination", fuzzyContamination, Some(fuzzyContaminationSql)))
 }

@@ -382,6 +382,69 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy contamination: near-copy and exact-copy test docs flag, disjoint does not") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // train: 0..2, test: 3..5 (half=3). Doc 3 is doc 0 with one token
+    // swapped (near-verbatim leak — the case exact n-gram audits
+    // under-count), doc 5 is doc 1 verbatim, doc 4 shares nothing.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base),
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "red orange yellow green blue indigo violet crimson amber teal"),
+      (3L, base.replace("theta", "thetan")),
+      (4L, "spark flink trino presto duck goose heron storm samza beam"),
+      (5L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val out = ops.Dedup.fuzzyContaminationCore(docs, 3L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(3L, 4L, 5L))
+    assert(out(3L).getAs[Boolean]("contaminated") &&
+      out(3L).getAs[Long]("best_train_id") == 0L)
+    assert(!out(4L).getAs[Boolean]("contaminated") &&
+      out(4L).getAs[Long]("best_train_id") == -1L &&
+      out(4L).getAs[Double]("best_est") == 0.0 &&
+      out(4L).getAs[Long]("n_matches") == 0L)
+    assert(out(5L).getAs[Boolean]("contaminated") &&
+      out(5L).getAs[Long]("best_train_id") == 1L &&
+      out(5L).getAs[Double]("best_est") == 1.0)
+  }
+
+  test("fuzzy contamination agrees with the cross-split restriction of minhash pairs") {
+    // The audit is definitionally the per-test-doc aggregation of
+    // dedup_minhash_lsh's verified pairs restricted to cross-split:
+    // n_matches = count, best_est = max est (ties -> lowest train id).
+    import org.apache.spark.sql.functions.col
+    val half = graft.Tables.documents(spark, sf001).count() / 2
+    val cross = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001)
+      .filter(col("id_a") < half && col("id_b") >= half)
+      .collect()
+      .map(r => (r.getAs[Long]("id_b"), r.getAs[Long]("id_a"),
+        r.getAs[Double]("est_jaccard")))
+      .groupBy(_._1)
+    val out = SparkEntry.queries("dedup_contamination")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      cross.get(doc) match {
+        case Some(links) =>
+          assert(r.getAs[Long]("n_matches") == links.length)
+          val bestEst = links.map(_._3).max
+          assert(r.getAs[Double]("best_est") == bestEst)
+          assert(r.getAs[Long]("best_train_id") ==
+            links.filter(_._3 == bestEst).map(_._2).min)
+          assert(r.getAs[Boolean]("contaminated"))
+        case None =>
+          assert(!r.getAs[Boolean]("contaminated") &&
+            r.getAs[Long]("n_matches") == 0L)
+      }
+    }
+    assert(out.count(_.getAs[Boolean]("contaminated")) ==
+      cross.size, "every cross-split linked test doc must flag")
+  }
+
   test("knn: brute-force rank-1 neighbor has the highest cosine; lsh is a subset of candidates") {
     val bf = SparkEntry.queries("sim_knn_bruteforce")(spark, sf001).collect()
     val byQuery = bf.groupBy(_.getAs[Long]("query_id"))
