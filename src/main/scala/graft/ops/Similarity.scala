@@ -142,6 +142,7 @@ object Similarity {
   def warmIndex(s: SparkSession, d: String): Unit = {
     knnIvf(s, d).count()
     knnPq(s, d).count() // PQ codebook fit — same fit-once/probe-many shape
+    topicClusters(s, d).count() // topic-model fit — same shape
     s.catalog.clearCache()
   }
 
@@ -515,6 +516,132 @@ object Similarity {
     s"""SELECT count(*) AS n_queries, TRUE AS pq_recall_ok
        |FROM embeddings WHERE vec_id < $NQ""".stripMargin
 
+  // --------------------------------------------------- topic clustering
+
+  private val TK = 10 // topic clusters (matches the fixture label cardinality)
+  // Pinned quality floors — measured at sf0.001/0.01/0.1 this round:
+  // purity 0.138-0.172 (random assignment over 10 balanced labels ≈ 0.105),
+  // wcss/tss 0.914-0.940; floors leave margin for kmeans|| init jitter
+  // under different partition counts while still rejecting a broken fit
+  // (purity at random = fail, no variance explained = fail).
+  private[graft] val TOPIC_PURITY_FLOOR = 0.12
+  private[graft] val TOPIC_WCSS_CEIL = 0.98
+
+  private val topicModels =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
+  /** Assignments (vec_id, label, nvec, cluster_id) from the fit-once
+    * spherical KMeans topic model — shared by the report and the
+    * contract. Returns None on an empty corpus (KMeans.fit rejects it). */
+  private def topicAssign(s: SparkSession, d: String): Option[DataFrame] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nrm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    val e = T.embeddings(s, d)
+      .withColumn("nvec", transform(col("embedding"), x => x.cast("double") / nrm))
+      .withColumn("features", array_to_vector(col("nvec")))
+    if (e.select(lit(1)).limit(1).collect().isEmpty) return None
+    val km = topicModels.getOrElseUpdate(ivfKey(d),
+      new KMeans().setK(TK).setSeed(7L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cluster_id")
+        .fit(e))
+    Some(km.transform(e)
+      .select(col("vec_id"), col("label"), col("nvec"), col("cluster_id")))
+  }
+
+  /** Topic-mix report — the corpus-composition check a training-data
+    * pipeline runs before setting mixture weights: spherical KMeans
+    * (fit-once cached, same L2-normalization argument as [[knnIvf]])
+    * assigns every embedding to a topic cluster; output is per-cluster
+    * size, corpus share, and the dominant ground-truth label with its
+    * within-cluster share (the auditor's "what is this cluster" column).
+    * At 100 TB this is the canonical map-side job: the model is k×dim
+    * doubles broadcast to every task, assignment is one pass over the
+    * corpus, and the report aggregation is cluster-cardinality-sized.
+    * Centroids are model-derived → rows-only; quality is hard-gated by
+    * the oracle-exact `sim_topic_contract` (purity + variance-explained
+    * + coverage floors). */
+  private def topicClusters(s: SparkSession, d: String): DataFrame = {
+    val asg = topicAssign(s, d).getOrElse(
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("share", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("top_label", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("top_label_share", org.apache.spark.sql.types.DoubleType)))))
+    val byClusterLabel = asg.groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy(col("cluster_id"))
+    val wOrd = wc.orderBy(col("n").desc, col("label"))
+    byClusterLabel
+      .withColumn("n_docs", sum(col("n")).over(wc))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .withColumn("total", sum(col("n_docs")).over())
+      .select(col("cluster_id"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("total"), 4).as("share"),
+        col("label").as("top_label"),
+        round(col("n").cast("double") / col("n_docs"), 4).as("top_label_share"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Contract twin for `sim_topic_clusters` (model-derived → rows-only):
+    * the deterministic quality guarantees, driver-hash-gated.
+    *  - coverage: every vector assigned, exactly TK nonempty clusters;
+    *  - variance explained: within-cluster SSE / total SSE ≤ ceil — a
+    *    fit that learned nothing (wcss ≈ tss) fails;
+    *  - label purity: Σ_c max_l |c ∩ l| / n ≥ floor — random assignment
+    *    over the 10 balanced fixture labels (≈0.105) fails.
+    * Seeds are pinned, so every boolean is deterministic per dataset. */
+  private def topicContract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val asgOpt = topicAssign(s, d)
+    if (asgOpt.isEmpty)
+      return Seq((0L, true, true, true))
+        .toDF("n_vectors", "coverage_ok", "gain_ok", "purity_ok")
+    val asg = asgOpt.get.persist()
+    val n = asg.count()
+    val nClusters = asg.select(col("cluster_id")).distinct().count()
+    // global mean of the normalized vectors (dim doubles — driver-tiny)
+    val dim = asg.select(size(col("nvec"))).first().getInt(0)
+    val mean = asg
+      .select(posexplode(col("nvec")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("mu"))
+      .orderBy(col("i")).collect().map(_.getAs[Double]("mu"))
+    require(mean.length == dim)
+    val meanCol = array(mean.map(lit(_)): _*)
+    // centroids of the fitted model, matched to assignments by cluster id
+    val km = topicModels(ivfKey(d))
+    val cents = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cluster_id", "ctr")
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val sums = asg.join(broadcast(cents), "cluster_id")
+      .select(sq(col("nvec"), col("ctr")).as("d2c"),
+        sq(col("nvec"), meanCol).as("d2m"))
+      .agg(sum(col("d2c")).as("wcss"), sum(col("d2m")).as("tss"))
+      .first()
+    val (wcss, tss) = (sums.getAs[Double]("wcss"), sums.getAs[Double]("tss"))
+    val purity = asg.groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cluster_id")).agg(max(col("cnt")).as("top"))
+      .agg(sum(col("top"))).first().getLong(0).toDouble / n
+    asg.unpersist() // every dependent aggregate is materialized above
+    Seq((n, nClusters == TK.toLong, wcss / tss <= TOPIC_WCSS_CEIL,
+      purity >= TOPIC_PURITY_FLOOR))
+      .toDF("n_vectors", "coverage_ok", "gain_ok", "purity_ok")
+  }
+
+  private val topicContractSql =
+    """SELECT count(*) AS n_vectors, TRUE AS coverage_ok, TRUE AS gain_ok,
+      |  TRUE AS purity_ok
+      |FROM embeddings""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     QuerySpec("sim_knn_lsh", knnLsh, Some(knnLshSql)),
@@ -525,5 +652,7 @@ object Similarity {
     QuerySpec("mllib_ann_contract", mllibAnnContract, Some(mllibAnnContractSql)),
     QuerySpec("sim_knn_pq", knnPq, None),
     QuerySpec("sim_pq_contract", pqContract, Some(pqContractSql)),
-    QuerySpec("sim_hybrid_search", hybridSearch, Some(hybridSearchSql)))
+    QuerySpec("sim_hybrid_search", hybridSearch, Some(hybridSearchSql)),
+    QuerySpec("sim_topic_clusters", topicClusters, None),
+    QuerySpec("sim_topic_contract", topicContract, Some(topicContractSql)))
 }

@@ -71,4 +71,32 @@ class SimilaritySpec extends SparkSpec {
       s"PQ recall under floor ${ops.Similarity.PQ_RECALL_FLOOR}")
     assert(r.getAs[Long]("n_queries") > 0)
   }
+
+  test("topic clusters: deterministic, shares sum to 1, dominant labels sane") {
+    val r1 = SparkEntry.queries("sim_topic_clusters")(spark, sf001).collect()
+    val r2 = SparkEntry.queries("sim_topic_clusters")(spark, sf001).collect()
+    assert(r1.toSeq == r2.toSeq, "seeded fit-once model must make the report deterministic")
+    assert(r1.length == 10, "all 10 clusters must be nonempty at fixture scale")
+    assert(r1.map(_.getAs[Int]("cluster_id")).toSeq == (0 until 10))
+    val n = graft.Tables.embeddings(spark, sf001).count()
+    assert(r1.map(_.getAs[Long]("n_docs")).sum == n, "every vector in exactly one cluster")
+    assert(math.abs(r1.map(_.getAs[Double]("share")).sum - 1.0) < 0.01)
+    r1.foreach { r =>
+      val top = r.getAs[Double]("top_label_share")
+      assert(top >= 1.0 / 10 - 0.01 && top <= 1.0,
+        "dominant-label share must be at least the uniform floor")
+      assert((0 until 10).contains(r.getAs[Int]("top_label")))
+    }
+  }
+
+  test("topic contract: coverage, variance-explained, and purity gates hold") {
+    val r = SparkEntry.queries("sim_topic_contract")(spark, sf001).collect()(0)
+    assert(r.getAs[Long]("n_vectors") ==
+      graft.Tables.embeddings(spark, sf001).count())
+    assert(r.getAs[Boolean]("coverage_ok"), "expected exactly TK nonempty clusters")
+    assert(r.getAs[Boolean]("gain_ok"),
+      s"wcss/tss above ceiling ${ops.Similarity.TOPIC_WCSS_CEIL}")
+    assert(r.getAs[Boolean]("purity_ok"),
+      s"purity under floor ${ops.Similarity.TOPIC_PURITY_FLOOR}")
+  }
 }
