@@ -726,6 +726,87 @@ object TextAnalysis {
        |FROM tok JOIN lm USING (token), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolated bigram LM scoring — the standard upgrade over
+    * [[unigramLogprob]]'s unigram proxy (the published quality-filter
+    * recipe scores documents with a small n-gram LM; this is that shape
+    * self-trained on the corpus): p(w_i|w_{i-1}) = λ·c(prev,cur)/c(prev)
+    * + (1-λ)·c(cur)/total with λ=0.75, the first token of each doc
+    * scored by the unigram term alone. The bigram MLE denominator is the
+    * context token's corpus count (the stupid-backoff simplification —
+    * interpolation with the unigram term keeps every p > 0, so no
+    * explicit smoothing mass is needed for a scoring proxy).
+    *
+    * Scale shape: the only corpus-sized frames are the positioned token
+    * list (one lag window per doc — a doc_id exchange) and the two
+    * count tables it aggregates into (vocab- and bigram-vocab-sized);
+    * scoring is three hash joins against those tables, then a per-doc
+    * aggregate. Nothing is quadratic; the LM tables are data-dependent
+    * but ≪ corpus (they'd broadcast at dictionary scale and degrade to
+    * shuffle joins past it). */
+  private def bigramLogprob(s: SparkSession, d: String): DataFrame =
+    bigramLogprobCore(T.documents(s, d))
+
+  /** Core of [[bigramLogprob]] over any (doc_id, text) frame — separate
+    * so TextSpec can replay the LM arithmetic on synthetic corpora. */
+  private[graft] def bigramLogprobCore(docs: DataFrame): DataFrame = {
+    val lam = 0.75
+    val tok = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "token")))
+      .persist() // feeds the two LM builds and the scoring pass
+    val seq = tok.withColumn("prev",
+      lag(col("token"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val lm1 = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = lm1.agg(sum(col("cnt")).as("tot"))
+    val lm2 = seq.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("c2"))
+    val uni = col("cnt").cast("double") / col("tot").cast("double")
+    val big = col("c2").cast("double") / col("pcnt").cast("double")
+    seq
+      .join(lm1, "token")
+      .join(lm1.select(col("token").as("prev"), col("cnt").as("pcnt")), Seq("prev"), "left")
+      .join(lm2, Seq("prev", "token"), "left")
+      .crossJoin(total) // 1-row totals frame
+      .withColumn("p",
+        when(col("prev").isNull, uni)
+          .otherwise(lit(lam) * coalesce(big, lit(0.0)) + lit(1 - lam) * uni))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(-log(col("p"))) / count(lit(1)), 4).as("avg_nll"))
+      .withColumn("high_ppl", col("avg_nll") > 3.35)
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramLogprobSql =
+    s"""WITH d AS (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(unnest(range(0, len(toks))) AS INT) AS pos, toks
+       |  FROM d),
+       |tok2 AS (
+       |  SELECT doc_id, pos, toks[pos + 1] AS token FROM tok),
+       |seq AS (
+       |  SELECT doc_id, pos, token,
+       |    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM tok2),
+       |lm1 AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY token),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM lm1),
+       |lm2 AS (
+       |  SELECT prev, token, count(*) AS c2 FROM seq
+       |  WHERE prev IS NOT NULL GROUP BY prev, token),
+       |sc AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.prev IS NULL
+       |      THEN u.cnt / CAST(tot AS DOUBLE)
+       |      ELSE 0.75 * (coalesce(b.c2, 0) / CAST(pu.cnt AS DOUBLE))
+       |         + 0.25 * (u.cnt / CAST(tot AS DOUBLE)) END AS p
+       |  FROM seq s
+       |  JOIN lm1 u ON u.token = s.token
+       |  LEFT JOIN lm1 pu ON pu.token = s.prev
+       |  LEFT JOIN lm2 b ON b.prev = s.prev AND b.token = s.token, tot)
+       |SELECT doc_id, count(*) AS n_toks,
+       |  round(sum(-ln(p)) / count(*), 4) AS avg_nll,
+       |  round(sum(-ln(p)) / count(*), 4) > 3.35 AS high_ppl
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Mixture-rebalancing sampler — materializes the training mix that
     * [[domainMix]] only accounts for: each source's sampling weight
     * (uniform-target/actual token share, capped 4×) becomes a
@@ -1222,6 +1303,7 @@ object TextAnalysis {
     QuerySpec("ta_split_assign", splitAssign, Some(splitAssignSql)),
     QuerySpec("ta_domain_mix", domainMix, Some(domainMixSql)),
     QuerySpec("ta_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
+    QuerySpec("ta_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
     QuerySpec("ta_global_shuffle", globalShuffle, Some(globalShuffleSql)),
     QuerySpec("ta_shuffle_write", shuffleWrite, Some(globalShuffleSql)))
 }

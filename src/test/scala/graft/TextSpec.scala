@@ -245,6 +245,39 @@ class TextSpec extends SparkSpec {
     }.toMap
   }
 
+  test("bigram logprob matches a driver-side reference LM replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val docs = (0L until 20L).map { id =>
+      id -> (1 to (3 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // reference replay: interpolated bigram LM with corpus-count denominator
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = toks.map(_._2.size).sum.toDouble
+    val big = toks.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val expect = toks.map { case (id, ts) =>
+      val ps = ts.zipWithIndex.map { case (w, i) =>
+        val u = uni(w) / total
+        if (i == 0) u
+        else 0.75 * (big.getOrElse((ts(i - 1), w), 0.0) / uni(ts(i - 1))) + 0.25 * u
+      }
+      id -> BigDecimal(ps.map(p => -math.log(p)).sum / ts.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = ops.TextAnalysis.bigramLogprobCore(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Double]("avg_nll"))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (n, nll)) =>
+      assert(n == toks.toMap.apply(id).size.toLong)
+      assert(math.abs(nll - expect(id)) <= 0.0001,
+        s"doc $id: engine $nll vs reference ${expect(id)}")
+    }
+  }
+
   test("bpe final segmentation (the vocab query's input) matches the reference replay") {
     val rnd = new scala.util.Random(43)
     val wf = (1 to 25).map { _ =>
