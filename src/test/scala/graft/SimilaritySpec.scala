@@ -72,6 +72,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_queries") > 0)
   }
 
+  test("PCA: deterministic, re-ranked cosines are true cosines, top-K per query") {
+    val r1 = SparkEntry.queries("sim_knn_pca")(spark, sf001).collect()
+    val r2 = SparkEntry.queries("sim_knn_pca")(spark, sf001).collect()
+    assert(r1.toSeq == r2.toSeq, "covariance PCA must make the search deterministic")
+    val bf = resultMap("sim_knn_bruteforce")
+    r1.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+      val bfCos = bf(q).map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("cos")).toMap
+      rows.foreach { r =>
+        bfCos.get(r.getAs[Long]("cand_id")).foreach { c =>
+          assert(c == r.getAs[Double]("cos"), "re-ranked cosine must match brute force")
+        }
+      }
+    }
+  }
+
+  test("PCA contract: variance and recall floors crossed at test scale") {
+    val r = SparkEntry.queries("sim_pca_contract")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("pca_var_ok"),
+      s"explained variance under floor ${ops.Similarity.PCA_VAR_FLOOR}")
+    assert(r.getAs[Boolean]("pca_recall_ok"),
+      s"PCA recall under floor ${ops.Similarity.PCA_RECALL_FLOOR}")
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
+
   test("topic clusters: deterministic, shares sum to 1, dominant labels sane") {
     val r1 = SparkEntry.queries("sim_topic_clusters")(spark, sf001).collect()
     val r2 = SparkEntry.queries("sim_topic_clusters")(spark, sf001).collect()
