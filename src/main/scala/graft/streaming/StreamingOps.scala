@@ -730,8 +730,48 @@ object StreamingOps {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  /** Stream-static dimension enrichment — the intake-time join every
+    * ingest pipeline runs (arrivals decorated with corpus-level stats or
+    * dim attributes before landing). The static side is a per-source
+    * aggregate of the batch corpus (20 rows — broadcast; at 100 TB the
+    * dim is still dim-cardinality-sized and the join stays map-side: a
+    * stream-static broadcast join never shuffles the stream), the stream
+    * side is the document arrivals; each arrival is flagged against its
+    * source's average length and the sink aggregates per source. The
+    * oracle is the identical batch join — stream-static join semantics
+    * ARE batch semantics per micro-batch, which is exactly what this
+    * pins. */
+  private def staticEnrich(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+    val dim = s.read.schema(docSchema).parquet(stageAsDir(d, "documents"))
+      .groupBy(col("source")).agg(avg(col("n_chars")).as("avg_chars"))
+    val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
+    val agg = src.join(broadcast(dim), "source")
+      .withColumn("above", (col("n_chars") > col("avg_chars")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("above")).as("n_above_avg"))
+    val q = agg.writeStream.format("memory").queryName("stream_enrich_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("stream_enrich_sink")
+      .withColumn("above_share",
+        round(col("n_above_avg").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  private val staticEnrichSql =
+    """WITH dim AS (
+      |  SELECT source, avg(n_chars) AS avg_chars FROM documents GROUP BY source)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN d.n_chars > m.avg_chars THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above_avg,
+      |  round(sum(CASE WHEN d.n_chars > m.avg_chars THEN 1 ELSE 0 END) * 1.0
+      |    / count(*), 4) AS above_share
+      |FROM documents d JOIN dim m ON d.source = m.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("stream_token_counts", tokenCounts, Some(tokenCountsSql)),
+    QuerySpec("stream_static_enrich", staticEnrich, Some(staticEnrichSql)),
     QuerySpec("stream_windowed_counts", windowedCounts, Some(windowedCountsSql)),
     QuerySpec("stream_stateful_dedup", statefulDedup, Some(statefulDedupSql)),
     QuerySpec("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),

@@ -56,6 +56,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment equals the batch dimension join") {
+    val streamed = SparkEntry.queries("stream_static_enrich")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_above_avg"), r.getAs[Double]("above_share"))).toSet
+    val docs = graft.Tables.documents(spark, sf001)
+    val dim = docs.groupBy(col("source")).agg(avg(col("n_chars")).as("avg_chars"))
+    val batch = docs.join(dim, "source")
+      .withColumn("above", (col("n_chars") > col("avg_chars")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("above")).as("n_above_avg"))
+      .withColumn("above_share",
+        round(col("n_above_avg").cast("double") / col("n_docs"), 4))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_above_avg"), r.getAs[Double]("above_share"))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch sink: replaying a batch overwrites, never duplicates") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_febatch_test").toString
