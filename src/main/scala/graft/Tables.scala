@@ -21,17 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw long nanos (legacy conf) and rebuild a proper
-    * microsecond TimestampType with integer division (the data has no
-    * sub-microsecond components, verified — so this is lossless and matches
-    * DuckDB's ns→µs view of the same values).
+  /** events.ts has shipped in two parquet layouts across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as raw long nanos via the legacy conf and rebuilt as µs; lossless,
+    * the data has no sub-microsecond components) and plain TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (inferred as TIMESTAMP_NTZ — cast to the
+    * session-zone instant, wall-clock-identical under the pinned UTC
+    * session, matching DuckDB's naive-timestamp view of the same values).
+    * Dispatch on the actual file schema so both generations read
+    * identically; downstream always sees a µs TimestampType `ts`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -155,6 +155,28 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Streaming source over the events table, adaptive to the two `ts`
+    * layouts the driver data has shipped (see [[graft.Tables.events]]):
+    * raw TIMESTAMP(NANOS) read as long nanos and rebuilt as µs, or
+    * TIMESTAMP(MICROS) read as TIMESTAMP_NTZ and cast to the session-zone
+    * instant. readStream needs an explicit schema, so the `ts` field type
+    * is probed from the staged files with a one-off batch read (footer
+    * only — no data scan). Downstream always sees a µs TimestampType
+    * `ts`, so watermarks/windows/joins are layout-independent. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageAsDir(d, "events")
+    val tsType = s.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(eventSchemaNanos.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val src = s.readStream.schema(schema).parquet(dir)
+    tsType match {
+      case LongType => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src
+    }
+  }
+
   /** ST3/A13 twin as a stream: running token counts (complete mode), final
     * state == the batch global top-20. */
   private def tokenCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
@@ -177,9 +199,7 @@ object StreamingOps {
     * aligns to the epoch, so closed windows equal date_trunc('hour') —
     * which is exactly what the oracle checks. */
   private def windowedCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
     val agg = src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -342,7 +362,7 @@ object StreamingOps {
     val outTmp = Files.createTempDirectory("graft_febatch")
     outTmp.toFile.deleteOnExit()
     val outDir = outTmp.toString
-    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
+    val src = eventsStream(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
     val q = src.writeStream
       .foreachBatch((batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -386,9 +406,7 @@ object StreamingOps {
     * oracle checks. Dedup key: (user_id, event_type) — "count each user's
     * first view/purchase/click once". */
   private def dedupWithinWatermark(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -411,9 +429,7 @@ object StreamingOps {
     * bounded input makes the result equal the batch range join — which is
     * exactly what the oracle checks. */
   private def streamStreamJoin(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(s, d)
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("view_ts"))
@@ -448,9 +464,7 @@ object StreamingOps {
     * lag-based definition keeps an exact-gap event in the same session —
     * both are checked against oracles with their own predicate. */
   private def sessionWindow(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
     val sessions = src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -654,9 +668,7 @@ object StreamingOps {
     * structure burst/rate monitors use. The oracle replays the window
     * assignment arithmetic (epoch div on the hop, two starts per event). */
   private def slidingWindow(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventSchemaNanos).parquet(stageAsDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
     val agg = src.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
