@@ -163,7 +163,7 @@ object StreamingOps {
     * is probed from the staged files with a one-off batch read (footer
     * only — no data scan). Downstream always sees a µs TimestampType
     * `ts`, so watermarks/windows/joins are layout-independent. */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = stageAsDir(d, "events")
     val tsType = s.read.parquet(dir).schema("ts").dataType

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The driver has shipped the events table in two parquet layouts across
+  * data generations: `ts` as TIMESTAMP(NANOS) — which Spark can only read
+  * as raw long nanos via the legacy conf — through r8, and plain
+  * TIMESTAMP(MICROS) (inferred TIMESTAMP_NTZ) from r9. The r9 regen broke
+  * every events-touching query until the readers became schema-adaptive.
+  * This spec pins the adaptivity so the NEXT layout change fails here
+  * first, with a message naming the dispatch, instead of as 100+ opaque
+  * driver-gate failures: both layouts must read byte-identically through
+  * graft.Tables.events and streaming.StreamingOps.eventsStream, and both
+  * must hand downstream a µs TimestampType `ts`.
+  */
+class SchemaDriftSpec extends SparkSpec {
+
+  private val eventRows = Seq(
+    // (event_id, epochMicros, user_id, event_type, value, props)
+    (1L, 1704067200000000L, 10L, "view", 1.5, """{"k":"a"}"""),
+    (2L, 1704067201123456L, 11L, "click", 2.5, """{"k":"b"}"""),
+    (3L, 1704153599999999L, 10L, "purchase", 9.0, null: String))
+
+  /** events.parquet with ts as raw long NANOS (the pre-r9 read shape). */
+  private lazy val nanosDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_nanos").toFile
+    dir.deleteOnExit()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rows = eventRows.map { case (id, us, u, t, v, p) =>
+      Row(id, us * 1000L, u, t, v, p)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    dir.getAbsolutePath
+  }
+
+  /** events.parquet with ts as TIMESTAMP_NTZ micros (the r9 layout). */
+  private lazy val ntzDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_ntz").toFile
+    dir.deleteOnExit()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rows = eventRows.map { case (id, us, u, t, v, p) => Row(id, us, u, t, v, p) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      // micros since epoch -> wall-clock NTZ value (UTC session, lossless)
+      .withColumn("ts", timestamp_micros(col("ts")).cast(TimestampNTZType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    dir.getAbsolutePath
+  }
+
+  test("Tables.events reads the nanos-long and NTZ-micros layouts identically") {
+    val a = Tables.events(spark, nanosDir)
+    val b = Tables.events(spark, ntzDir)
+    assert(a.schema("ts").dataType === TimestampType,
+      "nanos layout must surface a µs TimestampType ts")
+    assert(b.schema("ts").dataType === TimestampType,
+      "NTZ layout must surface a µs TimestampType ts")
+    val fmt = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val va = a.select(col("event_id"), fmt.as("t")).orderBy("event_id").collect().toSeq
+    val vb = b.select(col("event_id"), fmt.as("t")).orderBy("event_id").collect().toSeq
+    assert(va === vb, "same logical events must read identically from both layouts")
+    // µs precision survives end to end (the .999999 row would expose
+    // any ms-rounding shortcut in either dispatch arm)
+    assert(va.map(_.getString(1)).contains("2024-01-01 23:59:59.999999"))
+  }
+
+  test("streaming eventsStream adapts to both layouts with equal results") {
+    def replay(dir: String, sink: String): Seq[Row] = {
+      val src = graft.streaming.StreamingOps.eventsStream(spark, dir)
+      assert(src.schema("ts").dataType === TimestampType,
+        s"streaming ts must be TimestampType for $dir")
+      val q = src.select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(sink).orderBy("event_id").collect().toSeq
+    }
+    val va = replay(nanosDir, "drift_nanos_sink")
+    val vb = replay(ntzDir, "drift_ntz_sink")
+    assert(va === vb)
+    assert(va.nonEmpty)
+  }
+}
