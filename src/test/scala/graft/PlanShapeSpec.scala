@@ -95,4 +95,20 @@ class PlanShapeSpec extends SparkSpec {
         s"expected a skew=true join (OptimizeSkewedJoin fired):\n$p")
     }
   }
+
+  test("rel_bucketed_join: co-located fact join has zero shuffle below the join") {
+    // executes (sf0.001): the bucketed-scan decision is finalized in the
+    // adaptive plan. Both sides are bucketed on the join key with equal
+    // bucket counts, so the join must consume the scans AS-IS — any
+    // Exchange in this plan means the co-location silently broke (bucket
+    // counts drifted, bucketing disabled, or a repartition crept in).
+    val df = graft.ops.Relational.bucketedJoinCore(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Join"), s"expected a join over the bucketed scans:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed co-located join must be exchange-free:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"both scans must report bucketed reads:\n$p")
+  }
 }
