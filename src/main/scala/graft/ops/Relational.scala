@@ -1652,6 +1652,44 @@ object Relational {
     o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
   }
 
+  // ------------------------------------------------- partition-pruned layout
+
+  /** Fit-once hive-style partitioned layout of the documents table
+    * (`lang=<v>/` directories). The second half of the 100 TB layout story
+    * beside bucketing: a predicate on the partition column prunes whole
+    * directories at PLANNING time — a 100 TB corpus filtered to one
+    * language never lists, opens, or reads the other languages' files.
+    * PlanShapeSpec pins the predicate landing in `PartitionFilters`
+    * (planning-time pruning), not `PushedFilters` (row-group skipping). */
+  private val partitionedDocs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, org.apache.spark.sql.types.StructType)]
+
+  private def partitionedDocsDir(s: SparkSession, d: String): (String, org.apache.spark.sql.types.StructType) =
+    partitionedDocs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_partdocs")
+      dir.toFile.deleteOnExit()
+      val docs = T.documents(s, d)
+      docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/documents")
+      // read-back needs the explicit schema: an EMPTY corpus writes no
+      // part files and schema inference would throw (EmptyInputSpec)
+      (s"$dir/documents", docs.schema)
+    })
+
+  private[graft] def partitionPruneCore(s: SparkSession, d: String): DataFrame = {
+    val (dir, schema) = partitionedDocsDir(s, d)
+    s.read.schema(schema).parquet(dir)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val partitionPruneSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Registered form: revenue by order priority over the co-located join.
     * The only exchange in the whole plan is the final ≤5-group aggregate. */
   private def bucketedJoin(s: SparkSession, d: String): DataFrame =
@@ -1675,9 +1713,10 @@ object Relational {
     * limited slices — identical schema and operator chain, so the generated
     * code and JIT profile carry over to the timed run. */
   def warmShapes(s: SparkSession, d: String): Unit = {
-    // one-time bucketed-layout BUILD (the fit-once warehouse write) — a
-    // deployment lays out bucketed tables once, then joins them per query
+    // one-time layout BUILDS (the fit-once warehouse writes) — a deployment
+    // lays out bucketed/partitioned tables once, then queries them per run
     bucketedPair(s, d)
+    partitionedDocsDir(s, d)
     ntileCore(s, T.customer(s, d).limit(512)).count()
     inSubqueryCore(s, T.orders(s, d).limit(2048), T.customer(s, d).limit(512)).count()
     hashSampleCore(T.orders(s, d).limit(2048)).count()
@@ -1698,6 +1737,7 @@ object Relational {
     QuerySpec("rel_topk_orders", topkOrders, Some(topkOrdersSql)),
     QuerySpec("rel_join_broadcast_part", joinBroadcastPart, Some(joinBroadcastPartSql)),
     QuerySpec("rel_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    QuerySpec("rel_partition_prune", partitionPruneCore, Some(partitionPruneSql)),
     QuerySpec("rel_join_multiway_revenue", joinMultiwayRevenue, Some(joinMultiwayRevenueSql)),
     QuerySpec("rel_semi_join", semiJoin, Some(semiJoinSql)),
     QuerySpec("rel_anti_join", antiJoin, Some(antiJoinSql)),

@@ -111,4 +111,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"),
       s"both scans must report bucketed reads:\n$p")
   }
+
+  test("rel_partition_prune: language predicate prunes partitions at planning time") {
+    val df = graft.ops.Relational.partitionPruneCore(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      s"the lang predicate must land in PartitionFilters (directory-level " +
+        s"pruning), not just row-group skipping:\n$p")
+    // the partition column never reaches the data scan: whole non-matching
+    // directories are skipped and the files read carry no lang column
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!readSchema.contains("lang"),
+      s"lang is a partition column and must not be in ReadSchema: $readSchema")
+  }
 }
