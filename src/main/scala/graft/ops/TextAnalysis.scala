@@ -118,6 +118,86 @@ object TextAnalysis {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style quality filter CASCADE with per-rule accounting — the
+    * report a pretraining pipeline reads before shipping a filter config:
+    * each document is charged to the FIRST rule it fails (cascade order, the
+    * way production filters short-circuit), and the output is one row per
+    * stage with the docs rejected there, the docs still alive after the
+    * stage, and the rejection share. Rules (thresholds chosen to split the
+    * fixture corpus non-trivially at every SF; the mean-word-length band is
+    * the published Gopher [3,10] rule and legitimately rejects zero docs on
+    * this synthetic corpus — the accounting proves that too):
+    *   1_min_words      n_tok < 20
+    *   2_max_words      n_tok > 80
+    *   3_mean_word_len  mean token length outside [3,10]
+    *   4_stop_hits      fewer than 2 stopword hits (drops most non-English)
+    *   5_repetition     distinct-token ratio < 0.35
+    *   6_pass           survivors
+    * One corpus scan → per-doc stage label → 6-group aggregate; the
+    * stage/window arithmetic runs on a 6-row frame. Map-only at 100 TB. */
+  private def filterCascade(s: SparkSession, d: String): DataFrame =
+    filterCascadeCore(s, T.documents(s, d))
+
+  private[graft] def filterCascadeCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    val stats = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tok"),
+      length(col("text")).as("len_chars"),
+      hits(rawToks(col("text")), Text.STOPWORDS).as("stop_hits"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+    val mwl = (col("len_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok")
+    val flagged = stats.withColumn("stage",
+      when(col("n_tok") < 20, "1_min_words")
+        .when(col("n_tok") > 80, "2_max_words")
+        .when(mwl < 3.0 || mwl > 10.0, "3_mean_word_len")
+        .when(col("stop_hits") < 2, "4_stop_hits")
+        .when(col("n_distinct").cast("double") / col("n_tok") < 0.35, "5_repetition")
+        .otherwise("6_pass"))
+    val counts = flagged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+    // every stage present even when a rule rejects zero docs
+    import s.implicits._
+    val stages = Seq("1_min_words", "2_max_words", "3_mean_word_len",
+      "4_stop_hits", "5_repetition", "6_pass").toDF("stage")
+    val all = Window.partitionBy()
+    val cum = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stages.join(counts, Seq("stage"), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("n_after", sum(col("n_docs")).over(all) - sum(col("n_docs")).over(cum))
+      .withColumn("pct", round(col("n_docs") / sum(col("n_docs")).over(all), 4))
+      .orderBy(col("stage"))
+  }
+
+  private val filterCascadeSql =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |    CAST(length(text) AS INT) AS len_chars,
+       |    ${hitsSql(Text.STOPWORDS)} AS stop_hits,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+       |  FROM documents),
+       |flagged AS (
+       |  SELECT CASE
+       |    WHEN n_tok < 20 THEN '1_min_words'
+       |    WHEN n_tok > 80 THEN '2_max_words'
+       |    WHEN (len_chars - (n_tok - 1)) * 1.0 / n_tok < 3.0
+       |      OR (len_chars - (n_tok - 1)) * 1.0 / n_tok > 10.0 THEN '3_mean_word_len'
+       |    WHEN stop_hits < 2 THEN '4_stop_hits'
+       |    WHEN n_distinct * 1.0 / n_tok < 0.35 THEN '5_repetition'
+       |    ELSE '6_pass' END AS stage
+       |  FROM s),
+       |stages(stage) AS (VALUES ('1_min_words'), ('2_max_words'),
+       |  ('3_mean_word_len'), ('4_stop_hits'), ('5_repetition'), ('6_pass')),
+       |counts AS (SELECT stage, count(*) AS n FROM flagged GROUP BY stage)
+       |SELECT stages.stage,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(n, 0)) OVER ()
+       |    - sum(coalesce(n, 0)) OVER (ORDER BY stages.stage
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_after,
+       |  round(coalesce(n, 0) * 1.0 / sum(coalesce(n, 0)) OVER (), 4) AS pct
+       |FROM stages LEFT JOIN counts USING (stage)
+       |ORDER BY stages.stage""".stripMargin
+
   /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
     * (letter runs | digit runs | single other chars). */
   private def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -1292,6 +1372,7 @@ object TextAnalysis {
     QuerySpec("ta_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QuerySpec("ta_lang_id", langId, Some(langIdSql)),
     QuerySpec("ta_quality", quality, Some(qualitySql)),
+    QuerySpec("ta_filter_cascade", filterCascade, Some(filterCascadeSql)),
     QuerySpec("ta_token_count", tokenCount, Some(tokenCountSql)),
     QuerySpec("ta_rolling_hash", rollingHash, Some(rollingHashSql)),
     QuerySpec("ta_entropy", entropy, Some(entropySql)),

@@ -294,4 +294,42 @@ class TextSpec extends SparkSpec {
     fin.unpersist()
     assert(got == refSegment(wf, 6))
   }
+
+  test("filter cascade: first-fail charging, telescoping remainder, all stages present") {
+    // one doc per rule, in cascade order, plus two survivors; the
+    // 5_repetition doc fails NO earlier rule (26 words incl. 2 stop hits,
+    // inside both length bands, mean word len ~3.9) and a doc failing
+    // MULTIPLE rules (3 words, no stopwords) must be charged to the FIRST
+    val survivor = (("the of and to in a " * 5) +
+      (1 to 14).map(i => s"wordish$i").mkString(" ")).trim // 44 words, mwl ~3.9
+    val docs = Seq(
+      (1L, "too short doc"),                               // 1_min_words (also 4)
+      (2L, ("long " * 99).trim + " the of and in to"),     // 2_max_words
+      (3L, ("word " * 24).trim + " the of"),               // 5_repetition (3/26 distinct)
+      (4L, (1 to 30).map(i => s"word$i").mkString(" ")),   // 4_stop_hits (no stopwords)
+      (5L, survivor),                                      // 6_pass
+      (6L, survivor + " extra")                            // 6_pass
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.filterCascadeCore(spark, docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val byStage = out.map(t => t._1 -> t._2).toMap
+    // every stage row exists, even zero-reject ones
+    assert(out.map(_._1) == Seq("1_min_words", "2_max_words", "3_mean_word_len",
+      "4_stop_hits", "5_repetition", "6_pass"))
+    assert(byStage("1_min_words") == 1L, s"doc 1 charged to first rule only: $out")
+    assert(byStage("2_max_words") == 1L, out.toString)
+    assert(byStage("3_mean_word_len") == 0L,
+      s"the Gopher [3,10] band rejects nothing on this fixture: $out")
+    assert(byStage("4_stop_hits") == 1L, out.toString)
+    assert(byStage("5_repetition") == 1L, out.toString)
+    assert(byStage("6_pass") == 2L, out.toString)
+    // n_after telescopes: total - cumulative, ending at zero
+    val total = out.map(_._2).sum
+    var remaining = total
+    out.foreach { case (_, n, after) =>
+      remaining -= n
+      assert(after == remaining, s"n_after must telescope: $out")
+    }
+    assert(out.last._3 == 0L)
+  }
 }
