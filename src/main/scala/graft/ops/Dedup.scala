@@ -692,6 +692,12 @@ object Dedup {
       components(pairs, nodes).count()
       components(pairs, nodes).count()
       pairs.unpersist()
+      // the cluster-rep election chain (quality expressions, labels
+      // left-merge, cluster-keyed first() window) — dedup_cluster_rep is
+      // the alphabetically FIRST bench query, so any shape it alone uses
+      // lands on the clock at position 1 (r9 final gate: 13.8 s in-bench
+      // vs 5.97 steady with only the pairs+CC warm below)
+      clusterRepCore(s, docs).count()
       // candidate-then-verify levenshtein join
       levenshteinCore(docs).count()
       // sign-LSH band join + exact-cosine verify over an embeddings slice
@@ -832,8 +838,10 @@ object Dedup {
     * quality frame on doc_id, then one cluster-keyed window elects the
     * representative — the only shuffles are the label join and the
     * window partition, both on corpus keys. */
-  private def clusterRep(s: SparkSession, d: String): DataFrame = {
-    val docs = T.documents(s, d)
+  private def clusterRep(s: SparkSession, d: String): DataFrame =
+    clusterRepCore(s, T.documents(s, d))
+
+  private[graft] def clusterRepCore(s: SparkSession, docs: DataFrame): DataFrame = {
     val pairs = minhashPairs(docs).select(col("id_a"), col("id_b")).persist()
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
