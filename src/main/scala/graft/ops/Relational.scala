@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{QuerySpec, Tables => T}
+import graft.{QuerySpec, Tables => T, TmpDirs}
 
 /** Standard relational operator surface over the driver star schema
   * (SURVEY.md §7.2 M2). Every query is a pure-declarative DataFrame program —
@@ -1624,8 +1624,7 @@ object Relational {
     bucketedTables.getOrElseUpdate(d, {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val dir = java.nio.file.Files.createTempDirectory("graft_bucketed")
-      dir.toFile.deleteOnExit()
+      val dir = TmpDirs.create("graft_bucketed")
       val (oTbl, lTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
       T.orders(s, d).repartition(8, col("o_orderkey"))
         .write.mode("overwrite").format("parquet")
@@ -1666,8 +1665,7 @@ object Relational {
 
   private def partitionedDocsDir(s: SparkSession, d: String): (String, org.apache.spark.sql.types.StructType) =
     partitionedDocs.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_partdocs")
-      dir.toFile.deleteOnExit()
+      val dir = TmpDirs.create("graft_partdocs")
       val docs = T.documents(s, d)
       docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/documents")
       // read-back needs the explicit schema: an EMPTY corpus writes no

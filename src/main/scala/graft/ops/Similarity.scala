@@ -34,6 +34,20 @@ object Similarity {
   private def withNorm(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d).withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
 
+  /** Embeddings with `nvec` = the L2-normalized embedding (array<double>)
+    * and `features` = its MLlib vector form — the shared input of every
+    * spherical consumer (IVF / PQ / PCA / topic KMeans all cluster in the
+    * normalized space, where euclidean order ≡ cosine order). Consumers
+    * that don't read `features` lose it to column pruning. */
+  private def withNormalized(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val nrm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    T.embeddings(s, d)
+      .withColumn("nvec", transform(col("embedding"), x => x.cast("double") / nrm))
+      .withColumn("features", array_to_vector(col("nvec")))
+  }
+
   private val normSqlFrag =
     """sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
@@ -166,20 +180,17 @@ object Similarity {
   private def knnIvf(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // Spherical quantization: the scoring metric is cosine, so cluster the
     // L2-NORMALIZED vectors (euclidean distance on the unit sphere orders
     // identically to cosine) — an unnormalized quantizer puts cosine-near
     // but magnitude-far vectors in different cells, capping recall no
     // matter how many cells are probed.
-    val nrm = sqrt(aggregate(transform(col("embedding"),
-      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    val e = T.embeddings(s, d)
-      .withColumn("nvec", transform(col("embedding"), x => x.cast("double") / nrm))
-      .withColumn("features", array_to_vector(col("nvec")))
+    val e = withNormalized(s, d)
     // KMeans.fit rejects an empty dataset; the IVF of an empty corpus is
-    // the empty result, not an error (incremental runs start there)
-    if (e.isEmpty)
+    // the empty result, not an error (incremental runs start there).
+    // Single-column limit(1) probe, not isEmpty — same hot-path fix as
+    // annMllib (isEmpty runs the projection plus an executeTake ramp).
+    if (e.select(lit(1)).limit(1).collect().isEmpty)
       return e.sparkSession.createDataFrame(
         e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -428,10 +439,7 @@ object Similarity {
     CosineSim.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val nrm = sqrt(aggregate(transform(col("embedding"),
-      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    val e = T.embeddings(s, d)
-      .withColumn("nvec", transform(col("embedding"), x => x.cast("double") / nrm))
+    val e = withNormalized(s, d)
     // single-row probe doubles as the empty guard (KMeans.fit rejects
     // empty input; the PQ of an empty corpus is the empty result)
     val head = e.select(size(col("embedding")).as("dim")).limit(1).collect()
@@ -536,12 +544,8 @@ object Similarity {
     * from the fit-once cached model. None on an empty corpus. */
   private def pcaProject(s: SparkSession, d: String): Option[DataFrame] = {
     import org.apache.spark.ml.feature.PCA
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val nrm = sqrt(aggregate(transform(col("embedding"),
-      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    val e = T.embeddings(s, d)
-      .withColumn("nvec", transform(col("embedding"), x => x.cast("double") / nrm))
-      .withColumn("features", array_to_vector(col("nvec")))
+    import org.apache.spark.ml.functions.vector_to_array
+    val e = withNormalized(s, d)
     if (e.select(lit(1)).limit(1).collect().isEmpty) return None
     val model = pcaModels.getOrElseUpdate(ivfKey(d),
       new PCA().setK(PCA_K).setInputCol("features").setOutputCol("pcaVec").fit(e))
@@ -611,9 +615,13 @@ object Similarity {
       else exact.join(knnPca(s, d).select(col("query_id"), col("cand_id")),
         Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
     exact.unpersist() // all dependent counts materialized above
+    // Fit via pcaProject (cache-aware): with base == 0 the recall branch
+    // never runs knnPca, so the model may not have been fit yet.
     val cumVar =
       if (nQueries == 0) 1.0
-      else pcaModels(ivfKey(d)).explainedVariance.toArray.sum
+      else pcaProject(s, d)
+        .map(_ => pcaModels(ivfKey(d)).explainedVariance.toArray.sum)
+        .getOrElse(1.0)
     Seq((nQueries, cumVar >= PCA_VAR_FLOOR, recall >= PCA_RECALL_FLOOR))
       .toDF("n_queries", "pca_var_ok", "pca_recall_ok")
   }
@@ -642,12 +650,7 @@ object Similarity {
     * contract. Returns None on an empty corpus (KMeans.fit rejects it). */
   private def topicAssign(s: SparkSession, d: String): Option[DataFrame] = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val nrm = sqrt(aggregate(transform(col("embedding"),
-      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    val e = T.embeddings(s, d)
-      .withColumn("nvec", transform(col("embedding"), x => x.cast("double") / nrm))
-      .withColumn("features", array_to_vector(col("nvec")))
+    val e = withNormalized(s, d)
     if (e.select(lit(1)).limit(1).collect().isEmpty) return None
     val km = topicModels.getOrElseUpdate(ivfKey(d),
       new KMeans().setK(TK).setSeed(7L).setMaxIter(10)

@@ -321,20 +321,33 @@ object Sketches {
   // SketchSpec) — so a reference user gets IDENTICAL per-key estimates and
   // membership bits, not merely the same bounds.
 
+  /** Fit-once faithful CMS (seed 0, reference sizing 544×7) per dataset:
+    * [[cmsFaithful]] and its contract twin build the IDENTICAL
+    * deterministic sketch over the same token stream, so the blake2b
+    * build — the dominant cost of both queries — runs once per JVM per
+    * dataset (the pqModels/pcaModels/bucketedPair pattern). */
+  private val faithfulCmsCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.functions.RefSketches.RefCms]
+
+  private def corpusTokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(explode(Text.tokens(col("text"))).as("token"))
+
+  private def faithfulCmsFor(s: SparkSession, d: String): graft.functions.RefSketches.RefCms = {
+    import s.implicits._
+    faithfulCmsCache.getOrElseUpdate(d,
+      corpusTokens(s, d).as[String]
+        .select(graft.functions.RefSketches.cmsAgg(0, 544, 7).toColumn).head())
+  }
+
   /** Faithful-CMS estimates vs exact counts for the corpus top-20 tokens —
     * [[cmsTokenFreq]]'s twin with the reference's exact per-key columns
     * (seed 0, the reference constructor default). Estimates are
     * blake2b-internal → rows-only; gated by sketch_cms_faithful_contract. */
   private def cmsFaithful(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // two actions (sketch build, exact top-20): one tokenize scan
-    val toks = T.documents(s, d)
-      .select(explode(Text.tokens(col("text"))).as("token")).persist()
-    val cms = toks.as[String]
-      .select(graft.functions.RefSketches.cmsAgg(0, 544, 7).toColumn).head()
+    val cms = faithfulCmsFor(s, d)
     val bc = s.sparkContext.broadcast(cms)
     val estimate = udf((t: String) => bc.value.estimate(t))
-    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    corpusTokens(s, d).groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token")).limit(20)
       .withColumn("ref_est", estimate(col("token")))
       .withColumn("overestimate", col("ref_est") - col("exact_cnt"))
@@ -345,15 +358,11 @@ object Sketches {
     * pattern, reference sizing): width=⌈e/ε⌉ ⇒ ε=e/width, so the Count-Min
     * guarantee is est ≤ exact + ⌈e·N/544⌉ with the reference's own bound. */
   private def cmsFaithfulContract(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val toks = T.documents(s, d)
-      .select(explode(Text.tokens(col("text"))).as("token")).persist()
-    val cms = toks.as[String]
-      .select(graft.functions.RefSketches.cmsAgg(0, 544, 7).toColumn).head()
+    val cms = faithfulCmsFor(s, d)
     val epsN = math.ceil(math.E * cms.total / 544).toLong
     val bc = s.sparkContext.broadcast(cms)
     val estimate = udf((t: String) => bc.value.estimate(t))
-    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    corpusTokens(s, d).groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token")).limit(20)
       .withColumn("est", estimate(col("token")))
       .select(col("token"), col("exact_cnt"),

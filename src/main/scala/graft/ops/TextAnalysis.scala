@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{QuerySpec, Tables => T}
+import graft.{QuerySpec, Tables => T, TmpDirs}
 import graft.functions.Text
 
 /** Corpus-analysis operators for a training-data pipeline (builder-prompt
@@ -1113,23 +1113,10 @@ object TextAnalysis {
     * claim that the WRITE PATH preserved the permutation, the
     * foreachBatch-sink precedent applied to the batch writer. */
   private def shuffleWrite(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file._
-    val outTmp = Files.createTempDirectory("graft_epoch_shuffle")
-    // deleteOnExit on the top-level dir is a no-op once the writer fills
-    // it (non-empty dirs don't delete); a shutdown hook walks the tree
-    // bottom-up instead, so repeated invocations (correctness run, bench
-    // reps, tests) stop accumulating full parquet copies in /tmp. The
-    // deletion must wait for JVM exit: the returned summary frame reads
-    // the written files lazily.
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val walk = Files.walk(outTmp)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      } catch { case _: Throwable => () }
-    }))
-    val outDir = outTmp.toString
+    // TmpDirs removes the tree at JVM exit (deleteOnExit on a non-empty
+    // dir is a no-op); the deletion must wait for exit because the
+    // returned summary frame reads the written files lazily.
+    val outDir = TmpDirs.create("graft_epoch_shuffle").toString
     shuffleWriteTo(s, d, outDir)
     // explicit schema: an empty corpus writes zero data files, which
     // would otherwise fail parquet schema inference (and inference would

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
-import graft.QuerySpec
+import graft.{QuerySpec, TmpDirs}
 import graft.functions.Text
 
 /** Structured Streaming pipeline (SURVEY.md §7.2 M4, §2.8 ST1–ST7): the
@@ -30,8 +30,7 @@ object StreamingOps {
     stagedDirs.getOrElseUpdate((d, name), {
       import java.nio.file._
       import scala.jdk.CollectionConverters._
-      val dir = Files.createTempDirectory(s"graft_stream_$name")
-      dir.toFile.deleteOnExit()
+      val dir = TmpDirs.create(s"graft_stream_$name")
       val src = Paths.get(s"$d/$name.parquet")
       // testdata ships single files; spark-written tables are directories
       // of part files — stage whichever layout we're given
@@ -122,9 +121,7 @@ object StreamingOps {
   private val miniDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def miniEventsDir(s: SparkSession, d: String): String =
     miniDirs.getOrElseUpdate(d, {
-      import java.nio.file._
-      val dir = Files.createTempDirectory("graft_stream_mini")
-      dir.toFile.deleteOnExit()
+      val dir = TmpDirs.create("graft_stream_mini")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$d/events.parquet").limit(20000).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -137,9 +134,7 @@ object StreamingOps {
   private val miniDocDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def miniDocsDir(s: SparkSession, d: String): String =
     miniDocDirs.getOrElseUpdate(d, {
-      import java.nio.file._
-      val dir = Files.createTempDirectory("graft_stream_minidocs")
-      dir.toFile.deleteOnExit()
+      val dir = TmpDirs.create("graft_stream_minidocs")
       s.read.parquet(s"$d/documents.parquet").limit(2000).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir.toString
@@ -317,10 +312,7 @@ object StreamingOps {
     * counts are deterministic and equal the batch distinct-fingerprint
     * accounting the oracle computes. */
   private def curationSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
-    import java.nio.file._
-    val outTmp = Files.createTempDirectory("graft_curation")
-    outTmp.toFile.deleteOnExit()
-    val outDir = outTmp.toString
+    val outDir = TmpDirs.create("graft_curation").toString
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
       .withColumn("toks", Text.tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
@@ -357,11 +349,8 @@ object StreamingOps {
     * it; equality with the batch aggregate over the source — checked by
     * the oracle — is precisely the exactly-once claim. */
   private def foreachBatchSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
-    import java.nio.file._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val outTmp = Files.createTempDirectory("graft_febatch")
-    outTmp.toFile.deleteOnExit()
-    val outDir = outTmp.toString
+    val outDir = TmpDirs.create("graft_febatch").toString
     val src = eventsStream(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
     val q = src.writeStream
@@ -706,22 +695,14 @@ object StreamingOps {
     * durable storage, stream partitions probe it independently, and
     * per-batch cost is proportional to the BATCH. */
   private def incrementalIntake(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
-    import java.nio.file._
     val docs = graft.Tables.documents(s, d)
     val half = docs.count() / 2
-    val idxTmp = Files.createTempDirectory("graft_stream_lshidx")
-    val outTmp = Files.createTempDirectory("graft_stream_intake")
-    Seq(idxTmp, outTmp).foreach { p =>
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
-    }
-    val idx = idxTmp.toString
-    val outDir = outTmp.toString
-    graft.ops.Dedup.buildLshIndex(
-      graft.ops.Dedup.sigWithArray(docs.filter(col("doc_id") < half)), idx)
+    // Fit-once index shared with dedup_incremental: both probe the same
+    // corpus half, and per-doc signature independence makes the two
+    // build paths bit-identical (DedupSpec pins that equivalence).
+    val idx = graft.ops.Dedup.corpusLshIndex(d,
+      graft.ops.Dedup.sigWithArray(docs.filter(col("doc_id") < half)))
+    val outDir = TmpDirs.create("graft_stream_intake").toString
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
       .filter(col("doc_id") >= half)
     val q = src.writeStream
