@@ -819,16 +819,18 @@ object Dedup {
   private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
     val half = docs.count() / 2
-    // One signature pass over the union, split afterwards: per-doc
-    // independence (see [[sigWithArray]]) makes this bit-identical to
-    // hashing the halves separately — DedupSpec proves that equivalence
-    // directly — while sharing the shingle-dictionary scan the two
-    // separate passes would each repeat. In production the index build is
-    // its own amortized job; here both halves run in one query, so the
-    // shared scan is pure savings.
-    val allSig = sigWithArray(docs).persist()
-    val idx = corpusLshIndex(d, allSig.filter(col("doc_id") < half))
-    probeLshIndex(s, allSig.filter(col("doc_id") >= half), idx)
+    // Halves hashed separately — bit-identical to one union pass by
+    // per-doc signature independence (DedupSpec proves that equivalence
+    // directly) — so that on a fit-once index cache HIT the train half
+    // is never re-hashed at all: corpusLshIndex takes the corpus
+    // signature frame by name and only evaluates it when the index
+    // files don't exist yet. Per-ingest work is then proportional to
+    // the BATCH, matching the production shape where the index build is
+    // its own amortized job. The batch side feeds three consumers
+    // (probe bands, signature fetch) — persist for the query.
+    val batchSig = sigWithArray(docs.filter(col("doc_id") >= half)).persist()
+    val idx = corpusLshIndex(d, sigWithArray(docs.filter(col("doc_id") < half)))
+    probeLshIndex(s, batchSig, idx)
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
@@ -1082,12 +1084,26 @@ object Dedup {
     * nothing here is quadratic. */
   private def fuzzyContamination(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
-    fuzzyContaminationCore(docs, docs.count() / 2)
+    val half = docs.count() / 2
+    // The registered path probes the PERSISTED epoch index (the same
+    // fit-once files intake dedup probes — the scaladoc's 100 TB shape,
+    // now literal): only the test side is hashed here; train bands and
+    // signatures come from the index files. probeLshIndex computes the
+    // identical verified links (per-doc signature independence), with
+    // (batch_id, corpus_id) as (test, train).
+    // three consumers (probe bands, probe signature fetch, report join)
+    val testSig = sigWithArray(docs.filter(col("doc_id") >= half)).persist()
+    val idx = corpusLshIndex(d, sigWithArray(docs.filter(col("doc_id") < half)))
+    contaminationReport(
+      probeLshIndex(s, testSig, idx)
+        .select(col("batch_id").as("test_id"), col("corpus_id").as("train_id"),
+          col("est_jaccard")),
+      testSig.select(col("doc_id")))
   }
 
   /** Core of [[fuzzyContamination]] over any (doc_id, text) frame with an
     * explicit split point — separate so DedupSpec can pin the semantics
-    * on synthetic corpora. */
+    * on synthetic corpora (no index files, one shared signature pass). */
   private[graft] def fuzzyContaminationCore(docs: DataFrame, half: Long): DataFrame = {
     // three consumers (both band sides + both signature-fetch sides)
     val allSig = sigWithArray(docs).persist()
@@ -1103,7 +1119,14 @@ object Dedup {
       .join(train.select(col("doc_id").as("train_id"), col("sig").as("sig_x")), "train_id")
       .withColumn("est_jaccard", sigAgreement(col("sig_q"), col("sig_x")))
       .filter(col("est_jaccard") >= 0.5)
-    // count + argmax share one test_id window partition (single exchange)
+    contaminationReport(ver.select(col("test_id"), col("train_id"), col("est_jaccard")),
+      test.select(col("doc_id")))
+  }
+
+  /** Per-test-doc aggregation stage: match count + best train match
+    * (count and argmax share ONE test_id window exchange), left-joined
+    * back to every auditable test doc. */
+  private def contaminationReport(ver: DataFrame, testDocs: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("test_id"))
       .orderBy(col("est_jaccard").desc, col("train_id"))
     val best = ver
@@ -1114,7 +1137,7 @@ object Dedup {
       .select(col("test_id").as("doc_id"), col("n_matches"),
         col("train_id").as("best_train_id"),
         col("est_jaccard").as("best_est"))
-    test.select(col("doc_id"))
+    testDocs
       .join(best, Seq("doc_id"), "left")
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
       .withColumn("best_train_id", coalesce(col("best_train_id"), lit(-1L)))

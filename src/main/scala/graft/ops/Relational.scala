@@ -1703,6 +1703,82 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------- format round-trip
+
+  /** Interchange-format round-trip — the ingest/egress surface beyond
+    * parquet that a real pipeline needs (landing zones arrive as CSV /
+    * JSONL; ORC is the other columnar warehouse format Spark ships a
+    * native vectorized reader for): the orders table is written to each
+    * format and read back under an EXPLICIT schema, and each read-back
+    * is reduced to an order-insensitive content checksum — count plus
+    * the sum of a 40-bit integer drawn from the md5 of a canonical
+    * per-row rendering (keys, status, price cents, µs-precision
+    * timestamp string, priority; 40 bits keeps the ANSI-mode long sum
+    * overflow-free to ~8M rows — a corpus-scale run sums per-shard
+    * partials into a decimal(38) instead). The DuckDB twin computes the same
+    * checksum straight from the parquet source and emits one row per
+    * format, so oracle equality proves every format preserved every row
+    * bit-for-bit (a lost timestamp fraction, a null-vs-empty-string
+    * swap, or a double rounding in any text codec breaks the sum).
+    * Timestamps are pinned through an explicit `timestampFormat` on the
+    * text formats — round-tripping them through the session-zone (UTC)
+    * wall clock, which is exactly what the canonical rendering hashes.
+    *
+    * Scale shape: writes are the usual distributed parquet-writer
+    * topology (coalesced here only to keep fixture file counts sane);
+    * the checksum is one map-side pass + a 1-row partial+final agg per
+    * format. The md5-sum is commutative, so it distributes — the same
+    * integrity-check pattern the epoch-shuffle writer pins per shard. */
+  private def formatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // Normalize the timestamp to the session-zone instant type before
+    // writing (wall-clock identical under the pinned UTC session — the
+    // Tables.events convention): the driver parquet ships TIMESTAMP_NTZ,
+    // which ORC would preserve and then refuse to cast on a TIMESTAMP
+    // read; after the cast all three formats round-trip one type.
+    val src = T.orders(s, d).withColumn("o_orderdate",
+      col("o_orderdate").cast(org.apache.spark.sql.types.TimestampType))
+    val readSchema = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val root = graft.TmpDirs.create("graft_fmt_roundtrip").toString
+    def checksum(df: DataFrame, fmt: String): DataFrame = {
+      val c = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), round(col("o_totalprice") * 100).cast("long"),
+        date_format(col("o_orderdate"), tsFmt), col("o_orderpriority"))
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(c), 1, 10), 16, 10).cast("long")).as("content_sum"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("content_sum"))
+    }
+    val fmts = Seq("csv", "json", "orc")
+    fmts.foreach { f =>
+      val w = src.coalesce(4).write.mode("overwrite").format(f)
+      (if (f == "orc") w else w.option("timestampFormat", tsFmt)).save(s"$root/$f")
+    }
+    fmts.map { f =>
+        val r = s.read.schema(readSchema).format(f)
+        checksum((if (f == "orc") r else r.option("timestampFormat", tsFmt))
+          .load(s"$root/$f"), f)
+      }
+      .reduce(_.union(_))
+      .orderBy(col("format"))
+  }
+
+  private val formatRoundtripSql =
+    """WITH base AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(sum(CAST(concat('0x', substr(md5(
+      |      concat(CAST(o_orderkey AS VARCHAR), '|',
+      |             CAST(o_custkey AS VARCHAR), '|',
+      |             o_orderstatus, '|',
+      |             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), '|',
+      |             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), '|',
+      |             o_orderpriority)), 1, 10)) AS BIGINT)) AS BIGINT)
+      |      AS content_sum
+      |  FROM orders)
+      |SELECT f.format, b.n_rows, b.content_sum
+      |FROM base b CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(format)
+      |ORDER BY f.format""".stripMargin
+
   /** First-use warmup for the three relational plan shapes whose whole-stage
     * codegen + JIT cost is not shared with any earlier query (r7 verdict:
     * in-bench 1.3-2.5 s vs 0.2-0.8 s steady): the distributed-ntile
@@ -1792,5 +1868,6 @@ object Relational {
     QuerySpec("rel_zorder_contract", zorderContract, Some(zorderContractSql)),
     QuerySpec("rel_lateral_join", lateralJoin, Some(lateralJoinSql)),
     QuerySpec("rel_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
-    QuerySpec("rel_pii_scrub", piiScrub, Some(piiScrubSql)))
+    QuerySpec("rel_pii_scrub", piiScrub, Some(piiScrubSql)),
+    QuerySpec("rel_format_roundtrip", formatRoundtrip, Some(formatRoundtripSql)))
 }

@@ -41,4 +41,14 @@ class RelationalSpec extends SparkSpec {
       .limit(10).collect().map(_.getAs[Long]("o_orderkey"))
     assert(topk.sameElements(full))
   }
+
+  test("format roundtrip: csv/json/orc checksums agree and match the source count") {
+    val out = SparkEntry.queries("rel_format_roundtrip")(spark, sf001).collect()
+    assert(out.map(_.getAs[String]("format")).toSeq == Seq("csv", "json", "orc"))
+    val n = graft.Tables.orders(spark, sf001).count()
+    assert(out.forall(_.getAs[Long]("n_rows") == n))
+    // all three formats must reproduce the identical content checksum —
+    // a timestamp-fraction loss or null/empty swap in any codec breaks it
+    assert(out.map(_.getAs[Long]("content_sum")).distinct.length == 1)
+  }
 }
