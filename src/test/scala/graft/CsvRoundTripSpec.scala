@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class CsvRoundTripSpec extends SparkSpec {
 
   test("orders survive a CSV round trip with explicit schema") {
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val out = TmpDirs.create("graft_csv").toString
     val orig = Tables.orders(spark, sf001)
       .withColumn("o_orderdate", col("o_orderdate").cast("date"))
     orig.write.mode("overwrite").option("header", "true").csv(out)

@@ -179,7 +179,7 @@ class DedupSpec extends SparkSpec {
     // the RELIABLE directory (files on the fault-tolerant store, not
     // executor-local blocks) and still converge to the same labels with
     // the same bounded plan
-    val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_cp").toString
+    val cpDir = TmpDirs.create("graft_cc_cp").toString
     spark.conf.set("spark.graft.cc.checkpointDir", cpDir)
     try {
       val chain = (1L until 40L).map(i => (i, i + 1))
@@ -225,7 +225,7 @@ class DedupSpec extends SparkSpec {
         .foreach(_.unpersist(blocking = true))
     }
     // reliable path: conf set -> post-eviction recompute succeeds
-    val cpDir = java.nio.file.Files.createTempDirectory("graft_cc_evict").toString
+    val cpDir = TmpDirs.create("graft_cc_evict").toString
     spark.conf.set("spark.graft.cc.checkpointDir", cpDir)
     try {
       val result = ops.Dedup.components(
@@ -282,7 +282,7 @@ class DedupSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sf001)
     val n = docs.count()
     val (half, q3) = (n / 2, 3 * n / 4)
-    val idx = java.nio.file.Files.createTempDirectory("graft_idx_split").toString
+    val idx = TmpDirs.create("graft_idx_split").toString
     ops.Dedup.buildLshIndex(
       ops.Dedup.sigWithArray(docs.filter(col("doc_id") < half)), idx)
     def probe(df: org.apache.spark.sql.DataFrame) =

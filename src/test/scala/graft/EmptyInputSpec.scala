@@ -14,8 +14,7 @@ import org.apache.spark.sql.types._
 class EmptyInputSpec extends SparkSpec {
 
   private lazy val emptyDir: String = {
-    val dir = Files.createTempDirectory("graft_empty").toFile
-    dir.deleteOnExit()
+    val dir = TmpDirs.create("graft_empty").toFile
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     names.foreach { n =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class OrcRoundTripSpec extends SparkSpec {
 
   test("lineitem survives an ORC round trip bit-for-bit") {
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val out = TmpDirs.create("graft_orc").toString
     val orig = Tables.lineitem(spark, sf001)
     orig.write.mode("overwrite").orc(out)
     val back = spark.read.orc(out)
@@ -20,7 +20,7 @@ class OrcRoundTripSpec extends SparkSpec {
   }
 
   test("predicate pushdown reaches the ORC scan") {
-    val out = java.nio.file.Files.createTempDirectory("graft_orc2").toString
+    val out = TmpDirs.create("graft_orc2").toString
     Tables.orders(spark, sf001).write.mode("overwrite").orc(out)
     val plan = spark.read.orc(out)
       .filter(col("o_totalprice") > 100000.0)

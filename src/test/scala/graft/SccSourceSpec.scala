@@ -40,7 +40,7 @@ class SccSourceSpec extends SparkSpec {
   }
 
   test("S2: cache-or-compute round trip is stable and hits the cache") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cache").toString
+    val dir = TmpDirs.create("graft_cache").toString
     var computes = 0
     def compute = { computes += 1; SccJsonSource.preprocessedMessages(spark, fixture) }
     val a = SccJsonSource.cacheOrCompute(spark, dir, "cfg_v1")(compute).count()

@@ -26,8 +26,7 @@ class SchemaDriftSpec extends SparkSpec {
 
   /** events.parquet with ts as raw long NANOS (the pre-r9 read shape). */
   private lazy val nanosDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_drift_nanos").toFile
-    dir.deleteOnExit()
+    val dir = TmpDirs.create("graft_drift_nanos").toFile
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -42,8 +41,7 @@ class SchemaDriftSpec extends SparkSpec {
 
   /** events.parquet with ts as TIMESTAMP_NTZ micros (the r9 layout). */
   private lazy val ntzDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_drift_ntz").toFile
-    dir.deleteOnExit()
+    val dir = TmpDirs.create("graft_drift_ntz").toFile
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -54,7 +54,7 @@ class StorageLayoutSpec extends SparkSpec {
   }
 
   test("partitioned parquet sink prunes partitions on read") {
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = TmpDirs.create("graft_part").toString
     Tables.documents(spark, sf001)
       .write.partitionBy("lang").mode("overwrite").parquet(out)
     val pruned = spark.read.parquet(out).filter(col("lang") === "en")
@@ -74,7 +74,7 @@ class StorageLayoutSpec extends SparkSpec {
     val bucketExpr = (1 to 4).map(j =>
       when(element_at(col("embedding"), j) > 0f, lit(1 << (j - 1))).otherwise(0))
       .reduce(_ + _)
-    val out = java.nio.file.Files.createTempDirectory("graft_annpart").toString
+    val out = TmpDirs.create("graft_annpart").toString
     Tables.embeddings(spark, sf001)
       .withColumn("bucket", bucketExpr)
       .write.partitionBy("bucket").mode("overwrite").parquet(out)
@@ -112,7 +112,7 @@ class StorageLayoutSpec extends SparkSpec {
         (col("l_orderkey") % 64).as("sy"))
       .withColumn("zval", spread(col("px")) + spread(col("sy")) * 2)
     def filesTouched(sorted: org.apache.spark.sql.DataFrame): Long = {
-      val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val out = TmpDirs.create("graft_zorder").toString
       sorted.coalesce(1)
         .sortWithinPartitions(col("sortkey"))
         .withColumn("chunk", spark_partition_id()) // single sorted stream...
@@ -134,7 +134,7 @@ class StorageLayoutSpec extends SparkSpec {
   }
 
   test("epoch-shuffle writer lands one sorted file per shard, permutation intact") {
-    val out = java.nio.file.Files.createTempDirectory("graft_eshuffle").toString
+    val out = TmpDirs.create("graft_eshuffle").toString
     graft.ops.TextAnalysis.shuffleWriteTo(spark, sf001, out)
     val shardDirs = new java.io.File(out).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("shard="))
@@ -170,7 +170,7 @@ class StorageLayoutSpec extends SparkSpec {
     // must reproduce the exact shard permutation, pinned by checksum
     // equality with the non-materialized verification twin
     val subShards = 2
-    val out = java.nio.file.Files.createTempDirectory("graft_eshuffle_sub").toString
+    val out = TmpDirs.create("graft_eshuffle_sub").toString
     graft.ops.TextAnalysis.shuffleWriteTo(spark, sf001, out, subShards)
     val shardDirs = new java.io.File(out).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("shard="))

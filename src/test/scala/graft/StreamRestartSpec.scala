@@ -41,10 +41,10 @@ class StreamRestartSpec extends SparkSpec {
 
   test("dedup state survives stop + restart from checkpoint") {
     import spark.implicits._
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toString
-    val out1 = java.nio.file.Files.createTempDirectory("graft_restart_out1").toString
-    val out2 = java.nio.file.Files.createTempDirectory("graft_restart_out2").toString
+    val srcDir = TmpDirs.create("graft_restart_src").toString
+    val ckpt = TmpDirs.create("graft_restart_ckpt").toString
+    val out1 = TmpDirs.create("graft_restart_out1").toString
+    val out2 = TmpDirs.create("graft_restart_out2").toString
 
     // run 1: docs 1 and 2 carry the same shingle
     Seq(ShinglePair(1, "a b c"), ShinglePair(2, "a b c")).toDS()

@@ -78,7 +78,7 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch sink: replaying a batch overwrites, never duplicates") {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_febatch_test").toString
+    val out = TmpDirs.create("graft_febatch_test").toString
     val batch = (1L to 100L).toDF("event_id")
     // at-least-once delivery: the same batchId arrives twice (failure
     // between the sink write and the checkpoint commit) — the second
