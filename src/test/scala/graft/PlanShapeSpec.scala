@@ -125,4 +125,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!readSchema.contains("lang"),
       s"lang is a partition column and must not be in ReadSchema: $readSchema")
   }
+
+  test("dedup_contamination: probes the persisted index, never rescans the corpus half") {
+    // Building the query materializes the fit-once index; the RETURNED
+    // plan is the steady audit shape — train bands/signatures must come
+    // from the index files, and the only documents scans are the test
+    // half (>= half pushed). A train-half documents scan (a LessThan
+    // pushdown) appearing here would mean the audit re-hashes the
+    // corpus per run — the exact cost the index exists to amortize.
+    val p = plan("dedup_contamination")
+    assert(p.contains("graft_lsh_index"),
+      s"train bands/sigs must be read from the persisted index files:\n$p")
+    assert(p.contains("GreaterThanOrEqual(doc_id"),
+      s"test-half filter must push to the documents scan:\n$p")
+    assert(!p.contains("LessThan(doc_id"),
+      s"no train-half documents scan may appear in the steady plan:\n$p")
+  }
 }
