@@ -1246,6 +1246,22 @@ object TextAnalysis {
 
   private def bpeLoop(s: SparkSession, wordFreq: DataFrame, rounds: Int)
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
+    // The merge rounds run on the vocab-sized symbol table: at 32 shuffle
+    // partitions each of the ~8 stages per round schedules mostly-empty
+    // tasks, and scheduling overhead dominates the loop. Scope the count
+    // down for the loop (every action here is vocab-scale; the argmax,
+    // windows, and joins are partition-count-invariant, which the
+    // reference-BPE property test and the bit-exact oracle both pin). On
+    // a real cluster the corpus-scale word count keeps deployment sizing;
+    // only the loop runs at vocab scale.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try bpeLoopBody(s, wordFreq, rounds)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def bpeLoopBody(s: SparkSession, wordFreq: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     var sym = wordFreq
       .withColumn("pos", explode(sequence(lit(0L), length(col("word")).cast("long") - 1)))
       .withColumn("sym", col("word").substr(col("pos").cast("int") + 1, lit(1)))
