@@ -14,6 +14,17 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cache key for dataset-keyed fit-once artifacts and models:
+    * (path, mtime, size) of the backing table file, so a dataset
+    * regenerated at the same path within one JVM invalidates the cached
+    * artifact instead of silently serving the old corpus's pairs /
+    * labels / index / baseline (the ivfKey convention, shared by every
+    * artifact cache). */
+  def datasetKey(dir: String, name: String): String = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    s"$dir|${f.lastModified}|${f.length}"
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

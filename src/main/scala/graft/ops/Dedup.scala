@@ -149,7 +149,7 @@ object Dedup {
   private val pairDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def minhashPairsFor(s: SparkSession, d: String): DataFrame = {
-    val path = pairDirs.getOrElseUpdate(d, {
+    val path = pairDirs.getOrElseUpdate(T.datasetKey(d, "documents"), {
       val p = s"${TmpDirs.create("graft_lsh_pairs")}/pairs"
       minhashPairs(T.documents(s, d))
         .coalesce(4).write.mode("overwrite").parquet(p)
@@ -326,7 +326,7 @@ object Dedup {
   private val embedPairDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def embedPairsFor(s: SparkSession, d: String): DataFrame = {
-    val path = embedPairDirs.getOrElseUpdate(d, {
+    val path = embedPairDirs.getOrElseUpdate(T.datasetKey(d, "embeddings"), {
       val p = s"${TmpDirs.create("graft_embed_pairs")}/pairs"
       embedPairs(s, T.embeddings(s, d))
         .coalesce(4).write.mode("overwrite").parquet(p)
@@ -552,15 +552,21 @@ object Dedup {
     state.select(col("node"), col("label"))
   }
 
-  /** CC labels (doc_id, cluster_id) of the LSH near-dup pair graph —
-    * nodes = every doc appearing in a verified candidate pair. */
-  private def labelsOf(docs: DataFrame): DataFrame = {
-    val pairs = minhashPairs(docs).select(col("id_a"), col("id_b")).persist()
+  /** CC labels (doc_id, cluster_id) from a verified pair frame — nodes
+    * = every doc appearing in a pair. ONE definition of the label
+    * derivation, fed either by the uncached pair builder (spec path) or
+    * the fit-once pair table (registered path). */
+  private def labelsFromPairs(pairs: DataFrame): DataFrame = {
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
     components(pairs, nodes)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Spec path: pairs computed inline (persisted — components reads the
+    * pair frame through both union branches of its edge set). */
+  private def labelsOf(docs: DataFrame): DataFrame =
+    labelsFromPairs(minhashPairs(docs).select(col("id_a"), col("id_b")).persist())
 
   /** Fit-once near-dup cluster labels for dataset `d`, materialized to
     * parquet (file-backed like the bucketed layout, so the artifact
@@ -573,14 +579,10 @@ object Dedup {
   private val labelDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def nearDupLabels(s: SparkSession, d: String): DataFrame = {
-    val path = labelDirs.getOrElseUpdate(d, {
+    val path = labelDirs.getOrElseUpdate(T.datasetKey(d, "documents"), {
       val p = s"${TmpDirs.create("graft_cc_labels")}/labels"
       // built over the fit-once pair table, not a fresh pair pipeline
-      val pairs = minhashPairsFor(s, d).select(col("id_a"), col("id_b"))
-      val nodes = pairs.select(col("id_a").as("id"))
-        .union(pairs.select(col("id_b").as("id")))
-      components(pairs, nodes)
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      labelsFromPairs(minhashPairsFor(s, d).select(col("id_a"), col("id_b")))
         .coalesce(4).write.mode("overwrite").parquet(p)
       p
     })
@@ -810,7 +812,7 @@ object Dedup {
     * half; `corpusSig` is only evaluated (and the index only written) on
     * the first call per dataset. */
   private[graft] def corpusLshIndex(d: String, corpusSig: => DataFrame): String =
-    lshIndexes.getOrElseUpdate(d, {
+    lshIndexes.getOrElseUpdate(T.datasetKey(d, "documents"), {
       val p = TmpDirs.create("graft_lsh_index_").toFile.getAbsolutePath
       buildLshIndex(corpusSig, p)
       p

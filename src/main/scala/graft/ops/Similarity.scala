@@ -276,7 +276,7 @@ object Similarity {
   private val exactKnnDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def exactKnnPairs(s: SparkSession, d: String): DataFrame = {
-    val path = exactKnnDirs.getOrElseUpdate(d, {
+    val path = exactKnnDirs.getOrElseUpdate(ivfKey(d), {
       val p = s"${TmpDirs.create("graft_exact_knn")}/pairs"
       knnBruteforce(s, d).select(col("query_id"), col("cand_id"))
         .coalesce(1).write.mode("overwrite").parquet(p)

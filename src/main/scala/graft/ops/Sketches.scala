@@ -334,7 +334,7 @@ object Sketches {
 
   private def faithfulCmsFor(s: SparkSession, d: String): graft.functions.RefSketches.RefCms = {
     import s.implicits._
-    faithfulCmsCache.getOrElseUpdate(d,
+    faithfulCmsCache.getOrElseUpdate(T.datasetKey(d, "documents"),
       corpusTokens(s, d).as[String]
         .select(graft.functions.RefSketches.cmsAgg(0, 544, 7).toColumn).head())
   }

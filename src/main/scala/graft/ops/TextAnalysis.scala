@@ -1192,7 +1192,7 @@ object TextAnalysis {
 
   private def bpeFitFor(s: SparkSession, d: String)
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
-    val (path, merges) = bpeFits.getOrElseUpdate(d, {
+    val (path, merges) = bpeFits.getOrElseUpdate(T.datasetKey(d, "documents"), {
       val p = s"${TmpDirs.create("graft_bpe")}/syms"
       val (fin, ms) = bpeLoop(s, bpeWordFreq(s, d), BpeRounds)
       fin.coalesce(1).write.mode("overwrite").parquet(p)

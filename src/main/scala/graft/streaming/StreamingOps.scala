@@ -27,7 +27,9 @@ object StreamingOps {
   private val stagedDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def stageAsDir(d: String, name: String): String =
-    stagedDirs.getOrElseUpdate((d, name), {
+    // keyed on (path, mtime, size) so a dataset regenerated at the same
+    // path within one JVM re-stages instead of serving stale file copies
+    stagedDirs.getOrElseUpdate((graft.Tables.datasetKey(d, name), name), {
       import java.nio.file._
       import scala.jdk.CollectionConverters._
       val dir = TmpDirs.create(s"graft_stream_$name")
@@ -120,7 +122,7 @@ object StreamingOps {
     * but left ~1 s of interpreter-mode first-run cost on the timed run. */
   private val miniDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def miniEventsDir(s: SparkSession, d: String): String =
-    miniDirs.getOrElseUpdate(d, {
+    miniDirs.getOrElseUpdate(graft.Tables.datasetKey(d, "events"), {
       val dir = TmpDirs.create("graft_stream_mini")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$d/events.parquet").limit(20000).coalesce(1)
@@ -133,7 +135,7 @@ object StreamingOps {
     * JIT the Dgim hot loop, negligible against the timed run. */
   private val miniDocDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def miniDocsDir(s: SparkSession, d: String): String =
-    miniDocDirs.getOrElseUpdate(d, {
+    miniDocDirs.getOrElseUpdate(graft.Tables.datasetKey(d, "documents"), {
       val dir = TmpDirs.create("graft_stream_minidocs")
       s.read.parquet(s"$d/documents.parquet").limit(2000).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
