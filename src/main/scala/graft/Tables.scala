@@ -30,29 +30,39 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts has shipped in two parquet layouts across driver data
-    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
-    * read as raw long nanos via the legacy conf and rebuilt as µs; lossless,
-    * the data has no sub-microsecond components) and plain TIMESTAMP(MICROS)
-    * with isAdjustedToUTC=false (inferred as TIMESTAMP_NTZ — cast to the
+
+  /** Timestamp columns have shipped in two parquet layouts across driver
+    * data generations (events.ts changed mid-round-9): TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read as raw long nanos
+    * via the legacy conf and rebuilt as µs; lossless, the data has no
+    * sub-microsecond components) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (inferred as TIMESTAMP_NTZ — cast to the
     * session-zone instant, wall-clock-identical under the pinned UTC
-    * session, matching DuckDB's naive-timestamp view of the same values).
-    * Dispatch on the actual file schema so both generations read
-    * identically; downstream always sees a µs TimestampType `ts`.
-    */
-  def events(s: SparkSession, d: String): DataFrame = {
+    * session, matching DuckDB's naive-timestamp view of the same
+    * values). Dispatch on the ACTUAL file schema so every generation
+    * reads identically; downstream always sees a µs TimestampType.
+    * Applied to every table with a timestamp column (orders.o_orderdate
+    * and lineitem.l_shipdate share events.ts's exposure — a layout
+    * shift there would otherwise take out every orders/lineitem query
+    * at the round gate, the failure mode the events fix handled). */
+  private def adaptTs(s: SparkSession, d: String, name: String, tsCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(s, d, "events")
-    df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    val df = table(s, d, name)
+    df.schema(tsCol).dataType match {
+      case LongType => df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df
     }
   }
+
+  def orders(s: SparkSession, d: String): DataFrame =
+    adaptTs(s, d, "orders", "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    adaptTs(s, d, "lineitem", "l_shipdate")
+  def events(s: SparkSession, d: String): DataFrame =
+    adaptTs(s, d, "events", "ts")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

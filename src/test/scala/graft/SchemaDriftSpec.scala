@@ -88,4 +88,31 @@ class SchemaDriftSpec extends SparkSpec {
     assert(va === vb)
     assert(va.nonEmpty)
   }
+
+  test("Tables.orders dispatches o_orderdate across both layouts (shared adaptTs)") {
+    // orders.o_orderdate and lineitem.l_shipdate share events.ts's
+    // layout exposure; they now route through the same dispatch, so the
+    // next generation shift fails HERE first, not as a gate wipeout.
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", LongType), StructField("o_orderpriority", StringType)))
+    val us = 820540800000000L // 1996-01-02 00:00:00 UTC
+    def write(dir: java.nio.file.Path, nanos: Boolean): String = {
+      val rows = Seq(Row(1L, 2L, "O", 173665.47, if (nanos) us * 1000L else us, "1-URGENT"))
+      val base = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      (if (nanos) base
+       else base.withColumn("o_orderdate",
+         timestamp_micros(col("o_orderdate")).cast(TimestampNTZType)))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir.toString
+    }
+    val a = Tables.orders(spark, write(TmpDirs.create("graft_drift_ord_nanos"), nanos = true))
+    val b = Tables.orders(spark, write(TmpDirs.create("graft_drift_ord_ntz"), nanos = false))
+    assert(a.schema("o_orderdate").dataType === TimestampType)
+    assert(b.schema("o_orderdate").dataType === TimestampType)
+    val fmt = date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    assert(a.select(fmt).collect().toSeq === b.select(fmt).collect().toSeq)
+    assert(a.select(fmt).head.getString(0) === "1996-01-02 00:00:00.000000")
+  }
 }
