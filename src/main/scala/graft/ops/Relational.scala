@@ -1621,7 +1621,9 @@ object Relational {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   private def bucketedPair(s: SparkSession, d: String): (String, String) =
-    bucketedTables.getOrElseUpdate(T.datasetKey(d, "orders"), {
+    // both tables are laid out — key on both fingerprints
+    bucketedTables.getOrElseUpdate(
+      s"${T.datasetKey(d, "orders")}|${T.datasetKey(d, "lineitem")}", {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val dir = TmpDirs.create("graft_bucketed")
