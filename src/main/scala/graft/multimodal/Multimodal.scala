@@ -298,22 +298,29 @@ object Multimodal {
     * finds every such pair while candidate counts stay bucket-bounded —
     * the scale path for media dedup at 100 TB. Distance-0 pairs (equal
     * hashes) are mm_avg_hash's bucket view and are excluded here. */
-  private def hashHamming(s: SparkSession, d: String): DataFrame = {
-    val hashed = hashedFrame(s, d).persist()
+  /** Banded candidate pairs over the 16-bit aHash: four 4-bit bands; by
+    * pigeonhole every pair within Hamming distance 3 shares at least one
+    * band. Shared by [[hashHamming]] (the pair view) and [[dedupCluster]]
+    * (the cluster view). */
+  private def candPairs(hashed: DataFrame): DataFrame = {
     val bands = hashed.select(col("doc_id"), col("avg_hash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("avg_hash"), 4 * b).bitwiseAND(15).as("band_val"))): _*)).as("band"))
       .select(col("doc_id"), col("avg_hash"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.avg_hash").as("hash_a"), col("b.avg_hash").as("hash_b"))
       .distinct()
-    cand
+  }
+
+  private def hashHamming(s: SparkSession, d: String): DataFrame = {
+    val hashed = hashedFrame(s, d).persist()
+    candPairs(hashed)
       .withColumn("hamming",
         bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
       .filter(col("hamming").between(1, 3))
@@ -348,6 +355,76 @@ object Multimodal {
        |FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.avg_hash, b.avg_hash)) BETWEEN 1 AND 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Perceptual near-dup CLUSTERS: the multimodal family crossed with the
+    * dedup family. Edges are aHash pairs within Hamming distance ≤ 3
+    * (distance 0 — identical hashes — included: those are the exact dups),
+    * found via the banded [[candPairs]] builder, and the transitive
+    * closure is the same fixpoint [[graft.ops.Dedup.components]] kernel
+    * the text dedup family runs — one CC implementation for every
+    * modality. Output is the per-media cluster assignment with cluster
+    * size and the min-id survivor flag, i.e. the keep/drop decision a
+    * media dedup stage ships. Scale shape: banded candidates (never
+    * all-pairs) → frontier CC fixpoint; both are the 100 TB paths already
+    * audited for the text family. */
+  private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val hashed = hashedFrame(s, d).persist()
+    val pairs = candPairs(hashed)
+      .filter(bit_count(col("hash_a").bitwiseXOR(col("hash_b"))) <= 3)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      .persist()
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+    graft.ops.Dedup.components(pairs, nodes)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: exact all-pairs edges + WITH RECURSIVE transitive closure
+    * (the dedup_clusters oracle pattern over the aHash edge set). */
+  private val dedupClusterSql = {
+    val sums = (0 until 16).map(i =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(blk*$i+1):(blk*$i+blk)]), (a,x) -> a+x) AS b$i")
+      .mkString(",\n    ")
+    val total = (0 until 16).map(i => s"b$i").mkString(" + ")
+    val hash = (0 until 16).map(i =>
+      s"CASE WHEN b$i * 16 > total THEN ${1 << i} ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+       |    CAST(length(text) // 16 AS INT) AS blk
+       |  FROM documents WHERE length(text) >= 16),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM base),
+       |hashed AS (
+       |  SELECT doc_id, CAST($hash AS BIGINT) AS avg_hash
+       |  FROM (SELECT doc_id, ${(0 until 16).map(i => s"b$i").mkString(", ")},
+       |          $total AS total FROM sums)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.avg_hash, b.avg_hash)) <= 3),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |  UNION SELECT id_a, id_a FROM pairs
+       |  UNION SELECT id_b, id_b FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT id_a, id_b FROM edges
+       |  UNION
+       |  SELECT e.id_a, w.r FROM edges e JOIN reach w ON w.node = e.id_b),
+       |labels AS (
+       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_survivor
+       |FROM labels ORDER BY doc_id""".stripMargin
   }
 
   /** Metadata-vs-payload integrity: declared size (n_chars) against actual
@@ -387,5 +464,6 @@ object Multimodal {
     QuerySpec("mm_avg_hash", avgHash, Some(avgHashSql)),
     QuerySpec("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql)),
     QuerySpec("mm_decode_integrity", decodeIntegrity, Some(decodeIntegritySql)),
-    QuerySpec("mm_hash_hamming", hashHamming, Some(hashHammingSql)))
+    QuerySpec("mm_hash_hamming", hashHamming, Some(hashHammingSql)),
+    QuerySpec("mm_dedup_cluster", dedupCluster, Some(dedupClusterSql)))
 }

@@ -244,6 +244,99 @@ object TextAnalysis {
        |WHERE length(clean) > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting") — the
+    * MOSS-style span-level near-dup signal, complementing [[rollingHash]]'s
+    * whole-document fingerprint: every k=8-char gram of the normalized text
+    * is hashed (the same 31-poly fold), a w=4 window slides over the hash
+    * sequence keeping each window's minimum, and the kept set is the doc's
+    * fingerprint sketch. Any match of length ≥ k+w-1 = 11 chars is
+    * GUARANTEED to surface as a shared fingerprint while only ~2/(w+1) of
+    * the grams are retained. Per doc we report sketch stats plus its
+    * exposure in the corpus-wide inverted index: how many of its
+    * fingerprints occur in ≥2 documents, and the max document frequency.
+    *
+    * Scale shape: extraction is a map-only per-row array program; the only
+    * corpus-scale exchanges are the fingerprint-frequency window (keyed on
+    * the hash) and the per-doc re-aggregation — document frequency is
+    * computed per fingerprint, never via a doc×doc self-join, so there is
+    * no pair explosion at any corpus size. */
+  private val WinK = 8
+  private val WinW = 4
+
+  private def winnowing(s: SparkSession, d: String): DataFrame =
+    winnowingCore(T.documents(s, d))
+
+  private[graft] def winnowingCore(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .withColumn("clean", array_join(Text.tokens(col("text")), " "))
+      .filter(length(col("clean")) >= WinK + WinW - 1)
+      .withColumn("codes", transform(split(col("clean"), ""), c => ascii(c).cast("long")))
+      .withColumn("hashes",
+        transform(sequence(lit(1), size(col("codes")) - (WinK - 1)),
+          i => aggregate(slice(col("codes"), i, lit(WinK)), lit(0L),
+            (a, x) => (a * 31 + x) % 1000000007L)))
+      .withColumn("mins",
+        transform(sequence(lit(1), size(col("hashes")) - (WinW - 1)),
+          j => array_min(slice(col("hashes"), j, lit(WinW)))))
+      .withColumn("fps", array_sort(array_distinct(col("mins"))))
+      .select(col("doc_id"),
+        size(col("hashes")).as("n_grams"),
+        size(col("mins")).as("n_windows"),
+        size(col("fps")).as("n_fps"),
+        round(size(col("fps")).cast("double") / size(col("mins")), 4).as("density"),
+        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_checksum"),
+        col("fps"))
+    perDoc
+      .select(col("doc_id"), col("n_grams"), col("n_windows"), col("n_fps"),
+        col("density"), col("fp_checksum"), explode(col("fps")).as("fp"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .groupBy(col("doc_id"), col("n_grams"), col("n_windows"), col("n_fps"),
+        col("density"), col("fp_checksum"))
+      .agg(sum(when(col("df") >= 2, 1).otherwise(0)).cast("int").as("shared_fps"),
+        max(col("df")).cast("int").as("max_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val winnowingSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, array_to_string(${Text.toksSql}, ' ') AS clean FROM documents),
+       |doc AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(clean, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes
+       |  FROM base WHERE length(clean) >= ${WinK + WinW - 1}),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(codes) - ${WinK - 2}),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+${WinK - 1}]),
+       |                       (a, x) -> (a * 31 + x) % 1000000007)) AS h
+       |  FROM doc),
+       |fps AS (
+       |  SELECT doc_id, CAST(len(h) AS INT) AS n_grams,
+       |    CAST(len(h) - ${WinW - 1} AS INT) AS n_windows,
+       |    list_sort(list_distinct(
+       |      list_transform(range(1, len(h) - ${WinW - 2}),
+       |        j -> list_min(h[j:j+${WinW - 1}])))) AS fp_list
+       |  FROM grams),
+       |per_doc AS (
+       |  SELECT doc_id, n_grams, n_windows, CAST(len(fp_list) AS INT) AS n_fps,
+       |    round(len(fp_list) * 1.0 / n_windows, 4) AS density,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), fp_list), (a, x) -> a + x) AS fp_checksum,
+       |    fp_list
+       |  FROM fps),
+       |fp_rows AS (
+       |  SELECT doc_id, n_grams, n_windows, n_fps, density, fp_checksum,
+       |    unnest(fp_list) AS fp
+       |  FROM per_doc),
+       |with_df AS (
+       |  SELECT *, count(*) OVER (PARTITION BY fp) AS df FROM fp_rows)
+       |SELECT doc_id, n_grams, n_windows, n_fps, density, fp_checksum,
+       |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INT) AS shared_fps,
+       |  CAST(max(df) AS INT) AS max_df
+       |FROM with_df
+       |GROUP BY doc_id, n_grams, n_windows, n_fps, density, fp_checksum
+       |ORDER BY doc_id""".stripMargin
+
   /** Bigram collocation mining: top pairs by pointwise mutual information
     * (log p(xy) − log p(x) − log p(y)), min support 10 — the classic
     * phrase-detection pass of a corpus pipeline. Counts are exact; PMI is
@@ -1400,6 +1493,7 @@ object TextAnalysis {
     QuerySpec("ta_filter_cascade", filterCascade, Some(filterCascadeSql)),
     QuerySpec("ta_token_count", tokenCount, Some(tokenCountSql)),
     QuerySpec("ta_rolling_hash", rollingHash, Some(rollingHashSql)),
+    QuerySpec("ta_winnowing", winnowing, Some(winnowingSql)),
     QuerySpec("ta_entropy", entropy, Some(entropySql)),
     QuerySpec("ta_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QuerySpec("ta_repetition", repetition, Some(repetitionSql)),

@@ -176,4 +176,33 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute, "LSH banding must find exactly the brute-force pairs")
     assert(banded.nonEmpty)
   }
+
+  test("mm_dedup_cluster: pairs co-clustered, min-id labels, consistent sizes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("mm_dedup_cluster")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val label = rows.map(t => t._1 -> t._2).toMap
+    // every hamming-1..3 pair is co-clustered
+    SparkEntry.queries("mm_hash_hamming")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) =>
+        assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+      }
+    // distance-0 (equal-hash) members are in too: any avg_hash bucket of
+    // size > 1 must map into one cluster
+    SparkEntry.queries("mm_avg_hash")(spark, sf001)
+      .filter(col("bucket_size") > 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.foreach { members =>
+        assert(members.map(m => label(m._1)).distinct.size == 1,
+          "equal-hash bucket split across clusters")
+      }
+    // label is the min member id; cluster_size counts members; survivor flag
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid label not min id")
+      members.foreach(m => assert(m._3 == members.length, s"size of $cid"))
+    }
+    rows.foreach(t => assert(t._4 == (t._1 == t._2)))
+  }
 }

@@ -332,4 +332,50 @@ class TextSpec extends SparkSpec {
     }
     assert(out.last._3 == 0L)
   }
+
+  test("winnowing: matches a driver-side reference; k+w-1 guarantee holds") {
+    // docs 1 and 2 share the clean substring "charlie delta echo foxtrot
+    // golf" (31 chars ≥ k+w-1 = 11) → winnowing GUARANTEES a shared
+    // fingerprint; doc 3 shares nothing that long with either.
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf"),
+      (2L, "zulu yankee xray charlie delta echo foxtrot golf whiskey"),
+      (3L, "mmm nnn ooo ppp qqq rrr sss ttt")
+    ).toDF("doc_id", "text")
+    // reference winnowing: same normalization, 31-poly k=8 gram hashes,
+    // w=4 window minima, distinct
+    def ref(text: String): Seq[Long] = {
+      val clean = text.toLowerCase.split(" ")
+        .filter(t => t.nonEmpty && t.forall(_.isLetter) &&
+          !Text.STOPWORDS.contains(t))
+        .mkString(" ")
+      if (clean.length < 11) Seq.empty
+      else {
+        val hashes = (0 to clean.length - 8).map(i =>
+          clean.substring(i, i + 8).foldLeft(0L)(
+            (a, c) => (a * 31 + c.toLong) % 1000000007L))
+        (0 to hashes.length - 4).map(j => hashes.slice(j, j + 4).min)
+          .distinct.sorted
+      }
+    }
+    val texts = Map(1L -> "alpha bravo charlie delta echo foxtrot golf",
+      2L -> "zulu yankee xray charlie delta echo foxtrot golf whiskey",
+      3L -> "mmm nnn ooo ppp qqq rrr sss ttt")
+    val fpSets = texts.map { case (id, t) => id -> ref(t) }
+    assert(fpSets(1L).intersect(fpSets(2L)).nonEmpty,
+      "guaranteed shared fingerprint for a 31-char shared substring")
+    assert(fpSets(3L).intersect(fpSets(1L) ++ fpSets(2L)).isEmpty)
+    val df = fpSets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val out = graft.ops.TextAnalysis.winnowingCore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getLong(5), r.getInt(6), r.getInt(7))))
+      .toMap
+    fpSets.foreach { case (id, fps) =>
+      val (nFps, checksum, shared, maxDf) = out(id)
+      assert(nFps == fps.size, s"doc $id n_fps")
+      assert(checksum == fps.sum, s"doc $id fp_checksum")
+      assert(shared == fps.count(f => df(f) >= 2), s"doc $id shared_fps")
+      assert(maxDf == fps.map(df).max, s"doc $id max_df")
+    }
+    assert(out(1L)._3 >= 1 && out(2L)._3 >= 1 && out(3L)._3 == 0)
+  }
 }
