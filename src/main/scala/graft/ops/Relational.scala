@@ -423,16 +423,22 @@ object Relational {
   private def windowNtile(s: SparkSession, d: String): DataFrame =
     ntileCore(s, T.customer(s, d))
 
-  private def ntileCore(s: SparkSession, customer: DataFrame): DataFrame = {
-    val k = 4
-    // scale with the session's shuffle parallelism, not a literal: the
-    // offset table stays ≤ numShufflePartitions rows (broadcastable), and
-    // a bigger cluster raises the setting rather than hitting a 32-way cap
+  /** Input frame + `rank` (1-based global row number over `sortCols`) +
+    * `n` (total row count) — computed WITHOUT a global single-task
+    * Window: range-repartition on the sort keys, rank within each
+    * partition in parallel, then shift ranks by broadcast per-partition
+    * offsets (the distributed zipWithIndex layout). The offset table
+    * scales with the session's shuffle parallelism, not a literal: it
+    * stays ≤ numShufflePartitions rows (broadcastable), and a bigger
+    * cluster raises the setting rather than hitting a 32-way cap.
+    * `sortCols` must form a total order for a deterministic ranking.
+    * Shared by [[ntileCore]] and TextAnalysis.perplexityBuckets. */
+  private[graft] def withGlobalRank(s: SparkSession, df: DataFrame,
+      sortCols: Seq[Column]): DataFrame = {
     val nPart = s.sessionState.conf.numShufflePartitions
-    val sorted = customer
-      .select(col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(nPart, col("c_acctbal"), col("c_custkey"))
-      .sortWithinPartitions(col("c_acctbal"), col("c_custkey"))
+    val sorted = df
+      .repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .persist() // two consumers (offset table + ranked rows) must see the
                  // SAME range boundaries; also avoids a second source scan
@@ -443,16 +449,27 @@ object Relational {
         lit(0L)))
       .withColumn("n", sum(col("pn")).over(tiny))
       .select(col("pid"), col("off"), col("n"))
-    val wPart = Window.partitionBy(col("pid"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wPart = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
     sorted.withColumn("pr", row_number().over(wPart))
       .join(broadcast(offs), Seq("pid"))
       .withColumn("rank", col("pr") + col("off"))
-      .withColumn("quartile", expr(
-        s"""CAST(CASE WHEN rank <= (n % $k) * (n div $k + 1)
-           |  THEN (rank - 1) div (n div $k + 1) + 1
-           |  ELSE (n % $k) + (rank - (n % $k) * (n div $k + 1) - 1) div (n div $k) + 1
-           |END AS INT)""".stripMargin))
+      .drop("pid", "pr", "off")
+  }
+
+  /** SQL NTILE(k) as pure arithmetic on the `rank`/`n` columns
+    * [[withGlobalRank]] appends: the first n mod k tiles get ⌈n/k⌉ rows,
+    * the rest ⌊n/k⌋ — exactly SQL NTILE semantics, so DuckDB oracles can
+    * use NTILE directly. */
+  private[graft] def ntileFromRank(k: Int): Column = expr(
+    s"""CAST(CASE WHEN rank <= (n % $k) * (n div $k + 1)
+       |  THEN (rank - 1) div (n div $k + 1) + 1
+       |  ELSE (n % $k) + (rank - (n % $k) * (n div $k + 1) - 1) div (n div $k) + 1
+       |END AS INT)""".stripMargin)
+
+  private def ntileCore(s: SparkSession, customer: DataFrame): DataFrame = {
+    withGlobalRank(s, customer.select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal"), col("c_custkey")))
+      .withColumn("quartile", ntileFromRank(4))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_cust"),
         round(avg(col("c_acctbal")), 4).as("avg_bal"),
@@ -1197,6 +1214,124 @@ object Relational {
       |FROM changes
       |ORDER BY user_id, valid_from, valid_to, event_type""".stripMargin
 
+  /** CDC changelog MERGE (upsert/delete apply) — the ingest-side operator
+    * every incremental lakehouse pipeline runs: a keyed changelog (events:
+    * key = user_id, op = event_type with 'error' ⇒ DELETE, anything else ⇒
+    * UPSERT of `value`) is split at a cutoff into an already-applied BASE
+    * snapshot and a DELTA batch; the delta is reduced to its latest op per
+    * key and merged onto the base state with MERGE semantics: matched
+    * delete ⇒ drop, matched upsert ⇒ update, unmatched upsert ⇒ insert,
+    * untouched base keys carry. Latest-op-per-key runs as a max_by
+    * aggregate (map-side partial combine — one shuffle per side, no
+    * per-row window), and the merge itself is one full-outer hash join on
+    * the key; both sides shuffle on user_id, so AQE co-locates them. The
+    * CDC invariant (base ⊕ delta ≡ latest-op over the whole log) is
+    * exactly what the oracle recomputes, so the driver compare proves the
+    * merge correct, not just runnable. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "2024-01-20"
+    def latest(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_type").as("op"),
+        col("last.value").as("value"), col("last.ts").as("ts"))
+    val log = T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val base = latest(log.filter(col("ts") < lit(cutoff)))
+      .filter(col("op") =!= "error") // a base-latest delete ⇒ key absent
+      .select(col("user_id"), col("value").as("b_value"), col("ts").as("b_ts"))
+    val delta = latest(log.filter(col("ts") >= lit(cutoff)))
+      .select(col("user_id"), col("op").as("d_op"),
+        col("value").as("d_value"), col("ts").as("d_ts"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .withColumn("action",
+        when(col("d_op").isNull, "carry")
+          .when(col("d_op") === "error", "delete")
+          .when(col("b_value").isNull, "insert")
+          .otherwise("update"))
+      .filter(col("action") =!= "delete")
+      .select(col("user_id"),
+        round(when(col("action") === "carry", col("b_value"))
+          .otherwise(col("d_value")), 2).as("value"),
+        date_format(when(col("action") === "carry", col("b_ts"))
+          .otherwise(col("d_ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("action"))
+      .orderBy(col("user_id"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH base AS (
+      |  SELECT user_id, event_type AS op, value, ts FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-20')
+      |  WHERE rn = 1 AND event_type <> 'error'),
+      |delta AS (
+      |  SELECT user_id, event_type AS op, value, ts FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts >= TIMESTAMP '2024-01-20')
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT coalesce(b.user_id, d.user_id) AS user_id,
+      |    CASE WHEN d.op IS NULL THEN 'carry'
+      |         WHEN d.op = 'error' THEN 'delete'
+      |         WHEN b.user_id IS NULL THEN 'insert'
+      |         ELSE 'update' END AS action,
+      |    CASE WHEN d.op IS NULL THEN b.value ELSE d.value END AS value,
+      |    CASE WHEN d.op IS NULL THEN b.ts ELSE d.ts END AS last_ts
+      |  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id)
+      |SELECT user_id, round(value, 2) AS value,
+      |  strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts, action
+      |FROM merged WHERE action <> 'delete' ORDER BY user_id""".stripMargin
+
+  /** Incremental aggregate maintenance — the partial-state merge every
+    * 100 TB rollup pipeline relies on: the daily revenue rollup is kept
+    * as mergeable PARTIAL states (count, sum — the monoid Spark's own
+    * partial aggregation uses), a late-arriving partition (order years ≥
+    * 2000) is aggregated alone, and the published rollup is the MERGE of
+    * the two partial-state tables — combine by key, finalize avg as
+    * merged_sum/merged_count (the derived metric a naive avg-of-avgs
+    * re-aggregation would get wrong). The oracle recomputes the rollup
+    * flat from the raw table, so the driver compare proves
+    * merge-then-finalize ≡ full recompute — the correctness claim
+    * incremental maintenance rests on. Scale shape: each side is one
+    * map-side-combined aggregate over only its own partition's rows (the
+    * snapshot side reads NO raw history at maintenance time in a real
+    * deployment — it reads the stored partials, year-cardinality here);
+    * the merge is a union + re-aggregate over key-cardinality rows. */
+  private def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val cutoffYear = 2000
+    // exact decimal partials: the merged sum is order-insensitive, so the
+    // two-stage merge is bit-equal to the oracle's flat recompute by
+    // construction, not by float luck (rendered as double only at output)
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val o = T.orders(s, d)
+      .select(col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"))
+    val snapshot = partials(o.filter(year(col("o_orderdate")) < cutoffYear))
+    val late = partials(o.filter(year(col("o_orderdate")) >= cutoffYear))
+    snapshot.unionByName(late)
+      .groupBy(col("yr"), col("priority"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev")).as("rev"))
+      .select(col("yr"), col("priority"), col("n_orders"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        round(col("rev").cast("double") / col("n_orders"), 4).as("avg_price"))
+      .orderBy(col("yr"), col("priority"))
+  }
+
+  private val incrementalAggSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS priority,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+      |FROM orders GROUP BY yr, priority ORDER BY yr, priority""".stripMargin
+
   /** Distinct-count over a running window via the first-sighting rewrite:
     * window aggregates cannot take DISTINCT (in Spark or DuckDB), so mark
     * each (user, event_type)'s first arrival with row_number()==1 and
@@ -1878,6 +2013,8 @@ object Relational {
     QuerySpec("rel_hash_sample", hashSample, Some(hashSampleSql)),
     QuerySpec("rel_null_safe", nullSafeOps, Some(nullSafeOpsSql)),
     QuerySpec("rel_scd2", scd2, Some(scd2Sql)),
+    QuerySpec("rel_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QuerySpec("rel_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QuerySpec("rel_distinct_window", distinctWindow, Some(distinctWindowSql)),
     QuerySpec("rel_asof_native", asofNative, Some(asofNativeSql)),
     QuerySpec("rel_array_funcs", arrayFuncs, Some(arrayFuncsSql)),

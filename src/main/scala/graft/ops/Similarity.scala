@@ -156,6 +156,7 @@ object Similarity {
   def warmIndex(s: SparkSession, d: String): Unit = {
     knnIvf(s, d).count()
     knnPq(s, d).count() // PQ codebook fit — same fit-once/probe-many shape
+    knnIvfPq(s, d).count() // residual-PQ codebook fit — same shape
     topicClusters(s, d).count() // topic-model fit — same shape
     knnPca(s, d).count()        // PCA fit — same shape
     s.catalog.clearCache()
@@ -538,6 +539,146 @@ object Similarity {
     s"""SELECT count(*) AS n_queries, TRUE AS pq_recall_ok
        |FROM embeddings WHERE vec_id < $NQ""".stripMargin
 
+  // --------------------------------------------------- IVF + PQ (IVFADC)
+
+  private val ivfpqModels =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[org.apache.spark.ml.clustering.KMeansModel]]
+
+  /** IVF+PQ ANN (IVFADC) — the composition the billion-vector indexes
+    * actually deploy (Jégou et al. 2011, §IV): the coarse IVF quantizer
+    * (the SAME fit-once 16-cell model [[knnIvf]] probes) restricts the
+    * scan to NPROBE cells per query, and within those cells candidates
+    * are scored from PQ codes of the RESIDUAL (vector − cell centroid) —
+    * residual energy is much smaller than vector energy, so the same
+    * code budget quantizes finer than whole-vector PQ. Per (query,
+    * probed cell) the LUT holds partial distances from the query's
+    * residual in THAT cell to the shared residual codebooks
+    * (NQ×NPROBE×PQ_M×PQ_KC rows — broadcast-tiny, corpus-invariant).
+    * The ADC scan touches only code rows in probed cells (join on
+    * (cell, m, code) against the broadcast LUT), and the exact-cosine
+    * refine fetches original vectors for the shortlist only. At 100 TB:
+    * corpus partitioned by cell id, probes touch NPROBE partitions, and
+    * per-row storage is PQ_M bytes + a cell id. Codes are model-derived
+    * → rows-only; hard-gated by `sim_ivfpq_contract`. */
+  private def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    CosineSim.register(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNormalized(s, d)
+    val head = e.select(size(col("embedding")).as("dim")).limit(1).collect()
+    if (head.isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("adc", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
+    val subDim = head(0).getInt(0) / PQ_M
+    val coarse = ivfModels.getOrElseUpdate(ivfKey(d),
+      new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(e))
+    import s.implicits._
+    val cents = coarse.clusterCenters.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    // residual in the normalized space, against the assigned cell centroid
+    val resid = coarse.transform(e)
+      .join(broadcast(cents), "cell")
+      .withColumn("rvec", zip_with(col("nvec"), col("centroid"), (x, y) => x - y))
+    val withSubs = (0 until PQ_M).foldLeft(resid)((df, m) =>
+      df.withColumn(s"rf$m", array_to_vector(slice(col("rvec"), m * subDim + 1, subDim))))
+    val models = ivfpqModels.getOrElseUpdate(ivfKey(d),
+      (0 until PQ_M).map(m =>
+        new KMeans().setK(PQ_KC).setSeed(71L + m).setMaxIter(5)
+          .setFeaturesCol(s"rf$m").setPredictionCol(s"code$m")
+          .fit(withSubs)))
+    val codes = models.foldLeft(withSubs)((df, km) => km.transform(df))
+      .select(Seq(col("vec_id"), col("embedding"), col("nvec"), col("cell")) ++
+        (0 until PQ_M).map(m => col(s"code$m")): _*)
+      .persist()
+    // probe list: NPROBE nearest cells per query by centroid distance in
+    // the normalized space (identical probe rule to knnIvf)
+    val d2 = aggregate(zip_with(col("qn"), col("centroid"),
+      (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val queries = codes.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nvec").as("qn"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NPROBE)
+      // query residual against EACH probed cell's centroid — ADC distances
+      // are computed in that cell's residual frame
+      .withColumn("qr", zip_with(col("qn"), col("centroid"), (x, y) => x - y))
+      .select(col("query_id"), col("cell"), col("qr"))
+    // residual codebooks: PQ_M×PQ_KC rows of subDim doubles
+    val codebooks = models.zipWithIndex.flatMap { case (km, m) =>
+      km.clusterCenters.zipWithIndex.map { case (ctr, c) => (m, c, ctr.toArray.toSeq) }
+    }.toDF("m", "code", "ctr")
+    val lut = probes.crossJoin(broadcast(codebooks))
+      .withColumn("pdist",
+        aggregate(zip_with(slice(col("qr"), col("m") * subDim + 1, lit(subDim)), col("ctr"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+      .select(col("query_id"), col("cell"), col("m"), col("code"), col("pdist"))
+    // ADC scan: code rows of probed cells only; the (cell) key in the join
+    // restricts candidates to the query's probe list with no extra filter
+    val candCodes = codes.select(col("vec_id").as("cand_id"), col("cell"),
+      explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"), col(s"code$m").as("code"))): _*)).as("mc"))
+      .select(col("cand_id"), col("cell"), col("mc.m").as("m"), col("mc.code").as("code"))
+    val adc = candCodes.join(broadcast(lut), Seq("cell", "m", "code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"), col("cell"))
+      .agg(sum(col("pdist")).as("adc"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))
+    val shortlist = adc.withColumn("pr", row_number().over(wAdc))
+      .filter(col("pr") <= PQ_SHORTLIST)
+      .select(col("query_id"), col("cand_id"), col("cell"), col("adc"))
+    val rer = shortlist
+      .join(codes.select(col("vec_id").as("cand_id"), col("embedding").as("ce")), "cand_id")
+      .join(broadcast(queries.select(col("query_id"), col("qe"))), "query_id")
+      .withColumn("cos", cosine_sim(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cell"),
+        round(col("adc"), 4).as("adc"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // IVFPQ recall is bounded above by the IVF probe recall (it scans the
+  // same NPROBE cells) and below by PQ quantization error on the
+  // shortlist; measured at sf0.001/0.01/0.1 this round — floor shared
+  // with the plain-IVF gate since the cell restriction dominates.
+  private[graft] val IVFPQ_RECALL_FLOOR = 0.3
+
+  /** Contract twin for `sim_knn_ivfpq`: recall@K against the exact
+    * brute-force top-K crosses the pinned floor; seeds fixed, boolean
+    * deterministic per dataset, driver-hash-gated. */
+  private def ivfpqContract(s: SparkSession, d: String): DataFrame = {
+    val exact = exactKnnPairs(s, d)
+    val base = exact.count()
+    val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
+    val recall =
+      if (base == 0) 1.0
+      else exact.join(knnIvfPq(s, d).select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    import s.implicits._
+    Seq((nQueries, recall >= IVFPQ_RECALL_FLOOR))
+      .toDF("n_queries", "ivfpq_recall_ok")
+  }
+
+  private val ivfpqContractSql =
+    s"""SELECT count(*) AS n_queries, TRUE AS ivfpq_recall_ok
+       |FROM embeddings WHERE vec_id < $NQ""".stripMargin
+
   // --------------------------------------------------- PCA compression
 
   private val PCA_K = 16          // retained dims (64 → 16 = 4× compression)
@@ -774,6 +915,8 @@ object Similarity {
     QuerySpec("mllib_ann_contract", mllibAnnContract, Some(mllibAnnContractSql)),
     QuerySpec("sim_knn_pq", knnPq, None),
     QuerySpec("sim_pq_contract", pqContract, Some(pqContractSql)),
+    QuerySpec("sim_knn_ivfpq", knnIvfPq, None),
+    QuerySpec("sim_ivfpq_contract", ivfpqContract, Some(ivfpqContractSql)),
     QuerySpec("sim_hybrid_search", hybridSearch, Some(hybridSearchSql)),
     QuerySpec("sim_topic_clusters", topicClusters, None),
     QuerySpec("sim_topic_contract", topicContract, Some(topicContractSql)),

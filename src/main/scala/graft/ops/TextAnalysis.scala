@@ -949,8 +949,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  private val bigramLogprobSql =
-    s"""WITH d AS (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
+  /** The bigram-LM CTE chain up to per-token probability `sc(doc_id, p)`
+    * — shared by the ta_bigram_logprob oracle and the
+    * ta_perplexity_buckets oracle (one definition, so the two twins
+    * cannot drift). */
+  private val bigramNllCtes =
+    s"""d AS (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
        |tok AS (
        |  SELECT doc_id, CAST(unnest(range(0, len(toks))) AS INT) AS pos, toks
        |  FROM d),
@@ -974,11 +978,64 @@ object TextAnalysis {
        |  FROM seq s
        |  JOIN lm1 u ON u.token = s.token
        |  LEFT JOIN lm1 pu ON pu.token = s.prev
-       |  LEFT JOIN lm2 b ON b.prev = s.prev AND b.token = s.token, tot)
+       |  LEFT JOIN lm2 b ON b.prev = s.prev AND b.token = s.token, tot)""".stripMargin
+
+  private val bigramLogprobSql =
+    s"""WITH $bigramNllCtes
        |SELECT doc_id, count(*) AS n_toks,
        |  round(sum(-ln(p)) / count(*), 4) AS avg_nll,
        |  round(sum(-ln(p)) / count(*), 4) > 3.35 AS high_ppl
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Perplexity-tertile corpus split — the published head/middle/tail
+    * bucketing step of LM-based corpus curation (CCNet: score every
+    * document with an n-gram LM, cut the corpus at the perplexity
+    * tertiles, train preferentially on the fluent head): each document's
+    * interpolated-bigram avg NLL ([[bigramLogprobCore]] — the engine's
+    * self-trained LM) ranks the corpus; tertile membership is computed
+    * from the DISTRIBUTED global rank (Relational.withGlobalRank — range
+    * repartition + broadcast offsets, never a single-task global
+    * Window), and the report is per (bucket, source) document counts and
+    * NLL spread — the table a curator reads to see which sources the
+    * tail is dominated by.
+    *
+    * Scale shape: the ranking adds one range exchange over doc-level
+    * rows (corpus-cardinality, not token-cardinality); everything
+    * upstream is the bigram LM's own plan. NTILE semantics are exact
+    * SQL NTILE (ntileFromRank arithmetic), so the DuckDB twin uses
+    * NTILE directly over the shared LM CTE chain. */
+  private def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = bigramLogprobCore(T.documents(s, d))
+      .select(col("doc_id"), col("avg_nll"))
+      .join(T.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+    Relational.withGlobalRank(s, scored, Seq(col("avg_nll"), col("doc_id")))
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          Relational.ntileFromRank(3)))
+      .groupBy(col("bucket"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("avg_nll")), 4).as("mean_nll"),
+        round(min(col("avg_nll")), 4).as("min_nll"),
+        round(max(col("avg_nll")), 4).as("max_nll"))
+      .orderBy(col("bucket"), col("source"))
+  }
+
+  private val perplexityBucketsSql =
+    s"""WITH $bigramNllCtes,
+       |perdoc AS (
+       |  SELECT doc_id, round(sum(-ln(p)) / count(*), 4) AS avg_nll
+       |  FROM sc GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT p.doc_id, d.source, p.avg_nll,
+       |    ntile(3) OVER (ORDER BY p.avg_nll, p.doc_id) AS tile
+       |  FROM perdoc p JOIN documents d USING (doc_id))
+       |SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |  ELSE 'tail' END AS bucket, source,
+       |  count(*) AS n_docs,
+       |  round(avg(avg_nll), 4) AS mean_nll,
+       |  round(min(avg_nll), 4) AS min_nll,
+       |  round(max(avg_nll), 4) AS max_nll
+       |FROM ranked GROUP BY bucket, source ORDER BY bucket, source""".stripMargin
 
   /** Mixture-rebalancing sampler — materializes the training mix that
     * [[domainMix]] only accounts for: each source's sampling weight
@@ -1504,6 +1561,7 @@ object TextAnalysis {
     QuerySpec("ta_domain_mix", domainMix, Some(domainMixSql)),
     QuerySpec("ta_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     QuerySpec("ta_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
+    QuerySpec("ta_perplexity_buckets", perplexityBuckets, Some(perplexityBucketsSql)),
     QuerySpec("ta_global_shuffle", globalShuffle, Some(globalShuffleSql)),
     QuerySpec("ta_shuffle_write", shuffleWrite, Some(globalShuffleSql)))
 }

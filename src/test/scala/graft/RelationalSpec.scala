@@ -42,6 +42,50 @@ class RelationalSpec extends SparkSpec {
     assert(topk.sameElements(full))
   }
 
+  test("merge upsert: base ⊕ delta equals latest-op state over the whole log") {
+    // the CDC invariant the operator rests on, recomputed independently:
+    // reduce the FULL changelog to its latest op per key (window form,
+    // not the operator's max_by aggregate), drop latest-op deletes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val expected = graft.Tables.events(spark, sf001)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), round(col("value"), 2).as("value"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    val merged = SparkEntry.queries("rel_merge_upsert")(spark, sf001).collect()
+    assert(merged.map(_.getAs[Long]("user_id")).toSet == expected.keySet,
+      "merged key set must equal the latest-op key set of the full log")
+    merged.foreach { r =>
+      assert(r.getAs[Double]("value") == expected(r.getAs[Long]("user_id")),
+        "merged value must be the latest op's value")
+    }
+    // deletes never surface, and the dense fixture exercises update+insert
+    // (every key sees delta ops at sf0.001, so 'carry' may legitimately be
+    // absent — the key-set equality above already proves carry semantics)
+    val actions = merged.map(_.getAs[String]("action")).toSet
+    assert(actions.subsetOf(Set("carry", "insert", "update")), s"unexpected actions $actions")
+    assert(actions.contains("update"), s"expected update actions, got $actions")
+  }
+
+  test("incremental agg: merged partials equal a flat recompute") {
+    val out = SparkEntry.queries("rel_incremental_agg")(spark, sf001).collect()
+    val flat = graft.Tables.orders(spark, sf001)
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("rev"))
+      .collect()
+      .map(r => (r.getAs[Int]("yr"), r.getAs[String]("priority")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("rev"))).toMap
+    assert(out.length == flat.size, "merged rollup must cover every (year, priority) group")
+    out.foreach { r =>
+      val (n, rev) = flat((r.getAs[Int]("yr"), r.getAs[String]("priority")))
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Double]("revenue") == rev,
+        "decimal partial merge must be bit-equal to the flat recompute")
+    }
+  }
+
   test("format roundtrip: csv/json/orc checksums agree and match the source count") {
     val out = SparkEntry.queries("rel_format_roundtrip")(spark, sf001).collect()
     assert(out.map(_.getAs[String]("format")).toSeq == Seq("csv", "json", "orc"))

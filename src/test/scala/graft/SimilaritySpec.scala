@@ -98,6 +98,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_queries") > 0)
   }
 
+  test("IVFPQ: probed-cell restriction, dense ranks, refined cosines are true cosines") {
+    val r1 = SparkEntry.queries("sim_knn_ivfpq")(spark, sf001).collect()
+    val r2 = SparkEntry.queries("sim_knn_ivfpq")(spark, sf001).collect()
+    assert(r1.toSeq == r2.toSeq, "seeded coarse+residual codebooks must be deterministic")
+    val bf = resultMap("sim_knn_bruteforce")
+    r1.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q returned more than K rows")
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length),
+        "ranks must be dense from 1")
+      assert(rows.map(_.getAs[Int]("cell")).toSet.size <= 3,
+        s"query $q scanned more than nprobe=3 cells")
+      val bfCos = bf(q).map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("cos")).toMap
+      rows.foreach { r =>
+        bfCos.get(r.getAs[Long]("cand_id")).foreach { c =>
+          assert(c == r.getAs[Double]("cos"), "re-ranked cosine must match brute force")
+        }
+      }
+    }
+  }
+
+  test("IVFPQ contract: recall floor crossed at test scale") {
+    val r = SparkEntry.queries("sim_ivfpq_contract")(spark, sf001).collect()(0)
+    assert(r.getAs[Boolean]("ivfpq_recall_ok"),
+      s"IVFPQ recall under floor ${ops.Similarity.IVFPQ_RECALL_FLOOR}")
+    assert(r.getAs[Long]("n_queries") > 0)
+  }
+
   test("topic clusters: deterministic, shares sum to 1, dominant labels sane") {
     val r1 = SparkEntry.queries("sim_topic_clusters")(spark, sf001).collect()
     val r2 = SparkEntry.queries("sim_topic_clusters")(spark, sf001).collect()

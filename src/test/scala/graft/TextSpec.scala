@@ -278,6 +278,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("perplexity buckets: tertile cut is ordered, exhaustive, and balanced") {
+    val out = SparkEntry.queries("ta_perplexity_buckets")(spark, sf001).collect()
+    val buckets = out.groupBy(_.getAs[String]("bucket"))
+    assert(buckets.keySet == Set("head", "middle", "tail"))
+    // every document lands in exactly one bucket
+    val scoredDocs = SparkEntry.queries("ta_bigram_logprob")(spark, sf001).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == scoredDocs)
+    // NTILE balance: bucket totals differ by at most 1
+    val sizes = buckets.view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced tertiles: $sizes")
+    // the cut is a true ordering: every head NLL ≤ every middle NLL ≤ every tail NLL
+    def hi(b: String) = buckets(b).map(_.getAs[Double]("max_nll")).max
+    def lo(b: String) = buckets(b).map(_.getAs[Double]("min_nll")).min
+    assert(hi("head") <= lo("middle") && hi("middle") <= lo("tail"),
+      "tertile boundaries must partition the NLL order")
+  }
+
   test("bpe final segmentation (the vocab query's input) matches the reference replay") {
     val rnd = new scala.util.Random(43)
     val wf = (1 to 25).map { _ =>
