@@ -256,11 +256,18 @@ object TextAnalysis {
     * exposure in the corpus-wide inverted index: how many of its
     * fingerprints occur in ≥2 documents, and the max document frequency.
     *
-    * Scale shape: extraction is a map-only per-row array program; the only
-    * corpus-scale exchanges are the fingerprint-frequency window (keyed on
-    * the hash) and the per-doc re-aggregation — document frequency is
-    * computed per fingerprint, never via a doc×doc self-join, so there is
-    * no pair explosion at any corpus size. */
+    * Scale shape (r9 verdict #1 rewrite — the [[graft.ops.Dedup]]
+    * `substringCoverage` relational form, honoring PERF.md Decision #5):
+    * one exploded row per gram start position, the 31-poly fold UNROLLED
+    * into a fixed `WinK`-step codegen'd expression over 1-char substrings
+    * — never a HOF lambda over a whole-doc array (projection collapse
+    * inlines nested lambdas, re-evaluating the parent chain per window:
+    * O(len²·K·W) interpreted — the shape that DNF'd round 9). The window
+    * minimum is a `(doc_id, pos)` sliding frame, document frequency is a
+    * per-fingerprint window — never a doc×doc self-join — so cost is
+    * O(total chars) rows plus hash-partitioned exchanges at any corpus
+    * size; the explode+hash runs distributed after an explicit doc_id
+    * repartition (documents.parquet is one split at fixture scale). */
   private val WinK = 8
   private val WinW = 4
 
@@ -268,33 +275,44 @@ object TextAnalysis {
     winnowingCore(T.documents(s, d))
 
   private[graft] def winnowingCore(docs: DataFrame): DataFrame = {
-    val perDoc = docs
+    val base = docs
       .withColumn("clean", array_join(Text.tokens(col("text")), " "))
       .filter(length(col("clean")) >= WinK + WinW - 1)
-      .withColumn("codes", transform(split(col("clean"), ""), c => ascii(c).cast("long")))
-      .withColumn("hashes",
-        transform(sequence(lit(1), size(col("codes")) - (WinK - 1)),
-          i => aggregate(slice(col("codes"), i, lit(WinK)), lit(0L),
-            (a, x) => (a * 31 + x) % 1000000007L)))
-      .withColumn("mins",
-        transform(sequence(lit(1), size(col("hashes")) - (WinW - 1)),
-          j => array_min(slice(col("hashes"), j, lit(WinW)))))
-      .withColumn("fps", array_sort(array_distinct(col("mins"))))
-      .select(col("doc_id"),
-        size(col("hashes")).as("n_grams"),
-        size(col("mins")).as("n_windows"),
-        size(col("fps")).as("n_fps"),
-        round(size(col("fps")).cast("double") / size(col("mins")), 4).as("density"),
-        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_checksum"),
-        col("fps"))
-    perDoc
-      .select(col("doc_id"), col("n_grams"), col("n_windows"), col("n_fps"),
-        col("density"), col("fp_checksum"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), col("clean"),
+        (length(col("clean")) - (WinK - 1)).as("n_grams"))
+      .repartition(col("doc_id"))
+    // h(pos) = fold over chars pos..pos+K-1 of (acc*31 + code) mod 1e9+7,
+    // unrolled to K builtin calls so the whole projection stays inside
+    // whole-stage codegen (ascii/substr are codegen'd; HOF lambdas are not)
+    val gramHash = (0 until WinK).foldLeft(lit(0L): Column) { (acc, i) =>
+      (acc * 31 + ascii(col("clean").substr(col("pos") + i, lit(1))).cast("long")) % 1000000007L
+    }
+    val grams = base
+      .select(col("doc_id"), col("n_grams"),
+        explode(sequence(lit(1), col("n_grams"))).as("pos"), col("clean"))
+      .select(col("doc_id"), col("n_grams"), col("pos"), gramHash.as("h"))
+    // min of each w-gram window = min over rows [pos, pos+W-1]; positions
+    // past n_grams-W+1 have no full window
+    val wNext = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinW - 1)
+    val fpRows = grams
+      .withColumn("m", min(col("h")).over(wNext))
+      .filter(col("pos") <= col("n_grams") - (WinW - 1))
+      .select(col("doc_id"), col("n_grams"), col("m").as("fp"))
+      .distinct()
+    fpRows
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .groupBy(col("doc_id"), col("n_grams"), col("n_windows"), col("n_fps"),
-        col("density"), col("fp_checksum"))
-      .agg(sum(when(col("df") >= 2, 1).otherwise(0)).cast("int").as("shared_fps"),
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).cast("int").as("n_fps"),
+        sum(col("fp")).as("fp_checksum"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("int").as("shared_fps"),
         max(col("df")).cast("int").as("max_df"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - (WinW - 1)).as("n_windows"),
+        col("n_fps"),
+        round(col("n_fps").cast("double") / (col("n_grams") - (WinW - 1)), 4)
+          .as("density"),
+        col("fp_checksum"), col("shared_fps"), col("max_df"))
       .orderBy(col("doc_id"))
   }
 
