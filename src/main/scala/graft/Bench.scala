@@ -52,6 +52,14 @@ object Bench {
     } catch { case e: Throwable =>
       println(s"""{"metric":"warmup_error","err":${jstr(e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(160))}}""")
     }
+    def f(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Per-query wall-clock bound (r9 verdict #3): a pathological query is
+    // cancelled after this budget and recorded as its own query_error, so
+    // it can't eat the whole bench (round 9 lost every number to one
+    // never-terminating query at position ~157). 90 s default — the
+    // slowest warmed sf0.1 query is ~6 s, first-use artifact builds ~8 s.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "90").toInt
     // fixed alphabetical run order: Map iteration order shifts whenever the
     // registry grows, which confounds round-over-round per-query diffs with
     // "which query happened to run after which" (r7 verdict #7)
@@ -60,11 +68,16 @@ object Bench {
       // a failed query must be VISIBLE in bench output, not a suspiciously
       // fast wall-time: record the exception per query (r4 verdict)
       val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(160))
-        }
+        HarnessGuard.run(spark, name, timeoutSec) { fn(spark, sfDir).count() }
+          .left.toOption
       val dt = (System.nanoTime() - t0) / 1e9
+      // stream each result AS it lands (r9 verdict #3): an rc-124 kill
+      // used to leave zero output because everything printed at the end;
+      // now the tail of a killed run still carries per-query walls. The
+      // end-of-run ascending-sorted per_query summary below is unchanged.
+      println(s"""{"metric":"query_done","name":${jstr(name)},"wall":${f(dt)}}""")
+      err.foreach(m =>
+        println(s"""{"metric":"query_error","name":${jstr(name)},"err":${jstr(m)}}"""))
       // Queries legitimately persist() intermediates but can't unpersist
       // before the action runs; without this, ~10 cached frames accumulate
       // over the full-registry run and evict each other (r3: untouched
@@ -80,8 +93,6 @@ object Bench {
     // The "queries" map stays numeric-only (the tail parser regexes
     // "name":float pairs); failures get their own query_error lines plus
     // an aggregate count on the total line.
-    def f(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     results.foreach { case (name, _, err) =>
       err.foreach(m =>
         println(s"""{"metric":"query_error","name":${jstr(name)},"err":${jstr(m)}}"""))
@@ -113,6 +124,13 @@ object Bench {
         if (wall >= 1.0 && wall > 2 * r)
           println(s"""{"metric":"first_use_suspect","name":${jstr(name)},"position":${i + 1},"wall":${f(wall)},"receipt":${f(r)}}""")
       }
+      // Gate discipline (r9 verdict #4): a registered query with no
+      // receipt row means it landed after the last full gate run — the
+      // exact signature of the two un-gated queries that zeroed round 9.
+      // Loud in the bench output by name (EntrySpec enforces the same
+      // 1:1 registry↔receipts invariant at test time).
+      if (!receipts.contains(name))
+        println(s"""{"metric":"no_receipt","name":${jstr(name)},"position":${i + 1}}""")
     }
     // fixed run order, so per-query walls pair with stable positions
     // round-over-round (a JSON array of names: position = index + 1;

@@ -23,17 +23,6 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // Queries persist() intermediates they can't unpersist before the
-      // write action; clear between queries so caches don't compound
-      // across the full 118-query session (see Bench.scala).
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,9 +35,35 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written BEFORE the query loop (r9 verdict #3): it
+    // used to be written last, so one hung query + a driver kill voided
+    // every already-dumped result — the DuckDB compare had no SQL to run.
+    // Now a killed run still yields a parseable partial correctness round.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query wall-clock bound (default 120 s — the slowest sf0.01 query
+    // is <10 s warmed): a pathological query records its own error line
+    // instead of wedging the dump loop until the driver's kill.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toInt
+    selected.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      HarnessGuard.run(spark, name, timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } match {
+        case Right(_) =>
+          // progress marker per completed dump: a killed run shows exactly
+          // how far it got and which query it died in
+          System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+        case Left(err) =>
+          System.err.println(s"[verify] $name failed: $err")
+      }
+      // Queries persist() intermediates they can't unpersist before the
+      // write action; clear between queries so caches don't compound
+      // across the full 173-query session (see Bench.scala).
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -18,6 +18,26 @@ class EntrySpec extends SparkSpec {
     assert(names.distinct.size == names.size, "duplicate query names")
   }
 
+  test("gate discipline: registry and perf receipts agree 1:1") {
+    // r9 verdict #4: the two queries that zeroed round 9 registered after
+    // the last full gate run — and both were missing a receipts row, so
+    // the signal existed but nothing enforced it. A query may not register
+    // without a benched receipt, and stale receipts may not outlive their
+    // query.
+    val in = getClass.getResourceAsStream("/perf_receipts.tsv")
+    assert(in != null, "perf_receipts.tsv missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val receipts =
+      try src.getLines().filterNot(l => l.isEmpty || l.startsWith("#"))
+        .map(_.split("\t")(0)).toSet
+      finally src.close()
+    val registry = SparkEntry.queries.keySet
+    assert(registry.subsetOf(receipts),
+      s"registered without a benched receipt (run the full gate first): ${registry -- receipts}")
+    assert(receipts.subsetOf(registry),
+      s"stale receipts for unregistered queries: ${receipts -- registry}")
+  }
+
   test("every registered query executes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf001).count()
