@@ -432,16 +432,31 @@ object Relational {
     * stays ≤ numShufflePartitions rows (broadcastable), and a bigger
     * cluster raises the setting rather than hitting a 32-way cap.
     * `sortCols` must form a total order for a deterministic ranking.
+    *
+    * RESERVED NAMES: the input frame must not already contain `pid`,
+    * `pr`, `off`, `rank`, or `n` — the first three are internal working
+    * columns (dropped on return) and the last two are the outputs; a
+    * caller column with any of these names would be silently shadowed or
+    * collide ambiguously, so the precondition is asserted here instead of
+    * surfacing as wrong ranks downstream.
     * Shared by [[ntileCore]] and TextAnalysis.perplexityBuckets. */
   private[graft] def withGlobalRank(s: SparkSession, df: DataFrame,
       sortCols: Seq[Column]): DataFrame = {
+    val reserved = Seq("pid", "pr", "off", "rank", "n")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"withGlobalRank: input columns collide with reserved names $clash")
     val nPart = s.sessionState.conf.numShufflePartitions
     val sorted = df
       .repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .persist() // two consumers (offset table + ranked rows) must see the
-                 // SAME range boundaries; also avoids a second source scan
+                 // SAME range boundaries; also avoids a second source scan.
+                 // Stays cached until the caller's session clearCache —
+                 // unpersisting here would race the returned lazy plan
+                 // (both harnesses clear between queries; a long-running
+                 // service should too). Known bounded leak, r9 ADVICE.
     val tiny = Window.partitionBy(lit(1)) // over the ≤nPart-row offset table only
     val offs = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
       .withColumn("off", coalesce(sum(col("pn"))
@@ -1241,7 +1256,12 @@ object Relational {
         col("event_type"), col("value"))
     val base = latest(log.filter(col("ts") < lit(cutoff)))
       .filter(col("op") =!= "error") // a base-latest delete ⇒ key absent
-      .select(col("user_id"), col("value").as("b_value"), col("ts").as("b_ts"))
+      // in_base: base-key presence must be tested on a non-nullable flag,
+      // not on b_value's nullity — events.value is nullable, so a base row
+      // carrying a legitimately NULL value would read as "key absent"
+      // ('insert') while the oracle's b.user_id IS NULL says 'update'
+      .select(col("user_id"), col("value").as("b_value"), col("ts").as("b_ts"),
+        lit(true).as("in_base"))
     val delta = latest(log.filter(col("ts") >= lit(cutoff)))
       .select(col("user_id"), col("op").as("d_op"),
         col("value").as("d_value"), col("ts").as("d_ts"))
@@ -1249,7 +1269,7 @@ object Relational {
       .withColumn("action",
         when(col("d_op").isNull, "carry")
           .when(col("d_op") === "error", "delete")
-          .when(col("b_value").isNull, "insert")
+          .when(col("in_base").isNull, "insert")
           .otherwise("update"))
       .filter(col("action") =!= "delete")
       .select(col("user_id"),
@@ -1314,8 +1334,15 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
     val o = T.orders(s, d)
       .select(col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"))
+    // the two partitions must be EXHAUSTIVE: `< cutoff` / `>= cutoff` are
+    // complementary only for non-null dates, so a NULL o_orderdate row
+    // would silently vanish from BOTH partials while the oracle's flat
+    // recompute keeps it in a NULL-year group — route the late side with
+    // the negation instead
     val snapshot = partials(o.filter(year(col("o_orderdate")) < cutoffYear))
-    val late = partials(o.filter(year(col("o_orderdate")) >= cutoffYear))
+    val late = partials(o.filter(
+      !(year(col("o_orderdate")) < cutoffYear) ||
+        col("o_orderdate").isNull))
     snapshot.unionByName(late)
       .groupBy(col("yr"), col("priority"))
       .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev")).as("rev"))

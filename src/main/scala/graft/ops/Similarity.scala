@@ -147,6 +147,27 @@ object Similarity {
   private val ivfModels =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
+  // Memoized PERSISTED corpus frames (cells / PQ codes / IVF-PQ codes),
+  // one per (dataset, session) like the fitted models: each invocation
+  // used to persist() a fresh copy of the corpus codes with no matching
+  // unpersist, so every correctness/oracle call outside the bench warm
+  // path accumulated another cached copy for the JVM lifetime (r9
+  // ADVICE). Now repeated calls reuse a single cached frame; if an
+  // external clearCache (the harnesses run one between queries) dropped
+  // the blocks, the SAME frame is re-persisted rather than duplicated.
+  // Session identity is part of the key: a DataFrame is bound to the
+  // session that built it, and test suites cycle sessions within one JVM.
+  private val corpusFrames =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cachedCorpusFrame(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val f = corpusFrames.getOrElseUpdate(
+      s"$key|${System.identityHashCode(s)}", build.persist())
+    if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      f.persist()
+    f
+  }
+
   /** Untimed index-build hook for Bench: fit the coarse quantizer before
     * the timed loop, so the one-time KMeans fit (an index BUILD — a
     * deployment runs it once per corpus, then probes it for every query)
@@ -204,8 +225,8 @@ object Similarity {
       new KMeans().setK(16).setSeed(42L).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cell")
         .fit(e))
-    val cells = km.transform(e)
-      .select(col("vec_id"), col("embedding"), col("nvec"), col("cell")).persist()
+    val cells = cachedCorpusFrame(s, s"cells|${ivfKey(d)}")(km.transform(e)
+      .select(col("vec_id"), col("embedding"), col("nvec"), col("cell")))
     // probe list: rank the k centroids per query by euclidean distance in
     // the normalized space (≡ cosine order), keep the NPROBE nearest.
     // k×dim doubles — broadcast-tiny at any corpus size.
@@ -476,10 +497,10 @@ object Similarity {
         new KMeans().setK(PQ_KC).setSeed(42L + m).setMaxIter(5)
           .setFeaturesCol(s"f$m").setPredictionCol(s"code$m")
           .fit(withSubs)))
-    val codes = models.foldLeft(withSubs)((df, km) => km.transform(df))
-      .select(Seq(col("vec_id"), col("embedding"), col("nvec")) ++
-        (0 until PQ_M).map(m => col(s"code$m")): _*)
-      .persist()
+    val codes = cachedCorpusFrame(s, s"pqcodes|${ivfKey(d)}")(
+      models.foldLeft(withSubs)((df, km) => km.transform(df))
+        .select(Seq(col("vec_id"), col("embedding"), col("nvec")) ++
+          (0 until PQ_M).map(m => col(s"code$m")): _*))
     // codebook table: PQ_M×PQ_KC rows of subDim doubles — broadcast-tiny
     import s.implicits._
     val cents = models.zipWithIndex.flatMap { case (km, m) =>
@@ -596,10 +617,10 @@ object Similarity {
         new KMeans().setK(PQ_KC).setSeed(71L + m).setMaxIter(5)
           .setFeaturesCol(s"rf$m").setPredictionCol(s"code$m")
           .fit(withSubs)))
-    val codes = models.foldLeft(withSubs)((df, km) => km.transform(df))
-      .select(Seq(col("vec_id"), col("embedding"), col("nvec"), col("cell")) ++
-        (0 until PQ_M).map(m => col(s"code$m")): _*)
-      .persist()
+    val codes = cachedCorpusFrame(s, s"ivfpqcodes|${ivfKey(d)}")(
+      models.foldLeft(withSubs)((df, km) => km.transform(df))
+        .select(Seq(col("vec_id"), col("embedding"), col("nvec"), col("cell")) ++
+          (0 until PQ_M).map(m => col(s"code$m")): _*))
     // probe list: NPROBE nearest cells per query by centroid distance in
     // the normalized space (identical probe rule to knnIvf)
     val d2 = aggregate(zip_with(col("qn"), col("centroid"),
@@ -723,7 +744,7 @@ object Similarity {
     * `sim_pca_contract` (variance + recall floors). */
   private def knnPca(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
-    val prj = pcaProject(s, d).getOrElse(
+    val prj0 = pcaProject(s, d).getOrElse(
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -732,7 +753,8 @@ object Similarity {
           org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("pca_d2", org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType)))))
-      .persist() // query slice + candidate scan + refine fetch
+    // query slice + candidate scan + refine fetch share one cached copy
+    val prj = cachedCorpusFrame(s, s"pcaprj|${ivfKey(d)}")(prj0)
     val q = prj.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("pca").as("qp"))
     val cand = prj.select(col("vec_id").as("cand_id"), col("pca").as("cp"))
