@@ -457,12 +457,20 @@ object Relational {
                  // unpersisting here would race the returned lazy plan
                  // (both harnesses clear between queries; a long-running
                  // service should too). Known bounded leak, r9 ADVICE.
-    val tiny = Window.partitionBy(lit(1)) // over the ≤nPart-row offset table only
-    val offs = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
-      .withColumn("off", coalesce(sum(col("pn"))
-        .over(tiny.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("n", sum(col("pn")).over(tiny))
+    // offsets over the ≤nPart-row count table WITHOUT a window: a
+    // constant-partition Window here gets its foldable partition spec
+    // removed by EliminateWindowPartitions, leaving an empty-spec
+    // WindowExec that warns "No Partition Defined" per task (r9 verdict
+    // #8's loudest residual source). A broadcast cross-join aggregate
+    // over nPart×nPart rows (≤ a few M pairs even at cluster-scale
+    // shuffle parallelism) computes the same prefix sums with no single-
+    // partition exchange at all.
+    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+    val offs = counts
+      .crossJoin(broadcast(counts.select(col("pid").as("ypid"), col("pn").as("ypn"))))
+      .groupBy(col("pid"))
+      .agg(sum(when(col("ypid") < col("pid"), col("ypn")).otherwise(0L)).as("off"),
+        sum(col("ypn")).as("n"))
       .select(col("pid"), col("off"), col("n"))
     val wPart = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
     sorted.withColumn("pr", row_number().over(wPart))
@@ -1541,9 +1549,14 @@ object Relational {
     * read counts — the pruning ratio is oracle-EXACT, not a weak TRUE
     * boolean. The z layout must read ≤ half the chunks and strictly
     * fewer than the linear layout (which spans all sy per chunk, the
-    * failure mode z-order exists to fix). The global ntile is the
-    * fixture-scale model of `repartitionByRange(zval)`; at 100 TB the
-    * same accounting runs per-partition over file-level min/max stats. */
+    * failure mode z-order exists to fix). Chunk assignment runs through
+    * [[withGlobalRank]] + [[ntileFromRank]] — the distributed global
+    * ranking — per layout, NOT a global `ntile` Window, which funnels
+    * every row through one task (r9 verdict #8: this was the loudest
+    * WindowExec single-partition warning in driver logs); each layout's
+    * stats pipeline is independent, so neither needs the other's chunk
+    * column and no row-level join reunites them. At 100 TB the same
+    * accounting runs per-partition over file-level min/max stats. */
   private def zorderContract(s: SparkSession, d: String): DataFrame = {
     def spread(c: Column): Column = (0 until 8).map(i =>
       shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i)).reduce(_ + _)
@@ -1552,22 +1565,20 @@ object Relational {
         (col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"))
       .withColumn("zval", spread(col("px")) + spread(col("sy")) * 2)
       .withColumn("lin", col("px") * 256 + col("sy"))
-    val wz = Window.orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
-    val wl = Window.orderBy(col("lin"), col("l_orderkey"), col("l_linenumber"))
-    val chunked = base
-      .withColumn("zchunk", ntile(16).over(wz))
-      .withColumn("lchunk", ntile(16).over(wl))
-      .persist()
-    def chunksRead(chunkCol: String): Column =
-      sum(when(col(s"mn_$chunkCol") <= 20 && col(s"mx_$chunkCol") >= 10, 1L)
-        .otherwise(0L))
-    val z = chunked.groupBy(col("zchunk"))
-      .agg(min(col("sy")).as("mn_zchunk"), max(col("sy")).as("mx_zchunk"))
-      .agg(chunksRead("zchunk").as("z_chunks_read"))
-    val l = chunked.groupBy(col("lchunk"))
-      .agg(min(col("sy")).as("mn_lchunk"), max(col("sy")).as("mx_lchunk"))
-      .agg(chunksRead("lchunk").as("lin_chunks_read"))
-    val n = chunked.agg(count(lit(1)).as("n_rows"))
+    def layoutChunksRead(sortCol: String, chunk: String): DataFrame =
+      withGlobalRank(s,
+        base.select(col("sy"), col(sortCol), col("l_orderkey"), col("l_linenumber")),
+        Seq(col(sortCol), col("l_orderkey"), col("l_linenumber")))
+        .withColumn(chunk, ntileFromRank(16))
+        .groupBy(col(chunk))
+        .agg(min(col("sy")).as("mn"), max(col("sy")).as("mx"))
+        .agg(sum(when(col("mn") <= 20 && col("mx") >= 10, 1L).otherwise(0L))
+          .as(s"${chunk}_read"))
+    val z = layoutChunksRead("zval", "zchunk")
+      .withColumnRenamed("zchunk_read", "z_chunks_read")
+    val l = layoutChunksRead("lin", "lchunk")
+      .withColumnRenamed("lchunk_read", "lin_chunks_read")
+    val n = base.agg(count(lit(1)).as("n_rows"))
     n.crossJoin(z).crossJoin(l) // three 1-row aggregates
       .select(col("n_rows"), col("z_chunks_read"), col("lin_chunks_read"),
         (col("z_chunks_read") <= 8).as("z_prunes_half"),

@@ -440,16 +440,17 @@ object TextAnalysis {
     * text ≈ −1; this synthetic near-uniform corpus sits near 0, which is
     * itself the signal). */
   private def zipfSlope(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = T.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rank",
-      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
-    ranked.agg(
-      count(lit(1)).as("n_types"),
-      round(expr("regr_slope(ln(cnt), ln(rank))"), 3).as("zipf_slope"),
-      round(expr("corr(ln(cnt), ln(rank))"), 3).as("log_log_corr"))
+    // global frequency rank via the distributed ranking helper, not a
+    // partition-less row_number Window (vocab-bounded, but it was still a
+    // single-task sort and a WindowExec warning source — r9 verdict #8)
+    Relational.withGlobalRank(s, counts, Seq(col("cnt").desc, col("token")))
+      .agg(
+        count(lit(1)).as("n_types"),
+        round(expr("regr_slope(ln(cnt), ln(rank))"), 3).as("zipf_slope"),
+        round(expr("corr(ln(cnt), ln(rank))"), 3).as("log_log_corr"))
   }
 
   private val zipfSlopeSql =
