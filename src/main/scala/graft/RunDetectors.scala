@@ -108,17 +108,7 @@ object RunDetectors {
       .persist()
 
     // check-then-insert dedup scoring by arrival index (ST5, trap #1)
-    val pairs = msgs
-      .select(col("msg_idx"), explode(array_distinct(
-        Text.shingles3(split(col("body"), " ")))).as("sh"))
-    val firstSeen = pairs.groupBy(col("sh")).agg(min(col("msg_idx")).as("first_idx"))
-    val scores = pairs.join(firstSeen, "sh")
-      .groupBy(col("msg_idx"))
-      .agg(avg(when(col("first_idx") < col("msg_idx"), 1.0).otherwise(0.0)).as("dup_score"))
-    val scored = msgs.join(scores, Seq("msg_idx"), "left")
-      .withColumn("dup_score", coalesce(col("dup_score"), lit(0.0)))
-      .withColumn("is_duplicate", col("dup_score") >= 0.7)
-      .persist()
+    val scored = dupScored(msgs).persist()
 
     // exclusion happens AFTER detectors saw the message (trap #2): kept
     // messages drive `processed`, the snapshot cadence, and counters —
@@ -293,6 +283,161 @@ object RunDetectors {
         }) else None))
     pretty(render(json))
   }
+
+  /** Check-then-insert dedup scoring by arrival index over a (msg_idx,
+    * body) stream (ST5, A11): a message's dup_score is the fraction of its
+    * distinct 3-token shingles first seen at an EARLIER arrival index.
+    * Shared by [[run]] and [[snapshotSummary]] so the CLI path and the
+    * driver-gated query exercise the identical plan. */
+  private[graft] def dupScored(msgs: DataFrame): DataFrame = {
+    val pairs = msgs
+      .select(col("msg_idx"), explode(array_distinct(
+        Text.shingles3(split(col("body"), " ")))).as("sh"))
+    val firstSeen = pairs.groupBy(col("sh")).agg(min(col("msg_idx")).as("first_idx"))
+    val scores = pairs.join(firstSeen, "sh")
+      .groupBy(col("msg_idx"))
+      .agg(avg(when(col("first_idx") < col("msg_idx"), 1.0).otherwise(0.0)).as("dup_score"))
+    msgs.join(scores, Seq("msg_idx"), "left")
+      .withColumn("dup_score", coalesce(col("dup_score"), lit(0.0)))
+      .withColumn("is_duplicate", col("dup_score") >= 0.7)
+  }
+
+  /** The periodic_snapshots payload of [[run]] as a driver-checkable FRAME
+    * (r9 verdict stretch #9): one row per (snapshot, rank ≤ topFrequency)
+    * carrying the snapshot's cumulative top-token counts plus its
+    * message_count, trailing-window burst count, and cumulative duplicate
+    * total — the same quantities run() renders into JSON, over an
+    * arbitrary (msg_idx, body) message stream. Exclusion is off (the
+    * default CLI path), so kept ≡ streamed and every statistic is over
+    * the full stream. Scale shape: the only corpus-scale exchanges key on
+    * (snap, token) after a broadcast of the ≤n/interval-row boundary
+    * table; burst windows join only the trailing 2·RecentK messages per
+    * boundary. */
+  private[graft] def snapshotSummary(s: SparkSession, msgs: DataFrame,
+      updateInterval: Int, topFrequency: Int): DataFrame = {
+    val scored = dupScored(msgs)
+    val tokens = msgs
+      .select(col("msg_idx"), explode(split(col("body"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val bounds = msgs
+      .filter((col("msg_idx") + 1) % updateInterval === 0)
+      .select(((col("msg_idx") + 1) / updateInterval).cast("long").minus(1).as("snap"),
+        col("msg_idx").cast("long").as("msg_bound"))
+    val cum = tokens.join(broadcast(bounds), col("msg_idx") <= col("msg_bound"))
+      .groupBy(col("snap"), col("token")).agg(count(lit(1)).as("cnt"))
+    val wTop = Window.partitionBy(col("snap")).orderBy(col("cnt").desc, col("token"))
+    val top = cum.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topFrequency)
+    val burst = tokens.join(broadcast(bounds),
+        col("msg_idx") > col("msg_bound") - 2L * RecentK &&
+          col("msg_idx") <= col("msg_bound"))
+      .withColumn("recent", col("msg_idx") > col("msg_bound") - RecentK)
+      .groupBy(col("snap").as("bsnap"), col("token"))
+      .agg(sum(when(col("recent"), 1L).otherwise(0L)).as("recent_cnt"),
+        sum(when(!col("recent"), 1L).otherwise(0L)).as("prev_cnt"))
+      .filter(col("recent_cnt") >= 1 &&
+        (col("recent_cnt") + lit(BurstEps)) / (col("prev_cnt") + lit(BurstEps))
+          >= BurstThreshold)
+      .groupBy(col("bsnap")).agg(count(lit(1)).as("n_burst"))
+    val dups = scored.filter(col("is_duplicate"))
+      .join(broadcast(bounds), col("msg_idx") <= col("msg_bound"))
+      .groupBy(col("snap").as("dsnap")).agg(count(lit(1)).as("dups_so_far"))
+    top
+      .join(burst, col("snap") === col("bsnap"), "left")
+      .join(dups, col("snap") === col("dsnap"), "left")
+      .select(col("snap").as("snapshot"),
+        ((col("snap") + 1) * updateInterval).as("message_count"),
+        col("rank"), col("token"), col("cnt"),
+        coalesce(col("n_burst"), lit(0L)).as("n_burst"),
+        coalesce(col("dups_so_far"), lit(0L)).as("dups_so_far"))
+      .orderBy(col("snapshot"), col("rank"))
+  }
+
+  /** Registered form over the driver tables: documents in doc_id order are
+    * the message stream (arrival index via the distributed global rank,
+    * not a single-task window), raw whitespace tokens, interval 25 /
+    * top-5 so sf0.001 already yields two snapshots. The stream is capped
+    * at [[SnapMaxMsgs]] — the CLI's own `--max-messages` bound (the
+    * reference defaults to 200) — which is also what keeps this query
+    * corpus-size-INVARIANT: cumulative-per-snapshot statistics are
+    * inherently O(stream × snapshots), so the bound, not the corpus,
+    * sets the work. */
+  private val SnapInterval = 25
+  private val SnapTopK = 5
+  private val SnapMaxMsgs = 500
+
+  private def runSummaryQuery(s: SparkSession, d: String): DataFrame = {
+    val msgs = graft.ops.Relational.withGlobalRank(s,
+      graft.Tables.documents(s, d).select(col("doc_id"), col("text")),
+      Seq(col("doc_id")))
+      .filter(col("rank") <= SnapMaxMsgs)
+      .select((col("rank") - 1).cast("long").as("msg_idx"),
+        col("text").as("body"))
+    snapshotSummary(s, msgs, SnapInterval, SnapTopK)
+  }
+
+  private val runSummarySql = {
+    val sh = Text.shingles3Sql("string_split(body, ' ')")
+    s"""WITH msgs AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS msg_idx,
+       |         text AS body
+       |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT $SnapMaxMsgs)),
+       |pairs AS (
+       |  SELECT DISTINCT msg_idx, unnest($sh) AS sh FROM msgs),
+       |first_seen AS (SELECT sh, min(msg_idx) AS first_idx FROM pairs GROUP BY sh),
+       |scores AS (
+       |  SELECT pairs.msg_idx,
+       |    avg(CASE WHEN first_idx < pairs.msg_idx THEN 1.0 ELSE 0.0 END) AS dup_score
+       |  FROM pairs JOIN first_seen USING (sh) GROUP BY pairs.msg_idx),
+       |scored AS (
+       |  SELECT m.msg_idx, coalesce(s.dup_score, 0.0) >= 0.7 AS is_dup
+       |  FROM msgs m LEFT JOIN scores s ON m.msg_idx = s.msg_idx),
+       |tok AS (
+       |  SELECT msg_idx, token FROM
+       |    (SELECT msg_idx, unnest(string_split(body, ' ')) AS token FROM msgs)
+       |  WHERE token <> ''),
+       |bounds AS (
+       |  SELECT CAST((msg_idx + 1) // $SnapInterval - 1 AS BIGINT) AS snap,
+       |         msg_idx AS msg_bound
+       |  FROM msgs WHERE (msg_idx + 1) % $SnapInterval = 0),
+       |cum AS (
+       |  SELECT b.snap, t.token, count(*) AS cnt
+       |  FROM tok t JOIN bounds b ON t.msg_idx <= b.msg_bound
+       |  GROUP BY b.snap, t.token),
+       |topk AS (
+       |  SELECT snap, token, cnt,
+       |    row_number() OVER (PARTITION BY snap ORDER BY cnt DESC, token) AS rnk
+       |  FROM cum),
+       |burst AS (
+       |  SELECT x.snap AS bsnap, count(*) AS n_burst FROM (
+       |    SELECT b.snap, t.token,
+       |      sum(CASE WHEN t.msg_idx > b.msg_bound - $RecentK THEN 1 ELSE 0 END) AS recent_cnt,
+       |      sum(CASE WHEN t.msg_idx <= b.msg_bound - $RecentK THEN 1 ELSE 0 END) AS prev_cnt
+       |    FROM tok t JOIN bounds b
+       |      ON t.msg_idx > b.msg_bound - ${2 * RecentK} AND t.msg_idx <= b.msg_bound
+       |    GROUP BY b.snap, t.token) x
+       |  WHERE recent_cnt >= 1
+       |    AND (recent_cnt + $BurstEps) / (prev_cnt + $BurstEps) >= $BurstThreshold
+       |  GROUP BY x.snap),
+       |dups AS (
+       |  SELECT b.snap AS dsnap, count(*) AS dups_so_far
+       |  FROM scored s JOIN bounds b ON s.msg_idx <= b.msg_bound
+       |  WHERE s.is_dup GROUP BY b.snap)
+       |SELECT CAST(t.snap AS BIGINT) AS snapshot,
+       |  CAST((t.snap + 1) * $SnapInterval AS BIGINT) AS message_count,
+       |  CAST(t.rnk AS INT) AS rank, t.token, t.cnt,
+       |  CAST(coalesce(bu.n_burst, 0) AS BIGINT) AS n_burst,
+       |  CAST(coalesce(d.dups_so_far, 0) AS BIGINT) AS dups_so_far
+       |FROM topk t LEFT JOIN burst bu ON t.snap = bu.bsnap
+       |  LEFT JOIN dups d ON t.snap = d.dsnap
+       |WHERE t.rnk <= $SnapTopK
+       |ORDER BY snapshot, rank""".stripMargin
+  }
+
+  /** §3 entry-point coverage in the driver gate: the CLI path's snapshot
+    * summary as a registered, DuckDB-oracled query. */
+  def specs: Seq[QuerySpec] =
+    Seq(QuerySpec("scc_run_summary", runSummaryQuery, Some(runSummarySql)))
 
   /** Burst summaries for many window-ends in one pass: each token event at
     * msg_idx j is "recent" for window-ends in [j, j+RecentK) and "previous"
