@@ -1,0 +1,38 @@
+package graft
+
+/** The per-query watchdog both driver harnesses rely on (r9 verdict #3):
+  * fast bodies pass through, failing bodies surface their exception, and
+  * a wedged Spark job is cancelled at the budget with the harness (and
+  * the session) still fully usable afterwards — the property whose
+  * absence cost rounds 6 and 9 their entire driver signal. */
+class HarnessGuardSpec extends SparkSpec {
+
+  test("fast body returns Right with its value") {
+    assert(HarnessGuard.run(spark, "fast", 30)(41 + 1) == Right(42))
+  }
+
+  test("throwing body returns Left with the exception message") {
+    val r = HarnessGuard.run(spark, "boom", 30) {
+      throw new IllegalStateException("xyzzy")
+    }
+    assert(r.isLeft)
+    assert(r.left.exists(m => m.contains("IllegalStateException") && m.contains("xyzzy")))
+  }
+
+  test("a wedged Spark job is cancelled at the budget; session survives") {
+    import spark.implicits._
+    val slow = org.apache.spark.sql.functions.udf { (x: Long) =>
+      Thread.sleep(120000L); x
+    }
+    val t0 = System.nanoTime()
+    val r = HarnessGuard.run(spark, "wedged", 2) {
+      spark.range(4).select(slow($"id")).count()
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(r.isLeft && r.left.exists(_.startsWith("TIMEOUT")), s"got $r")
+    // cancel + 10s grace, not the 120s sleep
+    assert(dt < 60, f"watchdog took $dt%.1fs")
+    // the session must still run jobs normally after a cancelled group
+    assert(spark.range(10).count() == 10)
+  }
+}

@@ -205,4 +205,44 @@ class MultimodalSpec extends SparkSpec {
     }
     rows.foreach(t => assert(t._4 == (t._1 == t._2)))
   }
+
+  test("mm_dedup_cluster equals driver-side connected components exactly") {
+    // The cluster partition must BE the transitive closure of the
+    // hamming<=3 graph — no under-merge (pinned above via pairs) and no
+    // OVER-merge: an independent BFS over the edge set (hamming-1..3
+    // pairs plus equal-hash cliques) must produce the identical
+    // partition. Guards the driver-side union-find + 696-mask neighbor
+    // enumeration against both missed masks and spurious unions.
+    import org.apache.spark.sql.functions._
+    val label = SparkEntry.queries("mm_dedup_cluster")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashes = SparkEntry.queries("mm_avg_hash")(spark, sf001)
+      .select(col("doc_id"), col("avg_hash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nearPairs = SparkEntry.queries("mm_hash_hamming")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val equalPairs = hashes.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sliding(2).map(p => (p(0), p(1)))).toSeq
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    (nearPairs ++ equalPairs).foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val refLabel = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!seen(start)) {
+        var frontier = List(start); var comp = List.empty[Long]
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(n =>
+            if (seen(n)) Nil else { seen += n; comp ::= n; adj(n) })
+          frontier = next
+        }
+        val lbl = comp.min
+        comp.foreach(n => refLabel(n) = lbl)
+      }
+    }
+    assert(label == refLabel.toMap,
+      "cluster assignment diverges from reference connected components")
+  }
 }
