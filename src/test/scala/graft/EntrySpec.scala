@@ -39,9 +39,14 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every registered query executes at sf0.001") {
+    // Each query runs under the harness watchdog: round 9's hung query
+    // wedged this very smoke for 18+ minutes and with it the whole
+    // suite — a pathological query must fail ITS assertion, not the run.
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf001).count()
-      assert(n >= 0, s"$name failed")
+      HarnessGuard.run(spark, s"entryspec-$name", 120)(fn(spark, sf001).count()) match {
+        case Right(n) => assert(n >= 0, s"$name returned $n")
+        case Left(err) => fail(s"$name failed: $err")
+      }
     }
   }
 }
