@@ -19,8 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Lemmatizer {
 
-  /** Explicit lemma dictionary (irregular plurals + common inflections of
-    * the corpus vocabulary). */
+  /** Explicit lemma dictionary: regular corpus-vocabulary plurals (kept
+    * for doc value; the suffix rules would produce the same) plus the
+    * common WordNet noun.exc irregular-plural entries (public data —
+    * wolf/woman/foot/corpus/criterion/... are the published exception
+    * pairs every morphy description lists). The r10 expansion plus the
+    * noun-only rule set below raised golden-NLTK agreement from 0.62 to
+    * 0.99 (NltkParitySpec): the reference lemmatizes with NLTK's DEFAULT
+    * pos — noun — which never strips -ing/-ed verb forms, so the engine's
+    * old verbal entries/rules were themselves the divergence.
+    *
+    * Deliberate remaining divergence: "axes" → "axis" (the technical-
+    * corpus reading; NLTK's min-by-length tie-break returns "ax"). */
   val DICT: Seq[(String, String)] = Seq(
     "rows" -> "row", "queries" -> "query", "tables" -> "table",
     "keys" -> "key", "values" -> "value", "parts" -> "part",
@@ -28,10 +38,21 @@ object Lemmatizer {
     "streams" -> "stream", "windows" -> "window", "batches" -> "batch",
     "merges" -> "merge", "scans" -> "scan", "sorts" -> "sort",
     "joins" -> "join", "filters" -> "filter", "groups" -> "group",
-    "running" -> "run", "sorted" -> "sort", "joined" -> "join",
-    "filtered" -> "filter", "grouped" -> "group", "scanned" -> "scan",
-    "merged" -> "merge", "children" -> "child", "mice" -> "mouse",
-    "data" -> "datum")
+    "children" -> "child", "mice" -> "mouse",
+    "wolves" -> "wolf", "shelves" -> "shelf", "thieves" -> "thief",
+    "halves" -> "half", "wives" -> "wife", "knives" -> "knife",
+    "lives" -> "life", "calves" -> "calf", "loaves" -> "loaf",
+    "leaves" -> "leaf",
+    "women" -> "woman", "feet" -> "foot", "teeth" -> "tooth",
+    "geese" -> "goose",
+    "corpora" -> "corpus", "criteria" -> "criterion",
+    "phenomena" -> "phenomenon", "matrices" -> "matrix",
+    "indices" -> "index", "vertices" -> "vertex",
+    "appendices" -> "appendix", "analyses" -> "analysis",
+    "hypotheses" -> "hypothesis", "theses" -> "thesis",
+    "axes" -> "axis", "crises" -> "crisis", "oxen" -> "ox",
+    "alumni" -> "alumnus", "fungi" -> "fungus", "larvae" -> "larva",
+    "radii" -> "radius", "series" -> "series", "species" -> "species")
 
   /** SQL VALUES literal of the dictionary, for oracle strings. */
   val dictSqlValues: String =
@@ -40,84 +61,64 @@ object Lemmatizer {
   // -------------------------------------------------------- suffix rules
   //
   // Fallback for words the dictionary misses: a deterministic
-  // approximation of WordNet morphy's common suffix paths (plural
-  // stripping; -ing/-ed with consonant undoubling). Three lockstep
+  // approximation of WordNet morphy's NOUN rule paths — the reference
+  // lemmatizes with NLTK's default pos, which is noun, so ONLY plural
+  // suffixes are handled; -ing/-ed verb forms pass through unchanged
+  // exactly as default-noun NLTK leaves them (the pre-r10 verbal rules
+  // were the single largest divergence class). Three lockstep
   // implementations — plain Scala (UDF), Column (codegen), SQL string
   // (DuckDB oracle) — kept byte-equivalent by the shared rule order
   // below; the oracle gate verifies parity on the full corpus each round.
   //
+  //  0. not ^[a-z]+$       → unchanged   (hyphenated, unicode, digit-
+  //                          bearing forms have no WordNet entry, and
+  //                          morphy returns dictionary misses unchanged —
+  //                          the index-free approximation of that check)
   //  1. *ies, len>4        → -ies +y     (parties → party)
-  //  2. *ied, len>4        → -ied +y     (carried → carry, tried → try)
-  //  3. *ches|shes|xes|zes|sses → -es    (boxes → box, classes → class)
-  //  4. *ss                → unchanged   (class, less)
-  //  5. *s, len>3, not *us/*is → -s      (runs → run; bonus, basis stay)
-  //  6. *ing, len>5        → -ing, undouble (running → run, reading → read)
-  //  7. *ed, len>4, not *eed → -ed, undouble (stopped → stop, joined → join;
-  //                                          speed/need/indeed stay — 'eed'
-  //                                          is almost never a past tense)
+  //  2. *ches|shes|xes|zes|sses → -es    (boxes → box, classes → class)
+  //  3. *ss                → unchanged   (class, less)
+  //  4. *s, len>3, not *us/*is → -s      (runs → run; bonus, basis stay)
   //
-  // Undoubling drops the final char when the base ends in a doubled
-  // consonant. Rules 6/7 do NOT restore a dropped 'e' (merging → merg):
-  // that path needs dictionary knowledge, which is what DICT is for.
-
-  private val CONSONANTS = "bcdfghjklmnpqrstvwxz"
+  // The remaining inherent divergence is out-of-vocabulary plurals: with
+  // no WordNet index, rule 4 strips -s from words NLTK would return
+  // unchanged for want of a dictionary hit (pinned in NltkParitySpec).
 
   /** Plain-Scala rule (UDF + tests). */
   def suffixLemma(t: String): String = {
-    def undouble(b: String): String =
-      if (b.length >= 2 && b(b.length - 1) == b(b.length - 2) &&
-        CONSONANTS.contains(b(b.length - 1))) b.init
-      else b
-    if (t.endsWith("ies") && t.length > 4) t.dropRight(3) + "y"
-    else if (t.endsWith("ied") && t.length > 4) t.dropRight(3) + "y"
+    if (!t.forall(c => c >= 'a' && c <= 'z')) t
+    else if (t.endsWith("ies") && t.length > 4) t.dropRight(3) + "y"
     else if (Seq("ches", "shes", "xes", "zes", "sses").exists(t.endsWith)) t.dropRight(2)
     else if (t.endsWith("ss")) t
     else if (t.endsWith("s") && t.length > 3 && !t.endsWith("us") && !t.endsWith("is"))
       t.dropRight(1)
-    else if (t.endsWith("ing") && t.length > 5) undouble(t.dropRight(3))
-    else if (t.endsWith("ed") && t.length > 4 && !t.endsWith("eed")) undouble(t.dropRight(2))
     else t
   }
 
   /** Column twin (stays inside codegen — when-chain over string builtins). */
   def suffixLemmaCol(t: Column): Column = {
     def drop(n: Int): Column = t.substr(lit(1), length(t) - n)
-    def undouble(b: Column): Column =
-      when(substring(b, -1, 1) === substring(b, -2, 1) &&
-        substring(b, -1, 1).rlike(s"[$CONSONANTS]"),
-        b.substr(lit(1), length(b) - 1)).otherwise(b)
-    when(t.endsWith("ies") && length(t) > 4, concat(drop(3), lit("y")))
-      .when(t.endsWith("ied") && length(t) > 4, concat(drop(3), lit("y")))
+    when(!t.rlike("^[a-z]+$"), t)
+      .when(t.endsWith("ies") && length(t) > 4, concat(drop(3), lit("y")))
       .when(t.endsWith("ches") || t.endsWith("shes") || t.endsWith("xes") ||
         t.endsWith("zes") || t.endsWith("sses"), drop(2))
       .when(t.endsWith("ss"), t)
       .when(t.endsWith("s") && length(t) > 3 &&
         !t.endsWith("us") && !t.endsWith("is"), drop(1))
-      .when(t.endsWith("ing") && length(t) > 5, undouble(drop(3)))
-      .when(t.endsWith("ed") && length(t) > 4 && !t.endsWith("eed"), undouble(drop(2)))
       .otherwise(t)
   }
 
   /** DuckDB twin of [[suffixLemmaCol]]; `e` must be a bare column/lambda
     * variable reference (it is repeated many times). */
-  def suffixLemmaSql(e: String): String = {
-    def undouble(b: String): String =
-      s"""CASE WHEN substr($b, len($b), 1) = substr($b, len($b) - 1, 1)
-         | AND substr($b, len($b), 1) IN (${CONSONANTS.map(c => s"'$c'").mkString(", ")})
-         | THEN substr($b, 1, len($b) - 1) ELSE $b END""".stripMargin.replaceAll("\n", "")
+  def suffixLemmaSql(e: String): String =
     s"""CASE
+       | WHEN NOT regexp_full_match($e, '[a-z]+') THEN $e
        | WHEN $e LIKE '%ies' AND len($e) > 4 THEN substr($e, 1, len($e) - 3) || 'y'
-       | WHEN $e LIKE '%ied' AND len($e) > 4 THEN substr($e, 1, len($e) - 3) || 'y'
        | WHEN $e LIKE '%ches' OR $e LIKE '%shes' OR $e LIKE '%xes'
        |   OR $e LIKE '%zes' OR $e LIKE '%sses' THEN substr($e, 1, len($e) - 2)
        | WHEN $e LIKE '%ss' THEN $e
        | WHEN $e LIKE '%s' AND len($e) > 3 AND $e NOT LIKE '%us' AND $e NOT LIKE '%is'
        |   THEN substr($e, 1, len($e) - 1)
-       | WHEN $e LIKE '%ing' AND len($e) > 5 THEN ${undouble(s"substr($e, 1, len($e) - 3)")}
-       | WHEN $e LIKE '%ed' AND len($e) > 4 AND $e NOT LIKE '%eed'
-       |   THEN ${undouble(s"substr($e, 1, len($e) - 2)")}
        | ELSE $e END""".stripMargin.replaceAll("\n", "")
-  }
 
   /** Broadcast-map scalar UDF: lemma(token). */
   def lemmaUdf(s: SparkSession): org.apache.spark.sql.expressions.UserDefinedFunction = {

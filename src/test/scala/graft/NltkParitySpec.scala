@@ -30,7 +30,7 @@ class NltkParitySpec extends SparkSpec {
     finally src.close()
   }
 
-  test("lemmatizer agreement with golden NLTK (default-noun WordNet) lemmas >= 0.58") {
+  test("lemmatizer agreement with golden NLTK (default-noun WordNet) lemmas >= 0.95") {
     val dict = Lemmatizer.DICT.toMap
     val rows = goldenLines("/nltk_wordnet_lemmas.tsv").map(a => (a(0), a(1)))
     assert(rows.size >= 100, "golden lemma fixture unexpectedly small")
@@ -39,18 +39,20 @@ class NltkParitySpec extends SparkSpec {
     }
     val ratio = agree.toDouble / rows.size
     info(f"lemma agreement: $agree/${rows.size} = $ratio%.3f")
-    // floor tracks fixture composition, not a target: r8 pinned 0.705 on
-    // 105 rows (floor 0.65); r9 corrected two min-by-length entries
-    // (data, men — ADVICE) and added 19 deliberately-adversarial rows
-    // (latinate noun.exc plurals, min-by-length traps, hyphenated,
-    // unicode), measuring 0.621 — the floor guards against a RULE
-    // regression (~5 rows of margin), not against fixture growth
-    assert(ratio >= 0.58,
+    // History: r8 0.705 / r9 0.621 (adversarial fixture growth) under the
+    // old verbal-stripping rules. r10 removed the -ing/-ed/-ied rules and
+    // verbal DICT entries — the reference lemmatizes with NLTK's DEFAULT
+    // pos (noun), which never touches verb inflections, so the verbal
+    // handling WAS the divergence — added the public WordNet noun.exc
+    // irregular plurals to DICT, and guarded non-[a-z] forms (morphy
+    // returns dictionary misses unchanged): agreement 0.992 on 124 rows.
+    // The only remaining disagreement is the pinned "axes" tie-break.
+    assert(ratio >= 0.95,
       f"lemma agreement with NLTK golden fell to $ratio%.3f — a rule change " +
-        "made the documented divergence materially worse")
-    // the divergence is real, not an artifact of an over-friendly fixture:
-    // the golden file must contain the known disagreement classes
-    // (default-noun NLTK keeps -ing/-ed forms; the engine strips them)
+        "reopened a closed divergence class")
+    // the fixture must still exercise a real divergence (axes, and any
+    // future out-of-vocabulary plural rows): agreement is asymptotic, not
+    // exact, without the WordNet index
     assert(ratio < 1.0, "fixture no longer exercises any divergent form")
   }
 
@@ -83,33 +85,40 @@ class NltkParitySpec extends SparkSpec {
     assert(mean < 1.0, "fixture no longer exercises any divergent tokenization")
   }
 
-  test("r9 divergence classes: engine behavior pinned per adversarial class") {
+  test("r10 divergence classes: engine behavior pinned per adversarial class") {
     import spark.implicits._
     val dict = Lemmatizer.DICT.toMap
     def engine(w: String) = dict.getOrElse(w, Lemmatizer.suffixLemma(w))
-    // class 1 — latinate noun.exc plurals: NLTK resolves these via the
-    // exception lists the engine deliberately does not carry; the engine
-    // applies its suffix rules (or keeps the form). Golden column holds
-    // corpus/matrix/analysis/ox.
-    assert(engine("corpora") == "corpora")
-    assert(engine("matrices") == "matrice")
-    assert(engine("analyses") == "analyse")
-    assert(engine("oxen") == "oxen")
+    // class 1 — latinate noun.exc plurals: CLOSED in r10 — the public
+    // WordNet exception pairs are in DICT now
+    assert(engine("corpora") == "corpus")
+    assert(engine("matrices") == "matrix")
+    assert(engine("analyses") == "analysis")
+    assert(engine("oxen") == "ox")
     // class 2 — min-by-length: NLTK's lemmatize picks min(lemmas, key=len)
-    // with the ORIGINAL form first, so an inflected form that is itself a
-    // WordNet noun lemma comes back unchanged (data, men, media — ADVICE).
-    // The engine's DICT pins data->datum: a now-documented divergence; men
-    // and media agree with NLTK by rule coincidence.
-    assert(engine("data") == "datum") // golden: data
-    assert(engine("men") == "men")    // golden: men — agreement
-    assert(engine("media") == "media") // golden: media — agreement
-    // class 3 — hyphenated tokens: morphy finds no WordNet lemma so NLTK
-    // keeps the form; the engine's bare suffix rule strips the plural 's'
-    assert(engine("data-sets") == "data-set") // golden: data-sets
-    // class 4 — unicode: no ASCII WordNet entry matches 'café', so NLTK
-    // keeps 'cafés'; the engine strips to 'café'
-    assert(engine("cafés") == "café") // golden: cafés
-    // class 5 — T2 predicate now matches both its scaladoc and the
+    // with the ORIGINAL form included, so an inflected form that is itself
+    // a WordNet noun lemma comes back unchanged. data/men/media now agree;
+    // "axes" stays the one DELIBERATE divergence (engine pins the
+    // technical-corpus reading "axis"; NLTK's length tie-break says "ax").
+    assert(engine("data") == "data")
+    assert(engine("men") == "men")
+    assert(engine("media") == "media")
+    assert(engine("axes") == "axis") // golden: ax — pinned divergence
+    // class 3/4 — hyphenated and unicode forms: CLOSED in r10 — the
+    // non-[a-z] guard mirrors morphy returning dictionary misses unchanged
+    assert(engine("data-sets") == "data-sets")
+    assert(engine("cafés") == "cafés")
+    // class 5 (NEW r10) — default-noun NLTK never strips verb inflections;
+    // the engine's old -ing/-ed rules were the largest divergence class
+    // and are gone
+    assert(engine("running") == "running")
+    assert(engine("joined") == "joined")
+    assert(engine("tried") == "tried")
+    // class 6 — out-of-vocabulary plurals remain inherently divergent:
+    // without the WordNet index, rule 4 strips -s where NLTK would return
+    // the unknown word unchanged
+    assert(engine("flibbers") == "flibber") // NLTK (OOV): flibbers
+    // class 7 — T2 predicate matches both its scaladoc and the
     // reference's Python isalpha (r8 verdict #4): unicode letters survive
     // tokenization, while attached punctuation and digit-bearing tokens
     // still drop

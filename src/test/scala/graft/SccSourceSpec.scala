@@ -21,12 +21,14 @@ class SccSourceSpec extends SparkSpec {
     val msgs = SccJsonSource.preprocessedMessages(spark, fixture)
     val bodies = msgs.select("body").collect().map(_.getString(0)).toSet
     // boilerplate + file-description scrub leaves only the tail tokens,
-    // lemma maps running→run, mice→mouse; stopwords (a, of, the) drop
-    assert(bodies.contains("photo run mouse"))
+    // lemma maps mice→mouse (r10: default-noun NLTK semantics keep
+    // "running" unchanged — verb forms are not noun plurals); stopwords
+    // (a, of, the) drop
+    assert(bodies.contains("photo running mouse"))
     // outbound "I will not reply..." must be gone
     assert(!bodies.exists(_.contains("reply")))
     // raw_body preserved alongside preprocessed body
-    val raw = msgs.filter(col("body") === "photo run mouse")
+    val raw = msgs.filter(col("body") === "photo running mouse")
       .select("raw_body").collect().head.getString(0)
     assert(raw.contains("This message contains files."))
   }

@@ -41,15 +41,17 @@ class TextSpec extends SparkSpec {
       "parties" -> "party", "boxes" -> "box", "matches" -> "match",
       "classes" -> "class", "class" -> "class", "runs" -> "run",
       "bonus" -> "bonus", "basis" -> "basis", "gas" -> "gas",
-      "running" -> "run", "reading" -> "read",
-      "stopped" -> "stop", "joined" -> "join",
-      // -eed guard (r6 brief): 'eed' is almost never a past tense, so the
-      // -ed rule skips it — "speed" stays "speed" (was "spe" pre-guard)
+      // r10: noun-only rules — the reference lemmatizes with NLTK's
+      // DEFAULT pos (noun), which never strips verb inflections, so
+      // -ing/-ed/-ied forms pass through unchanged
+      "running" -> "running", "reading" -> "reading",
+      "stopped" -> "stopped", "joined" -> "joined",
       "speed" -> "speed", "agreed" -> "agreed", "indeed" -> "indeed",
-      // -ied → y (r6 brief): past tenses of -y verbs recover their stem
-      "tried" -> "try", "carried" -> "carry",
-      "died" -> "died", // len 4 ≤ guard — too short to strip safely
-      "red" -> "red", "sing" -> "sing", "thing" -> "thing")
+      "tried" -> "tried", "carried" -> "carried", "died" -> "died",
+      "red" -> "red", "sing" -> "sing", "thing" -> "thing",
+      // r10 guard: non-[a-z] forms (hyphen/unicode/digits) pass through —
+      // morphy returns dictionary misses unchanged
+      "data-sets" -> "data-sets", "cafés" -> "cafés", "x86s" -> "x86s")
     cases.foreach { case (w, l) =>
       assert(suffixLemma(w) == l, s"suffixLemma($w) = ${suffixLemma(w)}, want $l")
     }
@@ -69,16 +71,15 @@ class TextSpec extends SparkSpec {
       stem + suffixes(rnd.nextInt(suffixes.length))
     }.distinct
     // The rules are deliberately SINGLE-PASS (like WordNet morphy's rule
-    // application): stripping -ed can expose a trailing -s that a second
-    // pass would also strip ("joarsed" -> "joars" -> "joar"), so the
-    // function is NOT idempotent — and must not be applied twice. Every
-    // engine path and the DuckDB oracle apply it exactly once per token;
-    // this invariant pins the output length bound a single pass implies.
+    // application): exactly one noun-plural rule fires per token, so the
+    // function must not be applied twice. Every engine path and the
+    // DuckDB oracle apply it exactly once per token; this invariant pins
+    // the output length bound a single pass implies.
     words.foreach { w =>
       val once = Lemmatizer.suffixLemma(w)
-      // at most one suffix (≤3 chars) + one undoubled consonant strips;
-      // -ies→y nets -2 — so length change is within [-4, 0]
-      assert(once.length >= w.length - 4 && once.length <= w.length,
+      // at most one plural suffix strips: -ies+y nets -2, -es nets -2,
+      // -s nets -1 — so length change is within [-2, 0]
+      assert(once.length >= w.length - 2 && once.length <= w.length,
         s"single pass must strip at most one suffix: $w -> $once")
     }
     val viaCol = words.toDF("w")
