@@ -21,12 +21,14 @@ class HarnessGuardSpec extends SparkSpec {
 
   test("a wedged Spark job is cancelled at the budget; session survives") {
     import spark.implicits._
+    // the sleep must sit in a FILTER (a count() over a projected udf gets
+    // column-pruned to nothing and returns instantly on a warm session)
     val slow = org.apache.spark.sql.functions.udf { (x: Long) =>
-      Thread.sleep(120000L); x
-    }
+      Thread.sleep(120000L); x >= 0
+    }.asNondeterministic()
     val t0 = System.nanoTime()
     val r = HarnessGuard.run(spark, "wedged", 2) {
-      spark.range(4).select(slow($"id")).count()
+      spark.range(4).filter(slow($"id")).count()
     }
     val dt = (System.nanoTime() - t0) / 1e9
     assert(r.isLeft && r.left.exists(_.startsWith("TIMEOUT")), s"got $r")
