@@ -126,6 +126,50 @@ class PlanShapeSpec extends SparkSpec {
       s"lang is a partition column and must not be in ReadSchema: $readSchema")
   }
 
+  test("ta_winnowing: gram hash is codegen'd builtins, no array HOFs, no global window") {
+    // r9's DNF shape was a nested-HOF array chain evaluated interpreted in
+    // one scan task. The rewrite must stay that way: no ArrayTransform /
+    // ArrayAggregate in the physical plan (the unrolled 31-poly fold is
+    // plain ascii/substr arithmetic inside WholeStageCodegen), and every
+    // Window node carries a partition spec.
+    val df = SparkEntry.queries("ta_winnowing")(spark, sf001)
+    df.collect() // finalize AQE so codegen spans are visible
+    val p = df.queryExecution.executedPlan.toString
+    // the tokenizer's own single-level filter/transform lambdas are fine
+    // (bounded, per-row); the DNF shape was the chained array FOLD —
+    // aggregate() over slices of a computed array — which must not return
+    assert(!p.contains("aggregate(") && !p.contains("array_min(") &&
+      !p.contains("slice("),
+      s"winnowing must not re-grow the array-fold chain:\n$p")
+    // codegen shows as "*(n)" stage markers in a finalized AQE plan
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+      s"hash stage must codegen:\n$p")
+    // every Window node is doc- or fp-partitioned: the spec list between
+    // the frame and the order columns is never empty
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe") &&
+      p.contains("Window"), s"expected partitioned windows:\n$p")
+  }
+
+  test("mm_dedup_cluster: no doc-level self-join, broadcast map-back") {
+    // The r9 101.8s shape banded doc rows (equal-hash cliques O(m²)); the
+    // fix clusters the enumerable hash space driver-side and broadcasts
+    // the hash→cluster map back. The executed plan must contain a
+    // broadcast join and no sort-merge self-join of the corpus.
+    val p = plan("mm_dedup_cluster")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hash→cluster map-back must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized self-join may remain:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("scc_run_summary: boundary joins broadcast the tiny bounds table") {
+    val p = plan("scc_run_summary")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the ≤n/interval-row bounds table must broadcast into the range joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("dedup_contamination: probes the persisted index, never rescans the corpus half") {
     // Building the query materializes the fit-once index; the RETURNED
     // plan is the steady audit shape — train bands/signatures must come
