@@ -23,6 +23,26 @@ class TextSpec extends SparkSpec {
     assert(toks("fox   runs") == Seq("fox", "runs"))
   }
 
+  test("tokens: edge punctuation strips, interior punctuation drops the form (r10)") {
+    // Punkt separates adjacent punctuation into its own tokens, so a
+    // clean word wearing punctuation must survive the alpha filter
+    assert(toks("Hello, world!") == Seq("hello", "world"))
+    assert(toks("\"quoted\" (bracketed) [listed] {braced}") ==
+      Seq("quoted", "bracketed", "listed", "braced"))
+    assert(toks("wait... really?! yes: truly; end.") ==
+      Seq("wait", "really", "yes", "truly", "end"))
+    assert(toks("em—dash plus “curly” ‘quotes’") == Seq("plus", "curly", "quotes"))
+    // em—dash: interior punctuation — the stripped form is not pure
+    // letters, so the whole token drops (NLTK would split it; the
+    // divergence class pinned in NltkParitySpec)
+    // contractions keep their interior apostrophe and drop whole
+    assert(toks("don't can't o'clock") == Seq.empty)
+    // digits anywhere still drop the token (isalpha)
+    assert(toks("x1 2nd 3.14") == Seq.empty)
+    // a token that is ALL punctuation strips to nothing and drops
+    assert(toks("word -- word") == Seq("word", "word"))
+  }
+
   test("tokens: NLTK-union stopword list (pronouns, auxiliaries, skipwords)") {
     // representative NLTK entries beyond the old 10-word placeholder
     assert(toks("i was not very happy about that outcome") ==
@@ -60,14 +80,17 @@ class TextSpec extends SparkSpec {
   test("suffix lemma: single-pass contract and Column-parity over 2000 random words") {
     import graft.functions.Lemmatizer
     val rnd = new scala.util.Random(42) // seeded — deterministic corpus
-    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    // r10: the alphabet includes the guard classes — hyphen, unicode
+    // letters, digits — so the non-[a-z] pass-through branch is fuzzed in
+    // both implementations, not just the plural rules
+    val alphabet = "abcdefghijklmnopqrstuvwxyz" * 4 + "é-ñ7"
     // bias toward rule-triggering suffixes so the generator actually
     // exercises every branch, not just the ELSE arm
     val suffixes = Seq("", "", "s", "es", "ies", "ied", "eed", "ing", "ed",
       "ss", "us", "is", "ches", "shes", "xes", "zes", "sses")
     val words = (1 to 2000).map { _ =>
       val stemLen = 1 + rnd.nextInt(8)
-      val stem = (1 to stemLen).map(_ => alphabet(rnd.nextInt(26))).mkString
+      val stem = (1 to stemLen).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
       stem + suffixes(rnd.nextInt(suffixes.length))
     }.distinct
     // The rules are deliberately SINGLE-PASS (like WordNet morphy's rule
@@ -349,6 +372,57 @@ class TextSpec extends SparkSpec {
       assert(after == remaining, s"n_after must telescope: $out")
     }
     assert(out.last._3 == 0L)
+  }
+
+  test("winnowing: random corpora match the driver-side reference exactly") {
+    // Fuzzes the r10 exploded+window rewrite against an independent
+    // whole-document reference: random word mixes (stopwords, punctuation
+    // wearing, unicode, repeats) with clean lengths straddling the
+    // k+w-1 = 11 boundary. Every output column must match, including the
+    // corpus-level df quantities (shared_fps/max_df).
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "the",
+      "of", "café", "x1", "word,", "end.", "zz", "alpha", "charlie")
+    val texts: Seq[(Long, String)] = (1L to 40L).map { id =>
+      id -> (1 to rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    val edgePat = Text.edgePunctPattern.r
+    def cleanOf(text: String): String = text.toLowerCase.split(" ", -1).toSeq
+      .map(w => edgePat.replaceAllIn(w, ""))
+      .filter(w => w.nonEmpty && w.forall(_.isLetter) &&
+        !Text.STOPWORDS.contains(w))
+      .mkString(" ")
+    def fps(clean: String): Seq[Long] = {
+      val hashes = (0 to clean.length - 8).map(i =>
+        clean.substring(i, i + 8).foldLeft(0L)(
+          (a, c) => (a * 31 + c.toLong) % 1000000007L))
+      (0 to hashes.length - 4).map(j => hashes.slice(j, j + 4).min)
+        .distinct.sorted
+    }
+    val cleans = texts.map { case (id, t) => id -> cleanOf(t) }
+      .filter(_._2.length >= 11).toMap
+    val fpSets = cleans.map { case (id, c) => id -> fps(c) }
+    val df = fpSets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val out = graft.ops.TextAnalysis.winnowingCore(
+      texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getLong(5), r.getInt(6), r.getInt(7)))).toMap
+    assert(out.keySet == cleans.keySet, "row per doc past the length gate")
+    cleans.foreach { case (id, c) =>
+      val (nGrams, nWindows, nFps, density, checksum, shared, maxDf) = out(id)
+      val expFps = fpSets(id)
+      assert(nGrams == c.length - 7, s"doc $id n_grams")
+      assert(nWindows == c.length - 10, s"doc $id n_windows")
+      assert(nFps == expFps.size, s"doc $id n_fps")
+      assert(math.abs(density -
+        BigDecimal(expFps.size.toDouble / nWindows)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"doc $id density")
+      assert(checksum == expFps.sum, s"doc $id fp_checksum")
+      assert(shared == expFps.count(f => df(f) >= 2), s"doc $id shared_fps")
+      assert(maxDf == expFps.map(df).max, s"doc $id max_df")
+    }
   }
 
   test("winnowing: matches a driver-side reference; k+w-1 guarantee holds") {
