@@ -205,9 +205,15 @@ object Dedup {
   /** Exact n-gram Jaccard for pairs sharing ≥1 shingle (equi-join on the
     * shingle — candidates ∝ Σ_sh df(sh)², not n², with df capped at
     * [[NgramDfCap]]), thresholded at 0.5. */
-  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardCore(T.documents(s, d))
+
+  /** Core of [[ngramJaccard]] over any (doc_id, text) frame — separate so
+    * DedupSpec can pin the df-cap semantics on a synthetic hot-shingle
+    * corpus. */
+  private[graft] def ngramJaccardCore(docs: DataFrame): DataFrame = {
     // three consumers (sizes + both self-join sides): one materialization
-    val sh = shingleSets(s, d)
+    val sh = shingleSets(docs)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= NgramDfCap)
       .select(col("doc_id"), col("sh"))

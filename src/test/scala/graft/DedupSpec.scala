@@ -455,4 +455,25 @@ class DedupSpec extends SparkSpec {
         "cosines must be non-increasing in rank")
     }
   }
+
+  test("ngram jaccard: corpus-hot shingles past the df cap generate no pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 150 docs (> NgramDfCap = 100) share exactly ONE shingle ("zebra
+    // zebra zebra"); each doc's second shingle is unique. Without the cap
+    // the hot shingle alone yields C(150,2) = 11,175 candidates; with it,
+    // the hot shingle leaves the universe and those docs share nothing.
+    // Two extra identical docs (200, 201) share only low-df shingles and
+    // must still pair at jaccard 1.0 over the capped universe.
+    def filler(i: Int) = "filler" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val docs = ((0 until 150).map(i =>
+      (i.toLong, s"zebra zebra zebra ${filler(i)}")) ++
+      Seq((200L, "apple mango cherry durian"),
+        (201L, "apple mango cherry durian"))).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.ngramJaccardCore(docs)
+      .select(col("id_a"), col("id_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((200L, 201L, 1.0)),
+      s"only the low-df identical pair may survive the cap: ${out.toSeq}")
+  }
 }
