@@ -75,7 +75,10 @@ object Bench {
       // used to leave zero output because everything printed at the end;
       // now the tail of a killed run still carries per-query walls. The
       // end-of-run ascending-sorted per_query summary below is unchanged.
-      println(s"""{"metric":"query_done","name":${jstr(name)},"wall":${f(dt)}}""")
+      // The wall is emitted as a STRING for the same reason the canary
+      // values are: the driver's "name":float tail regex must not read a
+      // bogus query called "wall" out of these lines.
+      println(s"""{"metric":"query_done","name":${jstr(name)},"wall":${jstr(f(dt))}}""")
       err.foreach(m =>
         println(s"""{"metric":"query_error","name":${jstr(name)},"err":${jstr(m)}}"""))
       // Queries legitimately persist() intermediates but can't unpersist
@@ -119,10 +122,13 @@ object Bench {
         finally src.close()
       }
     }
+    // numeric fields on these diagnostic lines are STRINGS (same rule as
+    // the canary): the driver's "name":float tail regex must never read
+    // a bogus query out of position/wall/receipt pairs
     results.zipWithIndex.foreach { case ((name, wall, _), i) =>
       receipts.get(name).foreach { r =>
         if (wall >= 1.0 && wall > 2 * r)
-          println(s"""{"metric":"first_use_suspect","name":${jstr(name)},"position":${i + 1},"wall":${f(wall)},"receipt":${f(r)}}""")
+          println(s"""{"metric":"first_use_suspect","name":${jstr(name)},"position":${jstr((i + 1).toString)},"wall":${jstr(f(wall))},"receipt":${jstr(f(r))}}""")
       }
       // Gate discipline (r9 verdict #4): a registered query with no
       // receipt row means it landed after the last full gate run — the
@@ -130,7 +136,7 @@ object Bench {
       // Loud in the bench output by name (EntrySpec enforces the same
       // 1:1 registry↔receipts invariant at test time).
       if (!receipts.contains(name))
-        println(s"""{"metric":"no_receipt","name":${jstr(name)},"position":${i + 1}}""")
+        println(s"""{"metric":"no_receipt","name":${jstr(name)},"position":${jstr((i + 1).toString)}}""")
     }
     // fixed run order, so per-query walls pair with stable positions
     // round-over-round (a JSON array of names: position = index + 1;
