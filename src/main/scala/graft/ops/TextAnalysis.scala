@@ -158,13 +158,20 @@ object TextAnalysis {
     import s.implicits._
     val stages = Seq("1_min_words", "2_max_words", "3_mean_word_len",
       "4_stop_hits", "5_repetition", "6_pass").toDF("stage")
-    val all = Window.partitionBy()
-    val cum = Window.orderBy(col("stage"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stages.join(counts, Seq("stage"), "left")
+    // totals + telescoping remainder over the fixed 6-row stage table via
+    // a broadcast cross-join aggregate (36 pairs) — the last empty-
+    // partition Window nodes in the surface lived here (r10; bounded and
+    // warning-free, but zero is a cleaner invariant than "bounded")
+    val withN = stages.join(counts, Seq("stage"), "left")
       .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
-      .withColumn("n_after", sum(col("n_docs")).over(all) - sum(col("n_docs")).over(cum))
-      .withColumn("pct", round(col("n_docs") / sum(col("n_docs")).over(all), 4))
+    val other = withN.select(col("stage").as("ostage"), col("n_docs").as("on"))
+    withN.join(broadcast(other), lit(true))
+      .groupBy(col("stage"), col("n_docs"))
+      .agg(sum(col("on")).as("total"),
+        sum(when(col("ostage") <= col("stage"), col("on")).otherwise(0L)).as("cum"))
+      .select(col("stage"), col("n_docs"),
+        (col("total") - col("cum")).as("n_after"),
+        round(col("n_docs") / col("total"), 4).as("pct"))
       .orderBy(col("stage"))
   }
 
