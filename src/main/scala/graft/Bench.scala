@@ -77,10 +77,12 @@ object Bench {
       // end-of-run ascending-sorted per_query summary below is unchanged.
       // The wall is emitted as a STRING for the same reason the canary
       // values are: the driver's "name":float tail regex must not read a
-      // bogus query called "wall" out of these lines.
-      println(s"""{"metric":"query_done","name":${jstr(name)},"wall":${jstr(f(dt))}}""")
-      err.foreach(m =>
-        println(s"""{"metric":"query_error","name":${jstr(name)},"err":${jstr(m)}}"""))
+      // bogus query called "wall" out of these lines. A failure rides on
+      // this line as an err field; the dedicated query_error lines are
+      // emitted ONCE, post-loop, adjacent to the summary (so they survive
+      // tail truncation) — not here too, or each failure would double.
+      val errField = err.map(m => s""","err":${jstr(m)}""").getOrElse("")
+      println(s"""{"metric":"query_done","name":${jstr(name)},"wall":${jstr(f(dt))}$errField}""")
       // Queries legitimately persist() intermediates but can't unpersist
       // before the action runs; without this, ~10 cached frames accumulate
       // over the full-registry run and evict each other (r3: untouched

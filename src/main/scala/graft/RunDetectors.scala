@@ -313,7 +313,7 @@ object RunDetectors {
     * (snap, token) after a broadcast of the ≤n/interval-row boundary
     * table; burst windows join only the trailing 2·RecentK messages per
     * boundary. */
-  private[graft] def snapshotSummary(s: SparkSession, msgs: DataFrame,
+  private[graft] def snapshotSummary(msgs: DataFrame,
       updateInterval: Int, topFrequency: Int): DataFrame = {
     val scored = dupScored(msgs)
     val tokens = msgs
@@ -361,19 +361,24 @@ object RunDetectors {
     * reference defaults to 200) — which is also what keeps this query
     * corpus-size-INVARIANT: cumulative-per-snapshot statistics are
     * inherently O(stream × snapshots), so the bound, not the corpus,
-    * sets the work. */
+    * sets the work. The cap is applied BEFORE the ranking — a global
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition top-N,
+    * driver merge of ≤SnapMaxMsgs rows per partition, no corpus
+    * exchange) — so the rank stage only ever sees the capped stream
+    * (review finding: ranking first range-shuffled and cached the whole
+    * corpus to immediately discard all but 500 rows). */
   private val SnapInterval = 25
   private val SnapTopK = 5
   private val SnapMaxMsgs = 500
 
   private def runSummaryQuery(s: SparkSession, d: String): DataFrame = {
-    val msgs = graft.ops.Relational.withGlobalRank(s,
-      graft.Tables.documents(s, d).select(col("doc_id"), col("text")),
-      Seq(col("doc_id")))
-      .filter(col("rank") <= SnapMaxMsgs)
+    val capped = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(SnapMaxMsgs)
+    val msgs = graft.ops.Relational.withGlobalRank(s, capped, Seq(col("doc_id")))
       .select((col("rank") - 1).cast("long").as("msg_idx"),
         col("text").as("body"))
-    snapshotSummary(s, msgs, SnapInterval, SnapTopK)
+    snapshotSummary(msgs, SnapInterval, SnapTopK)
   }
 
   private val runSummarySql = {

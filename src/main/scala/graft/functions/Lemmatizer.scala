@@ -97,7 +97,10 @@ object Lemmatizer {
   /** Column twin (stays inside codegen — when-chain over string builtins). */
   def suffixLemmaCol(t: Column): Column = {
     def drop(n: Int): Column = t.substr(lit(1), length(t) - n)
-    when(!t.rlike("^[a-z]+$"), t)
+    // \A..\z: RLIKE is find-semantics and Java `$` forgives a trailing
+    // newline — ^..$ would disagree with the plain-Scala forall guard on
+    // a "word\n" token (see Text.edgePunctPattern note)
+    when(!t.rlike("\\A[a-z]+\\z"), t)
       .when(t.endsWith("ies") && length(t) > 4, concat(drop(3), lit("y")))
       .when(t.endsWith("ches") || t.endsWith("shes") || t.endsWith("xes") ||
         t.endsWith("zes") || t.endsWith("sses"), drop(2))

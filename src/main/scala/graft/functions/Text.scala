@@ -66,8 +66,14 @@ object Text {
     * precision 1.000 (NltkParitySpec measures both; precision 1.0 = the
     * engine never emits a token NLTK would not). Identical literal class
     * in the Java and RE2 twins. */
+  // \A/\z anchors, NOT ^/$: Java regex `$` matches BEFORE a final line
+  // terminator (and RLIKE is find-semantics), while RE2's `$` is
+  // end-of-text — so `$`-anchored twins silently diverge on any token
+  // carrying a trailing newline (review finding; latent because the
+  // fixtures are newline-free). \A and \z mean begin/end of INPUT in
+  // both engines.
   private val EdgePunct = """[\]\["'.,!?;:(){}<>«»“”‘’`—–…-]"""
-  val edgePunctPattern: String = s"^$EdgePunct+|$EdgePunct+$$"
+  val edgePunctPattern: String = s"""\\A$EdgePunct+|$EdgePunct+\\z"""
 
   /** T1+T2 only — lowercase, whitespace-split, edge-punct strip,
     * alpha-only — without the stopword stage (NltkParitySpec isolates the
@@ -76,7 +82,10 @@ object Text {
     filter(
       transform(split(lower(text), " "),
         t => regexp_replace(t, edgePunctPattern, "")),
-      t => t.rlike("^\\p{L}+$"))
+      // \A..\z: RLIKE is find-semantics and Java `$` forgives a final
+      // newline, so "word\n" would pass a ^..$ filter that DuckDB's
+      // regexp_full_match rejects (see edgePunctPattern note)
+      t => t.rlike("\\A\\p{L}+\\z"))
 
   /** Preprocessed token array: lowercase, whitespace-split, edge-punct
     * strip (see [[edgePunctPattern]]), alpha-only (unicode `\p{L}+`,

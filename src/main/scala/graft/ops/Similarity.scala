@@ -156,13 +156,18 @@ object Similarity {
   // external clearCache (the harnesses run one between queries) dropped
   // the blocks, the SAME frame is re-persisted rather than duplicated.
   // Session identity is part of the key: a DataFrame is bound to the
-  // session that built it, and test suites cycle sessions within one JVM.
+  // session that built it, and test suites cycle sessions within one JVM
+  // — entries of STOPPED sessions are purged on each access so dead
+  // sessions' plans don't accumulate for the JVM lifetime (review
+  // finding: the map strongly references each session via its plans).
   private val corpusFrames =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
   private def cachedCorpusFrame(s: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
-    val f = corpusFrames.getOrElseUpdate(
-      s"$key|${System.identityHashCode(s)}", build.persist())
+    corpusFrames.filterInPlace { case (_, (sess, _)) =>
+      !sess.sparkContext.isStopped }
+    val (_, f) = corpusFrames.getOrElseUpdate(
+      s"$key|${System.identityHashCode(s)}", (s, build.persist()))
     if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       f.persist()
     f

@@ -43,6 +43,27 @@ class TextSpec extends SparkSpec {
     assert(toks("word -- word") == Seq("word", "word"))
   }
 
+  test("tokens: trailing-newline tokens drop in BOTH engines (anchor parity)") {
+    // Java regex `$` matches before a final line terminator and RLIKE is
+    // find-semantics, so a ^..$-anchored filter passes "word\n" while
+    // DuckDB's regexp_full_match rejects it — the patterns use \A/\z
+    // (end-of-INPUT in both engines). A token carrying a newline must
+    // drop, and one wearing punctuation before the newline must not
+    // resurrect via the edge strip.
+    // the split is on ' ' alone, so "word\nnext" is ONE token — and it
+    // carries an interior newline, so it drops whole
+    assert(toks("clean word\nnext line") == Seq("clean", "line"))
+    assert(toks("trailing.\n") == Seq.empty)
+    // lemmatizer guard parity on the same class: Column and Scala agree
+    import graft.functions.Lemmatizer
+    val withNl = Seq("words\n", "words")
+    val viaCol = withNl.toDF("w")
+      .select(Lemmatizer.suffixLemmaCol(col("w")).as("l"))
+      .as[String].collect().toSeq
+    assert(viaCol == withNl.map(Lemmatizer.suffixLemma))
+    assert(Lemmatizer.suffixLemma("words\n") == "words\n") // guard: unchanged
+  }
+
   test("tokens: NLTK-union stopword list (pronouns, auxiliaries, skipwords)") {
     // representative NLTK entries beyond the old 10-word placeholder
     assert(toks("i was not very happy about that outcome") ==
