@@ -45,16 +45,24 @@ object Tables {
     * and lineitem.l_shipdate share events.ts's exposure — a layout
     * shift there would otherwise take out every orders/lineitem query
     * at the round gate, the failure mode the events fix handled). */
-  private def adaptTs(s: SparkSession, d: String, name: String, tsCol: String): DataFrame = {
+  /** The layout dispatch itself, shared with the STREAMING reader
+    * (StreamingOps.eventsStream) so a new driver data generation is
+    * handled in exactly one place — the batch and streaming views of the
+    * same events table must never disagree (review finding: the match
+    * was duplicated). Works on batch and streaming frames alike. */
+  private[graft] def normalizedTs(df: DataFrame, tsCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(s, d, name)
     df.schema(tsCol).dataType match {
       case LongType => df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
       case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df
     }
+  }
+
+  private def adaptTs(s: SparkSession, d: String, name: String, tsCol: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizedTs(table(s, d, name), tsCol)
   }
 
   def orders(s: SparkSession, d: String): DataFrame =

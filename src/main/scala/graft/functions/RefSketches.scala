@@ -96,9 +96,13 @@ object RefSketches {
   /** Finished CMS: the reference's table flattened row-major, probe-able on
     * the driver or via broadcast. */
   case class RefCms(width: Int, depth: Int, seed: Int, total: Long, table: Array[Long]) {
+    // salts are a pure function of (seed, depth) fixed at construction —
+    // computed once, not `depth` SHA-256 digests per probe (the estimate
+    // UDF is broadcast and called per row; review finding). @transient:
+    // recomputed on the executor after deserialization, never shipped.
+    @transient private lazy val salts: Array[Array[Byte]] = cmsSalts(seed, depth)
     def estimate(item: String): Long = {
       val bytes = item.getBytes("UTF-8")
-      val salts = cmsSalts(seed, depth)
       var best = Long.MaxValue
       var r = 0
       while (r < depth) {

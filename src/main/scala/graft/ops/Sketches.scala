@@ -29,8 +29,12 @@ object Sketches {
   /** CMS estimates vs exact counts for the corpus top-20 tokens
     * (A1/A2/A12 twin). `overestimate ≥ 0` always; ≤ ε·N w.h.p. */
   private def cmsTokenFreq(s: SparkSession, d: String): DataFrame = {
+    // persist: two actions (the CMS build below, then the returned lazy
+    // frame's evaluation) would otherwise each re-scan + re-tokenize the
+    // corpus — same reasoning as cmsContract's persist (review finding)
     val toks = T.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("token"))
+      .persist()
     // Reference shape: depth 7 × width 544, seed pinned (count_min_sketch.py:28-39)
     val cms = toks.stat.countMinSketch("token", 7, 544, 42)
     val bc = s.sparkContext.broadcast(cms)
@@ -176,6 +180,11 @@ object Sketches {
     val nNew = fresh.count()
     val nFalsePos = fresh.filter(seen(col("sh"))).count()
     val fpOk = nNew == 0 || nFalsePos.toDouble / nNew <= 0.05
+    // every dependent count is materialized above and the result is a
+    // driver-local literal — drop the cached frames now (same hygiene as
+    // bloomFaithfulContract; direct callers outside the harnesses' per-
+    // query clearCache would otherwise accumulate them, review finding)
+    sh.unpersist(); inserted.unpersist(); fresh.unpersist()
     import s.implicits._
     Seq((nIns, nMissed == 0L, nNew, fpOk))
       .toDF("n_inserted", "zero_false_negatives", "n_new", "fp_rate_ok")

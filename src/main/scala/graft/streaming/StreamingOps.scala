@@ -36,13 +36,17 @@ object StreamingOps {
       val src = Paths.get(s"$d/$name.parquet")
       // testdata ships single files; spark-written tables are directories
       // of part files — stage whichever layout we're given
-      if (Files.isDirectory(src))
-        Files.list(src).iterator().asScala
+      if (Files.isDirectory(src)) {
+        // close the directory stream (it holds a file descriptor until GC
+        // otherwise — same pattern as TmpDirs' Files.walk)
+        val listing = Files.list(src)
+        try listing.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .zipWithIndex.foreach { case (p, i) =>
             Files.copy(p, dir.resolve(s"part$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
           }
-      else
+        finally listing.close()
+      } else
         Files.copy(src, dir.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
       dir.toString
     })
@@ -65,7 +69,13 @@ object StreamingOps {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevProvider.foreach(s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      // restore BOTH mutations: when the provider was previously unset it
+      // must be unset again, or RocksDB silently leaks into every later
+      // streaming query in the session (review finding)
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
@@ -115,32 +125,29 @@ object StreamingOps {
     dgimBurst(s, miniDocsDir(s, d)).count()
   }
 
-  /** Small slice of the events table staged as a throwaway sf-dir, so the
-    * warmup can run real query builders at negligible data size. 20k rows
-    * (~13% of sf0.1, a fixed cap at larger SFs): enough per-row iterations
-    * to JIT the state-operator hot loops — a 5-row slice absorbed codegen
-    * but left ~1 s of interpreter-mode first-run cost on the timed run. */
-  private val miniDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Small table slices staged as throwaway sf-dirs, so the warmup can
+    * run real query builders at negligible data size (one builder for
+    * every table — review finding: the events and documents variants were
+    * copy-paste twins). Events: 20k rows (~13% of sf0.1, a fixed cap at
+    * larger SFs) — enough per-row iterations to JIT the state-operator
+    * hot loops; a 5-row slice absorbed codegen but left ~1 s of
+    * interpreter-mode first-run cost on the timed run. Documents: 2,000
+    * docs ≈ 50k token arrivals for the keyed-DGIM hot loop. */
+  private val miniDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def miniDir(s: SparkSession, d: String, table: String, limit: Int,
+      legacyNanos: Boolean): String =
+    miniDirs.getOrElseUpdate((graft.Tables.datasetKey(d, table), table), {
+      val dir = TmpDirs.create(s"graft_stream_mini_$table")
+      if (legacyNanos) s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/$table.parquet").limit(limit).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      dir.toString
+    })
   private def miniEventsDir(s: SparkSession, d: String): String =
-    miniDirs.getOrElseUpdate(graft.Tables.datasetKey(d, "events"), {
-      val dir = TmpDirs.create("graft_stream_mini")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$d/events.parquet").limit(20000).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      dir.toString
-    })
-
-  /** Documents twin of [[miniEventsDir]], for warming the keyed-DGIM path:
-    * 2 000 docs ≈ 50k token arrivals — enough per-key state transitions to
-    * JIT the Dgim hot loop, negligible against the timed run. */
-  private val miniDocDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+    miniDir(s, d, "events", 20000, legacyNanos = true)
   private def miniDocsDir(s: SparkSession, d: String): String =
-    miniDocDirs.getOrElseUpdate(graft.Tables.datasetKey(d, "documents"), {
-      val dir = TmpDirs.create("graft_stream_minidocs")
-      s.read.parquet(s"$d/documents.parquet").limit(2000).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      dir.toString
-    })
+    miniDir(s, d, "documents", 2000, legacyNanos = false)
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -167,11 +174,9 @@ object StreamingOps {
     val schema = StructType(eventSchemaNanos.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val src = s.readStream.schema(schema).parquet(dir)
-    tsType match {
-      case LongType => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => src
-    }
+    // one shared dispatch with the batch reader (Tables.normalizedTs):
+    // batch and streaming views of the same table must never disagree
+    graft.Tables.normalizedTs(src, "ts")
   }
 
   /** ST3/A13 twin as a stream: running token counts (complete mode), final
@@ -506,6 +511,25 @@ object StreamingOps {
     * recent-window count (all of a token's recent arrivals are ≤ its
     * clock), which DgimBurstStreamSpec asserts against exact counts.
     */
+  /** Shared keyed-DGIM batch replay: restore the serialized buckets,
+    * replay this batch's arrivals in doc_id order, persist the new state,
+    * and hand the replayed machine plus the sorted batch to the caller's
+    * emit step. ONE closure for stream_dgim_burst and its contract —
+    * the contract certifies "the same state machine as the query", which
+    * only holds if the two replays cannot drift (review finding: they
+    * were byte-identical copies). */
+  private def dgimReplay[T](window: Int)(
+      emit: (String, Seq[TokenArrival], Dgim) => Iterator[T])
+      : (String, Iterator[TokenArrival], GroupState[(Long, List[(Long, Long)])]) => Iterator[T] =
+    (token, it, state) => {
+      val dg = new Dgim(window)
+      state.getOption.foreach(dg.restore)
+      val sorted = it.toSeq.sortBy(_.doc_id)
+      sorted.foreach(a => { dg.advanceTo(a.doc_id); dg.addOne() })
+      state.update(dg.snapshot)
+      if (sorted.isEmpty) Iterator.empty else emit(token, sorted, dg)
+    }
+
   private def dgimBurst(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
     import s.implicits._
     val window = 50; val half = 25
@@ -515,22 +539,12 @@ object StreamingOps {
       .as[TokenArrival]
     val ests = arrivals.groupByKey(_.token)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (token: String, it: Iterator[TokenArrival], state: GroupState[(Long, List[(Long, Long)])]) => {
-          // rebuild the DGIM from serialized buckets, replay this batch in
-          // arrival order, emit the end-of-batch estimate
-          val d50 = new Dgim(window)
-          state.getOption.foreach(d50.restore)
-          val sorted = it.toSeq.sortBy(_.doc_id)
-          sorted.foreach(a => { d50.advanceTo(a.doc_id); d50.addOne() })
-          state.update(d50.snapshot)
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val recent = d50.countLast(half)
-            val prev = math.max(0L, d50.countLast(window) - recent) // subtraction trick
-            val ratio = (recent + 1e-6) / (prev + 1e-6)
-            Iterator.single(BurstEstimate(token, recent, prev,
-              BigDecimal(ratio).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-          }
+        dgimReplay(window) { (token, _, d50) =>
+          val recent = d50.countLast(half)
+          val prev = math.max(0L, d50.countLast(window) - recent) // subtraction trick
+          val ratio = (recent + 1e-6) / (prev + 1e-6)
+          Iterator.single(BurstEstimate(token, recent, prev,
+            BigDecimal(ratio).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
         })
     val q = ests.toDF().writeStream.format("memory").queryName("stream_dgim_sink")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
@@ -565,14 +579,8 @@ object StreamingOps {
       .as[TokenArrival]
     val ests = arrivals.groupByKey(_.token)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (token: String, it: Iterator[TokenArrival], state: GroupState[(Long, List[(Long, Long)])]) => {
-          val d50 = new Dgim(window)
-          state.getOption.foreach(d50.restore)
-          val sorted = it.toSeq.sortBy(_.doc_id)
-          sorted.foreach(a => { d50.advanceTo(a.doc_id); d50.addOne() })
-          state.update(d50.snapshot)
-          if (sorted.isEmpty) Iterator.empty
-          else Iterator.single(DgimFinal(token, sorted.last.doc_id, d50.countLast(half)))
+        dgimReplay(window) { (token, sorted, d50) =>
+          Iterator.single(DgimFinal(token, sorted.last.doc_id, d50.countLast(half)))
         })
     val q = ests.toDF().writeStream.format("memory").queryName("stream_dgim_contract_sink")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
