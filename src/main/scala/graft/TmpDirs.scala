@@ -35,4 +35,11 @@ object TmpDirs {
     registered.add(p)
     p
   }
+
+  /** md5 hex digest of a UTF-8 string — the shared cache-key/table-tag
+    * idiom (SccJsonSource cache keys, Relational bucketed-table tags);
+    * one definition so the two can never silently diverge. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

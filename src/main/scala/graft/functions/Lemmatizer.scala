@@ -52,7 +52,16 @@ object Lemmatizer {
     "hypotheses" -> "hypothesis", "theses" -> "thesis",
     "axes" -> "axis", "crises" -> "crisis", "oxen" -> "ox",
     "alumni" -> "alumnus", "fungi" -> "fungus", "larvae" -> "larva",
-    "radii" -> "radius", "series" -> "series", "species" -> "species")
+    "radii" -> "radius", "series" -> "series", "species" -> "species",
+    // identity pins for stopword-list inflections with NO WordNet noun
+    // lemma: NLTK returns the form unchanged (dictionary miss), so the
+    // downstream stopword filter removes it — without these the bare -s
+    // rule would mint "themselve"/"jenkin" and leak them PAST the filter
+    // in the reference's lemma-then-stopwords order. ("does" is absent
+    // deliberately: NLTK really does return WordNet's "doe", which
+    // survives the filter in the reference too.)
+    "ourselves" -> "ourselves", "yourselves" -> "yourselves",
+    "themselves" -> "themselves", "jenkins" -> "jenkins")
 
   /** SQL VALUES literal of the dictionary, for oracle strings. */
   val dictSqlValues: String =

@@ -131,8 +131,12 @@ object Text {
     * escaping; DuckDB standard strings pass the backslashes through to
     * RE2 untouched. */
   private val edgePunctPatternSql = edgePunctPattern.replace("'", "''")
+  /** T1+T2 only (the [[rawAlphaTokens]] twin) — for oracle chains that
+    * need the reference's lemma-BEFORE-stopwords order. */
+  val rawAlphaToksSql: String =
+    s"list_filter(list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '$edgePunctPatternSql', '', 'g')), t -> regexp_full_match(t, '\\p{L}+'))"
   val toksSql: String =
-    s"list_filter(list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '$edgePunctPatternSql', '', 'g')), t -> regexp_full_match(t, '\\p{L}+') AND t NOT IN ${stopwordsSqlList})"
+    s"list_filter($rawAlphaToksSql, t -> t NOT IN ${stopwordsSqlList})"
 
   def shingles3Sql(toksExpr: String): String =
     s"list_transform(range(1, len($toksExpr) - 1), i -> array_to_string(($toksExpr)[i:i+2], ' '))"

@@ -997,7 +997,11 @@ object Relational {
       .withColumn("bucket", floor(col("value") / 25).cast("int"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("mean_in_bucket"))
-      .orderBy(col("event_type"), col("bucket"))
+      // nulls LAST to match DuckDB's ascending default: events.value is
+      // nullable, so a NULL bucket group would otherwise sort first in
+      // Spark and last in the oracle (latent — current fixtures carry no
+      // null values; r10 review finding)
+      .orderBy(col("event_type"), col("bucket").asc_nulls_last)
 
   private val histogramSql =
     """SELECT event_type, CAST(floor(value / 25) AS INT) AS bucket,
@@ -1357,7 +1361,10 @@ object Relational {
       .select(col("yr"), col("priority"), col("n_orders"),
         round(col("rev").cast("double"), 2).as("revenue"),
         round(col("rev").cast("double") / col("n_orders"), 4).as("avg_price"))
-      .orderBy(col("yr"), col("priority"))
+      // nulls LAST like DuckDB: the NULL-o_orderdate group this query
+      // explicitly routes (see the partition note above) must land in the
+      // same position in both engines' ORDER BY
+      .orderBy(col("yr").asc_nulls_last, col("priority"))
   }
 
   private val incrementalAggSql =
@@ -1797,8 +1804,7 @@ object Relational {
     // both tables are laid out — key on both fingerprints
     bucketedTables.getOrElseUpdate(
       s"${T.datasetKey(d, "orders")}|${T.datasetKey(d, "lineitem")}", {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val tag = TmpDirs.md5Hex(d).take(8)
       val dir = TmpDirs.create("graft_bucketed")
       val (oTbl, lTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
       T.orders(s, d).repartition(8, col("o_orderkey"))

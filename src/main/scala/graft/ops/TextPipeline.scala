@@ -48,11 +48,18 @@ object TextPipeline {
   /** T3 twin: preprocessing with the explicit lemma dictionary applied
     * (map-literal transform in Spark ≡ CASE chain in the oracle —
     * graft.functions.Lemmatizer documents why a fixed dictionary, not
-    * NLTK parity, is the contract). */
+    * NLTK parity, is the contract). Stage order is the REFERENCE's
+    * (base_dataset_loader.py:87-90): alpha-filter → LEMMATIZE → stopword
+    * filter — so a token whose lemma is a stopword goes, and "does"
+    * surfaces as WordNet's "doe" exactly like NLTK (r10 review finding:
+    * the stages were inverted). */
   private def preprocessLemma(s: SparkSession, d: String): DataFrame =
-    withToks(s, d)
+    T.documents(s, d)
+      .select(col("doc_id"), Text.rawAlphaTokens(col("text")).as("raw"))
       .select(col("doc_id"),
-        array_join(graft.functions.Lemmatizer.lemmatizeArray(col("toks")), " ")
+        array_join(
+          filter(graft.functions.Lemmatizer.lemmatizeArray(col("raw")),
+            t => !t.isInCollection(Text.STOPWORDS)), " ")
           .as("clean_lemma"))
       .orderBy(col("doc_id"))
 
@@ -60,11 +67,13 @@ object TextPipeline {
     val caseChain = graft.functions.Lemmatizer.DICT
       .map { case (w, l) => s"WHEN t = '$w' THEN '$l'" }.mkString(" ")
     // dictionary CASE chain, falling back to the suffix-rule twin —
-    // identical order to Lemmatizer.lemmatizeArray (dict hit wins)
+    // identical order to Lemmatizer.lemmatizeArray (dict hit wins);
+    // lemma applied to the RAW alpha tokens, stopwords filtered after
     val fallback = graft.functions.Lemmatizer.suffixLemmaSql("t")
     s"""SELECT doc_id,
-       |  array_to_string(list_transform(${Text.toksSql},
-       |    t -> CASE $caseChain ELSE $fallback END), ' ') AS clean_lemma
+       |  array_to_string(list_filter(list_transform(${Text.rawAlphaToksSql},
+       |    t -> CASE $caseChain ELSE $fallback END),
+       |    t -> t NOT IN ${Text.stopwordsSqlList}), ' ') AS clean_lemma
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -248,12 +257,17 @@ object TextPipeline {
     * counts; the CMS-estimated variant lives in ops.Sketches. */
   private def probeFreq(s: SparkSession, d: String): DataFrame = {
     val probes = Seq("spark", "data", "query", "table", "merge", "zzzmissing")
-    withToks(s, d)
+    // aggregate counts per token FIRST (one map-side-combined shuffle to
+    // vocab size), then left-join the 6 probes onto the tiny result — the
+    // old right-outer join put the broadcast hint on the preserved side,
+    // which BroadcastHashJoin cannot build, so the whole exploded token
+    // stream was shuffle-sorted against 6 rows (r10 review finding)
+    val counts = withToks(s, d)
       .select(explode(col("toks")).as("token"))
-      .join(broadcast(s.createDataFrame(probes.map(Tuple1(_))).toDF("term")),
-        lower(col("term")) === col("token"), "right")
-      .groupBy(col("term"))
-      .agg(count(col("token")).as("cnt"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tok_cnt"))
+    s.createDataFrame(probes.map(Tuple1(_))).toDF("term")
+      .join(counts, lower(col("term")) === col("token"), "left")
+      .select(col("term"), coalesce(col("tok_cnt"), lit(0L)).as("cnt"))
       .orderBy(col("term"))
   }
 
@@ -290,7 +304,15 @@ object TextPipeline {
     val tok = toksTbl.select(explode(col("toks")).as("token"))
     val top = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(1)
-      .select(col("token").as("top_token"), col("cnt").as("top_count"))
+      .select(lit(1).as("j"),
+        col("token").as("top_token"), col("cnt").as("top_count"))
+    // left-join the top-1 frame onto a 1-row seed: limit(1) over an
+    // aggregate of a token-free corpus is EMPTY, and crossJoining an
+    // empty frame would annihilate the whole summary row while the
+    // oracle's scalar subqueries return one row with NULLs (r10 review
+    // finding)
+    val top1 = s.range(1).select(lit(1).as("j"))
+      .join(top, Seq("j"), "left").drop("j")
     val vocab = tok.agg(countDistinct(col("token")).as("n_distinct_tokens"),
       count(lit(1)).as("n_tokens"))
     val dups = dupScores(s, d)
@@ -298,7 +320,7 @@ object TextPipeline {
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
         round(avg(col("dup_score")), 4).as("avg_dup_score"))
     val bursts = burst(s, d).agg(count(lit(1)).as("n_bursts"))
-    dups.crossJoin(vocab).crossJoin(top).crossJoin(bursts)
+    dups.crossJoin(vocab).crossJoin(top1).crossJoin(bursts)
   }
 
   private val finalSummarySql =

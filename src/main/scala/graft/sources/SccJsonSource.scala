@@ -21,10 +21,17 @@ import graft.functions.{Lemmatizer, Text}
   *    regex (scc_dataset_loader.py:58-75 — the literal contains regex
   *    metachars, so pass 1 must be non-regex);
   *  - F5 raw_body/body projection (base_dataset_loader.py:70-76);
-  *  - T1–T5 lowercase → tokenize → alpha filter → lemma dictionary →
-  *    stopwords → re-join (base_dataset_loader.py:80-91);
+  *  - T1–T5 lowercase → tokenize → alpha filter → LEMMATIZE → stopwords →
+  *    re-join, in exactly the reference's order
+  *    (base_dataset_loader.py:87-90: lemmatize runs BEFORE the stopword
+  *    filter, so a token whose lemma is a stopword — "cans"→"can" — is
+  *    removed; r10 review finding: the stages were inverted here);
   *  - O1/O2 stream construction: global sort by time (missing → last, the
-  *    reference's float("inf") sentinel, run_detectors.py:29) + limit.
+  *    reference's float("inf") sentinel, run_detectors.py:29) + limit;
+  *    the stream iterator is also where FALSY (post-preprocessing empty)
+  *    bodies drop (run_detectors.py:25) — preprocess_messages itself
+  *    KEEPS a message whose body preprocesses to "", so
+  *    [[preprocessedMessages]] keeps it too.
   *
   * At scale: the JSON scan parallelizes per file; everything after it is
   * map-only until the final sort, which TakeOrderedAndProject bounds when a
@@ -61,8 +68,12 @@ object SccJsonSource {
       .withColumn("label", coalesce(col("label"), lit("scam")))
       .withColumn("dataset", coalesce(col("dataset"), lit("scc")))
     if (allMessages) raw
-    else raw.filter(!exists(col("messages"),
-      m => m.getField("medium").isin("Instagram", "Telegram")))
+    // coalesce to false: exists() is three-valued, so a conversation with
+    // one null-medium message would otherwise evaluate NULL and be
+    // DROPPED, while the reference's `msg.get("medium") in [...]` treats
+    // missing medium as False and keeps it (r10 review finding)
+    else raw.filter(!coalesce(exists(col("messages"),
+      m => m.getField("medium").isin("Instagram", "Telegram")), lit(false)))
   }
 
   /** F2–F5 + T1–T5: the preprocessed message frame. In the default mode
@@ -87,27 +98,42 @@ object SccJsonSource {
         regexp_replace(
           replace(col("body"), lit(boilerplate), lit("")),
           "Description for file \\d+:", ""))
+    // reference order (base_dataset_loader.py:87-90): lemmatize FIRST,
+    // then drop stopwords — a token whose LEMMA is a stopword goes; and a
+    // message whose body preprocesses to "" is KEPT (preprocess_messages
+    // retains it; the stream iterator is what drops falsy bodies)
     scrubbed.withColumn("body",                                       // T1–T5
       array_join(
-        Lemmatizer.lemmatizeArray(Text.tokens(col("body"))), " "))
-      .filter(col("body") =!= "")
+        filter(Lemmatizer.lemmatizeArray(Text.rawAlphaTokens(col("body"))),
+          t => !t.isInCollection(Text.STOPWORDS)), " "))
   }
 
   /** O1 + O2: the reference's message stream — global time order, missing
-    * time last, bounded at maxMessages (run_detectors.py:14-34). */
+    * time last, bounded at maxMessages (run_detectors.py:14-34). Falsy
+    * (empty-after-preprocessing) bodies drop HERE, like the reference's
+    * stream iterator (run_detectors.py:25). The sort key is a total
+    * order: (time, body, src_file, raw_body) — time+body alone tie for
+    * identical scam messages, the exact duplicate corpus this pipeline
+    * targets, and a non-total key makes the limit boundary layout-
+    * dependent (r10 review finding). */
   def messageStream(s: SparkSession, dir: String, maxMessages: Int = 200): DataFrame =
     preprocessedMessages(s, dir)
-      .orderBy(col("time").asc_nulls_last, col("body"))
+      .filter(col("body") =!= "")
+      .orderBy(col("time").asc_nulls_last, col("body"), col("src_file"),
+        col("raw_body"))
       .limit(maxMessages)
 
   /** S2: parquet cache-or-compute keyed by md5 of the config string (the
     * reference's pickle memoization, base_dataset_loader.py:36-54). */
   def cacheOrCompute(s: SparkSession, cacheDir: String, configKey: String)(
       compute: => DataFrame): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(configKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val key = graft.TmpDirs.md5Hex(configKey)
     val path = s"$cacheDir/data_$key.parquet"
-    if (new java.io.File(path).exists()) s.read.parquet(path)
+    // validity = the _SUCCESS marker, not mere directory existence: a
+    // write interrupted mid-flight leaves a partial directory that would
+    // otherwise be served as a valid cache forever (r10 review finding);
+    // Spark only writes _SUCCESS after committing every part file
+    if (new java.io.File(path, "_SUCCESS").exists()) s.read.parquet(path)
     else {
       val df = compute
       df.write.mode("overwrite").parquet(path)
@@ -124,11 +150,16 @@ object SccJsonSource {
   }
 
   /** F6: seeded exact-n conversation sampling (scc_dataset_loader.py:53-54's
-    * random.sample). `orderBy(rand(seed)).limit(n)` gives exactly n rows
-    * like the reference; `df.sample(frac)` is approximate and wrong here
-    * (SURVEY.md F6). */
+    * random.sample). Ordering by a seeded md5 of the row's stable identity
+    * gives exactly n rows AND a selection that is independent of partition
+    * layout — `rand(seed)` seeds per partition index, so the same data
+    * read at different parallelism would sample different rows (r10
+    * review finding; the same pitfall Relational.hashSample documents).
+    * `df.sample(frac)` is approximate and wrong here (SURVEY.md F6). */
   def sampleConversations(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
-    df.orderBy(rand(seed), col("src_file")).limit(n)
+    df.orderBy(md5(concat_ws("|", lit(seed.toString),
+      to_json(struct(df.columns.map(col): _*)))), col("src_file"))
+      .limit(n)
 
   /** S3: the reference's stdout JSON report sink (run_detectors.py:245) —
     * the result frame rendered as JSON lines. `.toJSON` streams through the
