@@ -266,14 +266,18 @@ object Multimodal {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("avg_hash"))))
       .orderBy(col("doc_id"))
 
-  private val avgHashSql = {
+  /** Shared aHash CTE chain (base → sums → hashed) — the DuckDB twin of
+    * [[hashedFrame]], hoisted so the three mm_* oracles can never drift
+    * from each other (r10 review finding: three verbatim copies). Splice
+    * after WITH / WITH RECURSIVE. */
+  private lazy val hashedCteSql: String = {
     val sums = (0 until 16).map(i =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(blk*$i+1):(blk*$i+blk)]), (a,x) -> a+x) AS b$i")
       .mkString(",\n    ")
     val total = (0 until 16).map(i => s"b$i").mkString(" + ")
     val hash = (0 until 16).map(i =>
       s"CASE WHEN b$i * 16 > total THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id,
        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
        |    CAST(length(text) // 16 AS INT) AS blk
@@ -285,11 +289,14 @@ object Multimodal {
        |hashed AS (
        |  SELECT doc_id, CAST($hash AS BIGINT) AS avg_hash
        |  FROM (SELECT doc_id, ${(0 until 16).map(i => s"b$i").mkString(", ")},
-       |          $total AS total FROM sums))
+       |          $total AS total FROM sums))""".stripMargin
+  }
+
+  private val avgHashSql =
+    s"""WITH $hashedCteSql
        |SELECT doc_id, avg_hash,
        |  count(*) OVER (PARTITION BY avg_hash) AS bucket_size
        |FROM hashed ORDER BY doc_id""".stripMargin
-  }
 
   /** Near-dup media pairs by perceptual-hash Hamming distance 1..3, found
     * via LSH banding over DISTINCT hash values, never doc×doc: the 16-bit
@@ -346,32 +353,13 @@ object Multimodal {
 
   /** Oracle goes exact all-pairs (fine at sf0.01) — the banded Spark plan
     * must find the identical pair set. */
-  private val hashHammingSql = {
-    val sums = (0 until 16).map(i =>
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(blk*$i+1):(blk*$i+blk)]), (a,x) -> a+x) AS b$i")
-      .mkString(",\n    ")
-    val total = (0 until 16).map(i => s"b$i").mkString(" + ")
-    val hash = (0 until 16).map(i =>
-      s"CASE WHEN b$i * 16 > total THEN ${1 << i} ELSE 0 END").mkString(" + ")
-    s"""WITH base AS (
-       |  SELECT doc_id,
-       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
-       |    CAST(length(text) // 16 AS INT) AS blk
-       |  FROM documents WHERE length(text) >= 16),
-       |sums AS (
-       |  SELECT doc_id,
-       |    $sums
-       |  FROM base),
-       |hashed AS (
-       |  SELECT doc_id, CAST($hash AS BIGINT) AS avg_hash
-       |  FROM (SELECT doc_id, ${(0 until 16).map(i => s"b$i").mkString(", ")},
-       |          $total AS total FROM sums))
+  private val hashHammingSql =
+    s"""WITH $hashedCteSql
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.avg_hash, b.avg_hash)) AS INT) AS hamming
        |FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.avg_hash, b.avg_hash)) BETWEEN 1 AND 3
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** Perceptual near-dup CLUSTERS: the multimodal family crossed with the
     * dedup family. Edges are aHash pairs within Hamming distance ≤ 3
@@ -443,26 +431,8 @@ object Multimodal {
 
   /** Oracle: exact all-pairs edges + WITH RECURSIVE transitive closure
     * (the dedup_clusters oracle pattern over the aHash edge set). */
-  private val dedupClusterSql = {
-    val sums = (0 until 16).map(i =>
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(blk*$i+1):(blk*$i+blk)]), (a,x) -> a+x) AS b$i")
-      .mkString(",\n    ")
-    val total = (0 until 16).map(i => s"b$i").mkString(" + ")
-    val hash = (0 until 16).map(i =>
-      s"CASE WHEN b$i * 16 > total THEN ${1 << i} ELSE 0 END").mkString(" + ")
-    s"""WITH RECURSIVE base AS (
-       |  SELECT doc_id,
-       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
-       |    CAST(length(text) // 16 AS INT) AS blk
-       |  FROM documents WHERE length(text) >= 16),
-       |sums AS (
-       |  SELECT doc_id,
-       |    $sums
-       |  FROM base),
-       |hashed AS (
-       |  SELECT doc_id, CAST($hash AS BIGINT) AS avg_hash
-       |  FROM (SELECT doc_id, ${(0 until 16).map(i => s"b$i").mkString(", ")},
-       |          $total AS total FROM sums)),
+  private val dedupClusterSql =
+    s"""WITH RECURSIVE $hashedCteSql,
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
@@ -482,7 +452,6 @@ object Multimodal {
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |  doc_id = cluster_id AS is_survivor
        |FROM labels ORDER BY doc_id""".stripMargin
-  }
 
   /** Metadata-vs-payload integrity: declared size (n_chars) against actual
     * byte length — the validation pass a media pipeline runs before

@@ -167,12 +167,8 @@ object Dedup {
     minhashPairsFor(s, d).orderBy(col("id_a"), col("id_b"))
 
   private val minhashLshSql = {
-    val bandRows = (0 until B).map { b =>
-      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    val matches = (0 until P).map(p =>
-      s"CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END").mkString(" + ")
+    val bandRows = bandRowsSql
+    val matches = sigMatchesSql("a", "b")
     s"""WITH sh_sets AS ($shingleSetsSql),
        |sig AS (
        |  $signaturesSql),
@@ -188,6 +184,23 @@ object Dedup {
        |WHERE round(($matches) / 16.0, 4) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** DuckDB twin of the band-key rows: one UNION ALL arm per band over
+    * the shared `sig` CTE — ONE builder for every LSH oracle (minhash
+    * pairs, clusters, embed-verify, incremental, contamination), so a
+    * change to B or the band-key scheme can never desynchronize one
+    * oracle from the rest (r10 review finding: four byte-identical
+    * copies). */
+  private lazy val bandRowsSql: String = (0 until B).map { b =>
+    val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+
+  /** Signature-agreement count twin of the verify step, for the given
+    * table aliases. */
+  private def sigMatchesSql(a: String, b: String): String =
+    (0 until P).map(p =>
+      s"CASE WHEN $a.mh$p = $b.mh$p THEN 1 ELSE 0 END").mkString(" + ")
 
   // ------------------------------------------------------------ exact jaccard
 
@@ -643,7 +656,7 @@ object Dedup {
        |pairs AS (
        |  SELECT id_a, id_b FROM cand JOIN sig a ON a.doc_id = id_a
        |    JOIN sig b ON b.doc_id = id_b
-       |  WHERE round((${(0 until P).map(p => s"CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0, 4) >= 0.5),
+       |  WHERE round((${sigMatchesSql("a", "b")}) / 16.0, 4) >= 0.5),
        |edges AS (
        |  SELECT id_a, id_b FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs
@@ -686,12 +699,8 @@ object Dedup {
   }
 
   private val levenshteinPairsSql = {
-    val matches = (0 until P).map(p =>
-      s"CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END").mkString(" + ")
-    val bandRows = (0 until B).map { b =>
-      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
+    val matches = sigMatchesSql("a", "b")
+    val bandRows = bandRowsSql
     s"""WITH sh_sets AS ($shingleSetsSql),
        |sig AS (
        |  $signaturesSql),
@@ -814,7 +823,12 @@ object Dedup {
     nearDupLabels(s, d).select(lit(1)).limit(1).count() // builds pairs too
     val half = T.documents(s, d).count() / 2
     corpusLshIndex(d, sigWithArray(T.documents(s, d).filter(col("doc_id") < half)))
-    ()
+    // the FOURTH fit-once artifact: the embedding near-dup pair table —
+    // without this dedup_embed_cosine / dedup_semantic_clusters wear the
+    // full-corpus sign-LSH band join + cosine verify + parquet write on
+    // the clock (the 512-row slice above warms codegen, not the artifact;
+    // r10 review finding)
+    embedPairsFor(s, d).select(lit(1)).limit(1).count()
     ()
   }
 
@@ -883,9 +897,16 @@ object Dedup {
     * per `band=` partition dir: partition pruning on probe needs the
     * band dirs, not many tiny files per dir. */
   private[graft] def buildLshIndex(corpusSig: DataFrame, idx: String): Unit = {
-    bandsOf(corpusSig).repartition(B, col("band"))
-      .write.partitionBy("band").parquet(s"$idx/bands")
-    corpusSig.select(col("doc_id"), col("sig")).coalesce(4).write.parquet(s"$idx/sigs")
+    // persist across the two writes: bands and sigs are separate jobs over
+    // the same lazy frame, and the 16-md5-per-shingle signature pass is
+    // the most expensive stage in this file — without the cache it ran
+    // twice per index build (r10 review finding)
+    val sig = corpusSig.persist()
+    try {
+      sig.select(col("doc_id"), col("sig")).coalesce(4).write.parquet(s"$idx/sigs")
+      bandsOf(sig).repartition(B, col("band"))
+        .write.partitionBy("band").parquet(s"$idx/bands")
+    } finally sig.unpersist()
   }
 
   /** Verified (batch_id, corpus_id, est_jaccard) near-dup links of a
@@ -914,12 +935,8 @@ object Dedup {
   }
 
   private[graft] val incrementalDedupSql = {
-    val bandRows = (0 until B).map { b =>
-      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    val matches = (0 until P).map(p =>
-      s"CASE WHEN q.mh$p = x.mh$p THEN 1 ELSE 0 END").mkString(" + ")
+    val bandRows = bandRowsSql
+    val matches = sigMatchesSql("q", "x")
     s"""WITH sh_sets AS ($shingleSetsSql),
        |sig AS (
        |  $signaturesSql),
@@ -1189,12 +1206,8 @@ object Dedup {
   }
 
   private val fuzzyContaminationSql = {
-    val bandRows = (0 until B).map { b =>
-      val key = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    val matches = (0 until P).map(p =>
-      s"CASE WHEN q.mh$p = x.mh$p THEN 1 ELSE 0 END").mkString(" + ")
+    val bandRows = bandRowsSql
+    val matches = sigMatchesSql("q", "x")
     s"""WITH sh_sets AS ($shingleSetsSql),
        |sig AS (
        |  $signaturesSql),

@@ -370,9 +370,13 @@ object TextAnalysis {
     val toks = T.documents(s, d)
       .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
+    // persist: FOUR consumers (the count action, both union branches of
+    // uni, and bi) would otherwise each re-run the tokenize+posexplode
+    // scan (r10 review finding; same convention as contamination's sh)
     val bigrams = toks.select(posexplode(col("t")).as(Seq("i", "w1")), col("t"))
       .filter(col("i") < size(col("t")) - 1)
       .select(col("w1"), element_at(col("t"), col("i") + 2).as("w2"))
+      .persist()
     val n = bigrams.count().toDouble
     val uni = bigrams.select(col("w1").as("w")).union(bigrams.select(col("w2").as("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
@@ -380,8 +384,12 @@ object TextAnalysis {
       .filter(col("c") >= 10)
     bi.join(uni.select(col("w").as("w1"), col("wc").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("wc").as("c2")), "w2")
+      // p(xy) = c/n, p(x) = c1/(2n) (uni counts both endpoints, so the
+      // marginal mass is 2n): ln(p(xy)/(p(x)·p(y))) = ln(4n·c/(c1·c2)).
+      // r10 review finding: the old 2n numerator understated every PMI by
+      // exactly ln 2 vs the documented formula.
       .withColumn("pmi", round(
-        log(col("c") * lit(2.0) * n / (col("c1") * col("c2"))), 4))
+        log(col("c") * lit(4.0) * n / (col("c1") * col("c2"))), 4))
       .select(col("w1"), col("w2"), col("c"), col("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(30)
@@ -401,7 +409,7 @@ object TextAnalysis {
        |bi AS (SELECT w1, w2, count(*) AS c FROM bigrams GROUP BY w1, w2
        |       HAVING count(*) >= 10)
        |SELECT w1, w2, c,
-       |  round(ln(c * 2.0 * (SELECT total FROM n) / (c1.wc * c2.wc)), 4) AS pmi
+       |  round(ln(c * 4.0 * (SELECT total FROM n) / (c1.wc * c2.wc)), 4) AS pmi
        |FROM bi JOIN uni c1 ON c1.w = w1 JOIN uni c2 ON c2.w = w2
        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
 
@@ -592,8 +600,14 @@ object TextAnalysis {
 
   // GPT-2-style pre-tokenizer (contractions | letter runs | digit runs |
   // punct runs | spaces), restricted to ASCII classes so the Java-regex and
-  // RE2 engines agree byte-for-byte.
-  private val BpePattern = "[sdmt]|ll|ve|re| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+  // RE2 engines agree byte-for-byte. The contraction alternatives CARRY
+  // their apostrophes ('s|'t|'re|...), exactly like GPT-2's published
+  // pattern — r10 review finding: the bare [sdmt]|ll|ve|re forms matched
+  // INSIDE ordinary words ("the story" → t|he| story), splitting the
+  // leading s/d/m/t/ll/ve/re off any word not preceded by a space and
+  // systematically inflating n_bpe_tokens.
+  private val BpePattern =
+    "'[sdmt]|'ll|'ve|'re| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
 
   /** BPE-ish token accounting per document: the token-count estimate a
     * training pipeline bills by (letters/digits/punct split like a BPE
@@ -607,11 +621,14 @@ object TextAnalysis {
         round(col("n_bytes") / nullif(col("n_bpe_tokens"), lit(0)), 4))
       .orderBy(col("doc_id"))
 
+  // apostrophes doubled for the SQL string literal
+  private val BpePatternSql = BpePattern.replace("'", "''")
+
   private val bpeTokensSql =
     s"""SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpePatternSql')) AS INT) AS n_bpe_tokens,
        |  CAST(length(text) AS INT) AS n_bytes,
-       |  round(length(text) * 1.0 / nullif(len(regexp_extract_all(text, '$BpePattern')), 0), 4)
+       |  round(length(text) * 1.0 / nullif(len(regexp_extract_all(text, '$BpePatternSql')), 0), 4)
        |    AS bytes_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1499,6 +1516,13 @@ object TextAnalysis {
   /** Shared WITH-prefix for the BPE twins: word-freq → char symbols →
     * [[BpeRounds]] unrolled merge rounds, ending at CTE `sym{BpeRounds}`
     * (the post-merge symbol table) with per-round argmax CTEs `b{r}`. */
+  // m$r joins the 1-row argmax LEFT (on TRUE) with a coalesced match
+  // flag, NOT CROSS: when merges run dry early (b$r empty on a degenerate
+  // corpus), a cross join would EMPTY the symbol table and every later
+  // round, while the Spark loop keeps the last non-empty table — the
+  // left-join form passes every symbol through unmerged instead, and a
+  // dry round emits no bpe_train row on either side (r10 review finding;
+  // latent on the shipped fixtures).
   private lazy val bpeCtePrefix = {
     val toks = Text.toksSql
     val rounds = (1 to BpeRounds).map { r =>
@@ -1513,8 +1537,8 @@ object TextAnalysis {
          |b$r AS MATERIALIZED (SELECT l, r2, cnt FROM c$r ORDER BY cnt DESC, l, r2 LIMIT 1),
          |m$r AS MATERIALIZED (
          |  SELECT n.word, n.freq, n.pos, n.sym, n.nxt,
-         |    (n.sym = b.l AND n.nxt = b.r2) AS is_match
-         |  FROM n$r n CROSS JOIN b$r b),
+         |    coalesce(n.sym = b.l AND n.nxt = b.r2, FALSE) AS is_match
+         |  FROM n$r n LEFT JOIN b$r b ON TRUE),
          |mr$r AS MATERIALIZED (
          |  SELECT word, pos,
          |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp

@@ -182,12 +182,21 @@ class TextSpec extends SparkSpec {
   test("bpe pre-tokenizer splits letter/digit/punct runs with attached spaces") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val df = Seq((0L, "hello world 42!?")).toDF("doc_id", "text")
-    val n = df.select(size(regexp_extract_all(col("text"),
-      lit("[sdmt]|ll|ve|re| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"), lit(0))).as("n"))
-      .head.getInt(0)
+    val pat = "'[sdmt]|'ll|'ve|'re| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+    def count(text: String): Int =
+      Seq((0L, text)).toDF("doc_id", "text")
+        .select(size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n"))
+        .head.getInt(0)
     // "hello", " world", " 42", "!?" -> 4
-    assert(n == 4)
+    assert(count("hello world 42!?") == 4)
+    // r10: the contraction alternatives carry their apostrophes, so a word
+    // STARTING with s/d/m/t/ll/ve/re is one letter run, not two pieces
+    // ("the story" used to split t|he| story)
+    assert(count("the story") == 2)
+    assert(count("sand model") == 2)
+    // contractions split off with the apostrophe attached: "don"+"'t"
+    assert(count("don't") == 2)
+    assert(count("we've") == 2)
   }
 
   // Driver-side reference BPE trainer: greedy left-to-right merge
