@@ -24,7 +24,12 @@ object BloomStatsAgg {
 
   private val CAPACITY = 100000L // reference defaults (duplicate_detector.py:27-30)
   private val FPP = 0.01
-  private val K = 7              // hash count at these dims (bloom_filter.py:28)
+  // NOTE: the hash count k is READ from the serialized filter header in
+  // finish (bytes 4-8), never hardcoded — a CAPACITY/FPP change (or a
+  // Spark version changing its optimal-k rounding) would silently
+  // desynchronize a literal k from the filter's real hash count and make
+  // approx_fpp = fill^k wrong with no error (r10 review finding; the
+  // reference's k=7 at these dims is bloom_filter.py:28).
 
   final class Buf(var filter: BloomFilter, var inserted: Long) extends Serializable
 
@@ -49,11 +54,13 @@ object BloomStatsAgg {
         b.filter.writeTo(bos)
         val bytes = bos.toByteArray
         // serialized layout: version(4) + numHashFunctions(4) + numWords(4)
-        // + data words; popcount over the word section only
+        // + data words; popcount over the word section only, k from the
+        // header so it is self-consistent with the filter by construction
+        val k = java.nio.ByteBuffer.wrap(bytes, 4, 4).getInt
         val bits = bytes.drop(12).map(x => java.lang.Integer.bitCount(x & 0xff)).sum.toLong
         val m = b.filter.bitSize()
         val fill = bits.toDouble / m
-        BloomStats(m, bits, fill, b.inserted, math.pow(fill, K))
+        BloomStats(m, bits, fill, b.inserted, math.pow(fill, k))
       }
 
       override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]

@@ -36,7 +36,14 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // ragged lengths FAIL LOUDLY: silently truncating to the common
+    // prefix (the old min()) produced a cosine over a different vector
+    // space than the DuckDB oracle's full-length fold, surfacing as
+    // opaque hash mismatches instead of an error (r10 review finding)
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector lengths differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -55,7 +62,12 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector lengths differ (" + $x.numElements() +
+         |    " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $x.getFloat($i);

@@ -31,6 +31,16 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Empty result frame from a DDL schema string — the shared empty-
+    * corpus early-return shape (KMeans.fit rejects empty input; the ANN
+    * of an empty corpus is the empty result, not an error). One-line
+    * schemas beat five hand-built StructType literals (r10 review
+    * finding); the DDL is visibly diffable against each query's select. */
+  private def emptyResult(s: SparkSession, ddl: String): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   private def withNorm(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d).withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
 
@@ -43,8 +53,15 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val nrm = sqrt(aggregate(transform(col("embedding"),
       x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    // zero-norm guard: Spark's non-ANSI Divide yields NULL on a zero
+    // divisor, and array_to_vector over an all-null array THROWS — one
+    // all-zero embedding would crash every normalized consumer (r10
+    // review finding). A zero vector has no direction; it normalizes to
+    // the zero vector (same convention CosineSim uses: cos = 0 on a zero
+    // denominator) and lands in whatever cell the quantizer assigns it.
     T.embeddings(s, d)
-      .withColumn("nvec", transform(col("embedding"), x => x.cast("double") / nrm))
+      .withColumn("nvec", transform(col("embedding"),
+        x => when(nrm === 0.0, lit(0.0)).otherwise(x.cast("double") / nrm)))
       .withColumn("features", array_to_vector(col("nvec")))
   }
 
@@ -59,13 +76,17 @@ object Similarity {
       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
       |    (acc, v) -> acc + v)""".stripMargin
 
-  /** Brute-force cosine top-k for the first NQ vectors as queries. */
+  /** Brute-force cosine top-k for the first NQ vectors as queries. The
+    * native cosine_sim expression computes both norms internally, so no
+    * norm column rides along (the SQL twin's separate-norm formulation is
+    * the ORACLE's shape, not the engine's — r10 review finding: dead
+    * qn/cn plumbing suggested the norms mattered here). */
   private def knnBruteforce(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
-    val e = withNorm(s, d)
+    val e = T.embeddings(s, d)
     val q = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
-    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("norm").as("cn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .withColumn("cos", cosine_sim(col("qe"), col("ce")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
@@ -95,12 +116,12 @@ object Similarity {
     val bucketExpr = (1 to LSH_BITS).map(j =>
       when(element_at(col("embedding"), j) > 0f, lit(1L << (j - 1))).otherwise(0L))
       .reduce(_ + _)
-    val e = withNorm(s, d).withColumn("bucket", bucketExpr)
+    val e = T.embeddings(s, d).withColumn("bucket", bucketExpr)
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("bucket"),
-        col("embedding").as("qe"), col("norm").as("qn"))
+        col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("cand_id"), col("bucket"),
-      col("embedding").as("ce"), col("norm").as("cn"))
+      col("embedding").as("ce"))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", cosine_sim(col("qe"), col("ce")))
@@ -139,13 +160,34 @@ object Similarity {
   // The model is k×dim doubles (16×64), driver-resident and tiny.
   // Keyed on (path, mtime, file size) so a regenerated dataset at the
   // same path within one JVM session invalidates the cached quantizer
-  // instead of silently assigning cells from the old corpus.
-  private def ivfKey(d: String): String = {
-    val f = new java.io.File(s"$d/embeddings.parquet")
-    s"$d|${f.lastModified}|${f.length}"
-  }
+  // instead of silently assigning cells from the old corpus — the shared
+  // Tables.datasetKey convention, not a private copy (r10 review
+  // finding: a future key-scheme change must hit every artifact cache).
+  private def ivfKey(d: String): String = T.datasetKey(d, "embeddings")
   private val ivfModels =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
+  /** The coarse quantizer's fit spec lives HERE and nowhere else: knnIvf
+    * and knnIvfPq share the ivfModels cache key, so a second literal at
+    * either call site could silently serve the other's model after an
+    * edit (r10 review finding). */
+  private def coarseQuantizer(d: String, e: DataFrame)
+      : org.apache.spark.ml.clustering.KMeansModel =
+    ivfModels.getOrElseUpdate(ivfKey(d),
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(16).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(e))
+
+  /** PQ sub-vector width, with the divisibility the slicing assumes made
+    * LOUD: silent integer division would drop the trailing dim % PQ_M
+    * dimensions from codes and LUT and quietly degrade recall (r10
+    * review finding). */
+  private def pqSubDim(dim: Int): Int = {
+    require(dim % PQ_M == 0,
+      s"PQ requires dim % PQ_M == 0; got dim=$dim, PQ_M=$PQ_M")
+    dim / PQ_M
+  }
 
   // Memoized PERSISTED corpus frames (cells / PQ codes / IVF-PQ codes),
   // one per (dataset, session) like the fitted models: each invocation
@@ -166,8 +208,17 @@ object Similarity {
       (build: => DataFrame): DataFrame = {
     corpusFrames.filterInPlace { case (_, (sess, _)) =>
       !sess.sparkContext.isStopped }
-    val (_, f) = corpusFrames.getOrElseUpdate(
-      s"$key|${System.identityHashCode(s)}", (s, build.persist()))
+    val k = s"$key|${System.identityHashCode(s)}"
+    // identityHashCode is not unique across a GC'd-then-reallocated
+    // session — verify the stored SESSION identity, not just the key
+    // (r10 review finding), and rebuild for the live session on mismatch
+    val f = corpusFrames.get(k) match {
+      case Some((sess, cached)) if sess eq s => cached
+      case _ =>
+        val built = build.persist()
+        corpusFrames.put(k, (s, built))
+        built
+    }
     if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       f.persist()
     f
@@ -218,18 +269,9 @@ object Similarity {
     // Single-column limit(1) probe, not isEmpty — same hot-path fix as
     // annMllib (isEmpty runs the projection plus an executeTake ramp).
     if (e.select(lit(1)).limit(1).collect().isEmpty)
-      return e.sparkSession.createDataFrame(
-        e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
-    val km = ivfModels.getOrElseUpdate(ivfKey(d),
-      new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(e))
+      return emptyResult(s,
+        "query_id BIGINT, rank INT, cand_id BIGINT, cell INT, cos DOUBLE")
+    val km = coarseQuantizer(d, e)
     val cells = cachedCorpusFrame(s, s"cells|${ivfKey(d)}")(km.transform(e)
       .select(col("vec_id"), col("embedding"), col("nvec"), col("cell")))
     // probe list: rank the k centroids per query by euclidean distance in
@@ -397,20 +439,31 @@ object Similarity {
     * clears the pinned floor" is a deterministic boolean for the fixed
     * seeds and dataset — so the driver hard-gates both approximate ANN
     * paths instead of relying on ScalaTest alone. */
-  private def annContract(s: SparkSession, d: String): DataFrame = {
+  /** Shared recall scaffold for every *_contract query: exact-pair
+    * baseline count, the oracle-compatible query count, and pooled
+    * recall of an approx (query_id, cand_id) frame against the exact
+    * top-K (1.0 on an empty baseline). ONE definition of "recall" for
+    * all five contracts, so a future change (e.g. per-query averaging)
+    * cannot be applied to some and not others (r10 review finding:
+    * five copies). nQueries is derived exactly as the oracle derives it
+    * (embeddings with vec_id < NQ), NOT as distinct query ids in the
+    * brute-force output — on a degenerate corpus the two diverge. */
+  private def recallScaffold(s: SparkSession, d: String)
+      : (Long, DataFrame => Double) = {
     // the baseline is the fit-once file-backed pair table — no persist
     // (and nothing to unpersist): each consumer re-reads a tiny parquet
     val exact = exactKnnPairs(s, d)
     val base = exact.count()
-    // derived exactly as the oracle derives it (embeddings with vec_id <
-    // NQ), NOT as distinct query ids in the brute-force output — on a
-    // degenerate corpus (single embedding: a query with zero candidates)
-    // the two diverge and the oracle hash would fail spuriously
     val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
-    def recallOf(approx: DataFrame): Double =
+    val recallOf = (approx: DataFrame) =>
       if (base == 0) 1.0
       else exact.join(approx.select(col("query_id"), col("cand_id")),
         Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    (nQueries, recallOf)
+  }
+
+  private def annContract(s: SparkSession, d: String): DataFrame = {
+    val (nQueries, recallOf) = recallScaffold(s, d)
     val ivfRec = recallOf(knnIvf(s, d))
     val annRec = recallOf(MllibOps.annMllib(s, d)
       .select(col("query_id"), col("cand_id")))
@@ -432,14 +485,8 @@ object Similarity {
     * top-K: seeds are pinned, so the floor crossing is deterministic per
     * dataset and the driver hash-gates the boolean. */
   private def mllibAnnContract(s: SparkSession, d: String): DataFrame = {
-    val exact = exactKnnPairs(s, d)
-    val base = exact.count()
-    val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
-    val recall =
-      if (base == 0) 1.0
-      else exact.join(
-        MllibOps.annMllib(s, d).select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    val (nQueries, recallOf) = recallScaffold(s, d)
+    val recall = recallOf(MllibOps.annMllib(s, d))
     import s.implicits._
     Seq((nQueries, recall >= ANN_RECALL_FLOOR))
       .toDF("n_queries", "mllib_recall_ok")
@@ -486,15 +533,9 @@ object Similarity {
     // empty input; the PQ of an empty corpus is the empty result)
     val head = e.select(size(col("embedding")).as("dim")).limit(1).collect()
     if (head.isEmpty)
-      return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("adc", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
-    val subDim = head(0).getInt(0) / PQ_M
+      return emptyResult(s,
+        "query_id BIGINT, rank INT, cand_id BIGINT, adc DOUBLE, cos DOUBLE")
+    val subDim = pqSubDim(head(0).getInt(0))
     val withSubs = (0 until PQ_M).foldLeft(e)((df, m) =>
       df.withColumn(s"f$m", array_to_vector(slice(col("nvec"), m * subDim + 1, subDim))))
     val models = pqModels.getOrElseUpdate(ivfKey(d),
@@ -549,13 +590,8 @@ object Similarity {
     * brute-force top-K crosses the pinned floor. Seeds are fixed, so the
     * boolean is deterministic per dataset and the driver hash-gates it. */
   private def pqContract(s: SparkSession, d: String): DataFrame = {
-    val exact = exactKnnPairs(s, d)
-    val base = exact.count()
-    val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
-    val recall =
-      if (base == 0) 1.0
-      else exact.join(knnPq(s, d).select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    val (nQueries, recallOf) = recallScaffold(s, d)
+    val recall = recallOf(knnPq(s, d))
     import s.implicits._
     Seq((nQueries, recall >= PQ_RECALL_FLOOR))
       .toDF("n_queries", "pq_recall_ok")
@@ -593,20 +629,10 @@ object Similarity {
     val e = withNormalized(s, d)
     val head = e.select(size(col("embedding")).as("dim")).limit(1).collect()
     if (head.isEmpty)
-      return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("adc", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
-    val subDim = head(0).getInt(0) / PQ_M
-    val coarse = ivfModels.getOrElseUpdate(ivfKey(d),
-      new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(e))
+      return emptyResult(s,
+        "query_id BIGINT, rank INT, cand_id BIGINT, cell INT, adc DOUBLE, cos DOUBLE")
+    val subDim = pqSubDim(head(0).getInt(0))
+    val coarse = coarseQuantizer(d, e)
     import s.implicits._
     val cents = coarse.clusterCenters.zipWithIndex
       .map { case (ctr, i) => (i, ctr.toArray.toSeq) }.toSeq
@@ -689,13 +715,8 @@ object Similarity {
     * brute-force top-K crosses the pinned floor; seeds fixed, boolean
     * deterministic per dataset, driver-hash-gated. */
   private def ivfpqContract(s: SparkSession, d: String): DataFrame = {
-    val exact = exactKnnPairs(s, d)
-    val base = exact.count()
-    val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
-    val recall =
-      if (base == 0) 1.0
-      else exact.join(knnIvfPq(s, d).select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    val (nQueries, recallOf) = recallScaffold(s, d)
+    val recall = recallOf(knnIvfPq(s, d))
     import s.implicits._
     Seq((nQueries, recall >= IVFPQ_RECALL_FLOOR))
       .toDF("n_queries", "ivfpq_recall_ok")
@@ -750,14 +771,8 @@ object Similarity {
   private def knnPca(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     val prj0 = pcaProject(s, d).getOrElse(
-      return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cand_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("pca_d2", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType)))))
+      return emptyResult(s,
+        "query_id BIGINT, rank INT, cand_id BIGINT, pca_d2 DOUBLE, cos DOUBLE"))
     // query slice + candidate scan + refine fetch share one cached copy
     val prj = cachedCorpusFrame(s, s"pcaprj|${ivfKey(d)}")(prj0)
     val q = prj.filter(col("vec_id") < NQ)
@@ -788,13 +803,8 @@ object Similarity {
     * no random init). */
   private def pcaContract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val exact = exactKnnPairs(s, d)
-    val base = exact.count()
-    val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
-    val recall =
-      if (base == 0) 1.0
-      else exact.join(knnPca(s, d).select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_semi").count().toDouble / base
+    val (nQueries, recallOf) = recallScaffold(s, d)
+    val recall = recallOf(knnPca(s, d))
     // Fit via pcaProject (cache-aware): with base == 0 the recall branch
     // never runs knnPca, so the model may not have been fit yet.
     val cumVar =
@@ -854,14 +864,8 @@ object Similarity {
     * + coverage floors). */
   private def topicClusters(s: SparkSession, d: String): DataFrame = {
     val asg = topicAssign(s, d).getOrElse(
-      return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("share", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("top_label", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("top_label_share", org.apache.spark.sql.types.DoubleType)))))
+      return emptyResult(s,
+        "cluster_id INT, n_docs BIGINT, share DOUBLE, top_label INT, top_label_share DOUBLE"))
     val byClusterLabel = asg.groupBy(col("cluster_id"), col("label"))
       .agg(count(lit(1)).as("n"))
     val wc = Window.partitionBy(col("cluster_id"))
