@@ -98,12 +98,21 @@ object RunDetectors {
       s"${c.dataDir}/${if (c.split == "train") c.trainSubdir else c.testSubdir}"
 
     // ingest + preprocess + stream order (S1, F1–F5, T1–T5, O1/O2);
-    // msg_idx is the FULL-stream arrival index — what the detectors see
+    // msg_idx is the FULL-stream arrival index — what the detectors see.
+    // This inlines messageStream's construction (the allMessages flag
+    // must pass through), so it mirrors its two r10 fixes: the stream
+    // iterator drops FALSY bodies (run_detectors.py:25 — the loader now
+    // keeps them, like the reference's preprocess_messages), and the
+    // sort/rank key is a TOTAL order so the limit boundary and msg_idx
+    // are layout-independent even for identical duplicate messages.
+    val streamOrder = Seq(col("time").asc_nulls_last, col("body"),
+      col("src_file"), col("raw_body"))
     val msgs = SccJsonSource.preprocessedMessages(spark, splitDir, c.allMessages)
-      .orderBy(col("time").asc_nulls_last, col("body"))
+      .filter(col("body") =!= "")
+      .orderBy(streamOrder: _*)
       .limit(c.maxMessages)
       .withColumn("msg_idx",
-        row_number().over(Window.orderBy(col("time").asc_nulls_last, col("body"))) - 1)
+        row_number().over(Window.orderBy(streamOrder: _*)) - 1)
       .select(col("msg_idx"), col("body"))
       .persist()
 
