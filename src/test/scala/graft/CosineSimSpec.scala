@@ -45,4 +45,18 @@ class CosineSimSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(r == 1.0)
   }
+
+  test("ragged vector lengths fail loudly, never silently truncate (r10)") {
+    // silent prefix truncation produced a cosine over a different vector
+    // space than the oracle's full-length fold — both the interpreted and
+    // the codegen path must throw
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT)))").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("vector lengths differ"), rootMsg(e))
+  }
 }

@@ -170,6 +170,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("text_probe_freq: counts aggregate before the tiny probe join (no stream shuffle)") {
+    // r10 review finding: the old right-outer join put the broadcast hint
+    // on the preserved side, which BroadcastHashJoin cannot build, so the
+    // whole exploded token stream shuffle-sorted against 6 probe rows.
+    // Now per-token counts aggregate FIRST (map-side combined), and the
+    // probes join the vocab-sized result.
+    val p = plan("text_probe_freq")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"token counts must aggregate partial+final before the probe join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge of the token stream against 6 probes:\n$p")
+  }
+
   test("dedup_contamination: probes the persisted index, never rescans the corpus half") {
     // Building the query materializes the fit-once index; the RETURNED
     // plan is the steady audit shape — train bands/signatures must come
