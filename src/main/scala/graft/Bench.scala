@@ -47,11 +47,12 @@ object Bench {
     // and Profile agree on what "steady state" means.
     // best-effort: a broken env must still reach the query loop so every
     // query reports its own err field instead of the bench dying silently
-    try {
-      graft.Warmup.run(spark, sfDir)
-    } catch { case e: Throwable =>
-      println(s"""{"metric":"warmup_error","err":${jstr(e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(160))}}""")
-    }
+    val warmupSkipped =
+      try graft.Warmup.run(spark, sfDir)
+      catch { case e: Throwable =>
+        println(s"""{"metric":"warmup_error","err":${jstr(e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(160))}}""")
+        -1 // warmup aborted entirely; the sentinel survives onto the total line
+      }
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Per-query wall-clock bound (r9 verdict #3): a pathological query is
@@ -59,7 +60,16 @@ object Bench {
     // it can't eat the whole bench (round 9 lost every number to one
     // never-terminating query at position ~157). 90 s default — the
     // slowest warmed sf0.1 query is ~6 s, first-use artifact builds ~8 s.
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "90").toInt
+    // Try-parse with fallback (r10 ADVICE): a malformed value used to
+    // throw NumberFormatException before any query ran — losing the round
+    // exactly the way the watchdog exists to prevent.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0))
+      .getOrElse {
+        sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT").foreach(v =>
+          println(s"""{"metric":"bad_env","name":"SPARK_GRAFT_QUERY_TIMEOUT","value":${jstr(v)},"fallback":"90"}"""))
+        90
+      }
     // fixed alphabetical run order: Map iteration order shifts whenever the
     // registry grows, which confounds round-over-round per-query diffs with
     // "which query happened to run after which" (r7 verdict #7)
@@ -158,7 +168,14 @@ object Bench {
     val canaryEnd = cpuCanary()
     println(s"""{"metric":"cpu_canary","start_sec":${jstr(f(canaryStart))},"end_sec":${jstr(f(canaryEnd))}}""")
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"sf":"$sfDir"}""")
+    // The driver keeps a bounded output TAIL and the long per_query line
+    // sits right above this one — r10's driver artifact lost the separate
+    // cpu_canary line to that truncation, so the load context could not be
+    // proven from the artifact alone (r10 verdict #4). The canary values
+    // and warmup-skipped count therefore ALSO ride the final total line,
+    // the only line guaranteed to survive; as strings, so the "name":float
+    // tail regex can't misread them as query timings.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"warmup_skipped":${jstr(warmupSkipped.toString)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

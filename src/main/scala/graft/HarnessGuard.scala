@@ -40,11 +40,20 @@ object HarnessGuard {
     try fut.get(timeoutSec.toLong, TimeUnit.SECONDS)
     catch {
       case _: TimeoutException =>
-        sc.cancelJobGroup(group)
-        // give the cancel a grace window to unwind cleanly, then abandon
-        // the worker thread (daemon: it cannot block JVM exit)
+        // STICKY cancel (r10 ADVICE): cancelJobGroup only kills jobs
+        // already submitted — a body wedged in driver-side work between
+        // jobs would submit its NEXT job after the cancel and run it to
+        // completion on our task slots. Spark 4's and-future-jobs variant
+        // keeps the group cancelled; group names are per-query-unique, so
+        // the stickiness can never hit a later query.
+        sc.cancelJobGroupAndFutureJobs(group)
+        // give the cancel a grace window to unwind cleanly
         try fut.get(10, TimeUnit.SECONDS)
         catch { case _: Throwable => () }
+        // interrupt the worker too: Spark actions abort on driver-thread
+        // interrupt, which also stops wedged DRIVER-side compute (planning,
+        // codegen, driver loops) that job-group cancellation cannot reach
+        fut.cancel(true)
         Left(s"TIMEOUT after ${timeoutSec}s (job group cancelled)")
       case e: ExecutionException =>
         val c = Option(e.getCause).getOrElse(e)

@@ -45,7 +45,15 @@ object Verify {
     // Per-query wall-clock bound (default 120 s — the slowest sf0.01 query
     // is <10 s warmed): a pathological query records its own error line
     // instead of wedging the dump loop until the driver's kill.
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toInt
+    // Try-parse with fallback (r10 ADVICE): a malformed value must not
+    // abort the dump loop before any query runs.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0))
+      .getOrElse {
+        sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT").foreach(v =>
+          System.err.println(s"[verify] bad SPARK_GRAFT_QUERY_TIMEOUT '$v', using 120"))
+        120
+      }
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       HarnessGuard.run(spark, name, timeoutSec) {

@@ -30,19 +30,44 @@ object Warmup {
     * first_use_suspect receipts machinery attributes by name, which is a
     * bounded, visible loss, unlike a driver rc-124. Phases are ordered
     * most-valuable-first (index builds and the alphabetically-first
-    * dedup family before long-tail shape warms). */
-  def run(s: SparkSession, d: String): Unit = {
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET", "150").toInt
+    * dedup family before long-tail shape warms).
+    *
+    * Each phase body additionally runs under [[HarnessGuard]] with the
+    * REMAINING budget as its own wall bound (r10 ADVICE): the budget used
+    * to be checked only between phases, so a phase that started at
+    * budget−1s could overrun arbitrarily — now one slow phase is cut off
+    * (and counted) instead of merely skipping the phases after it.
+    *
+    * @return number of phases NOT fully warmed (skipped on budget
+    *         exhaustion or cut off by the per-phase guard) — Bench carries
+    *         it onto the final total line so a load-inflated round is
+    *         diagnosable from the driver artifact alone. */
+  def run(s: SparkSession, d: String): Int = {
+    val budgetSec = sys.env.get("SPARK_GRAFT_WARMUP_BUDGET")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0))
+      .getOrElse {
+        sys.env.get("SPARK_GRAFT_WARMUP_BUDGET").foreach(v =>
+          System.err.println(s"[warmup] bad SPARK_GRAFT_WARMUP_BUDGET '$v', using 150"))
+        150
+      }
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    var notWarmed = 0
     def phase(name: String)(body: => Unit): Unit =
-      if (elapsed > budgetSec)
+      if (elapsed > budgetSec) {
+        notWarmed += 1
         System.err.println(
           f"[warmup] SKIP $name (budget ${budgetSec}s exhausted at $elapsed%.1fs)")
-      else {
+      } else {
         val p0 = System.nanoTime()
-        body
-        System.err.println(f"[warmup] $name ${(System.nanoTime() - p0) / 1e9}%.1fs")
+        val remaining = math.max(1, budgetSec - elapsed.toInt)
+        HarnessGuard.run(s, s"warmup-$name", remaining)(body) match {
+          case Right(_) =>
+            System.err.println(f"[warmup] $name ${(System.nanoTime() - p0) / 1e9}%.1fs")
+          case Left(err) =>
+            notWarmed += 1
+            System.err.println(f"[warmup] CUT $name at ${(System.nanoTime() - p0) / 1e9}%.1fs: $err")
+        }
       }
     // first-job session init (~5 s: codegen infra, broadcast infra, parquet
     // footer caches)
@@ -69,5 +94,6 @@ object Warmup {
     // distributed-ntile, IN-subquery semi-join, md5-sample shapes
     phase("rel-shapes")(graft.ops.Relational.warmShapes(s, d))
     s.catalog.clearCache()
+    notWarmed
   }
 }
