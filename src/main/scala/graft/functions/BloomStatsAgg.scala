@@ -20,7 +20,7 @@ object BloomStatsAgg {
 
   case class BloomStats(
       bit_size: Long, set_bits: Long, fill_ratio: Double,
-      inserted: Long, approx_fpp: Double)
+      inserted: Long, approx_fpp: Double, k_hashes: Int)
 
   private val CAPACITY = 100000L // reference defaults (duplicate_detector.py:27-30)
   private val FPP = 0.01
@@ -60,7 +60,7 @@ object BloomStatsAgg {
         val bits = bytes.drop(12).map(x => java.lang.Integer.bitCount(x & 0xff)).sum.toLong
         val m = b.filter.bitSize()
         val fill = bits.toDouble / m
-        BloomStats(m, bits, fill, b.inserted, math.pow(fill, k))
+        BloomStats(m, bits, fill, b.inserted, math.pow(fill, k), k)
       }
 
       override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
