@@ -20,11 +20,18 @@ import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
   * executors inside the codegen references array, and emit a direct method
   * call from generated code — the [[CosineSim]] pattern applied to sketch
   * probes, so the probe column stays inside WholeStageCodegen
-  * (PlanShapeSpec asserts no ScalaUDF remains in these plans).
+  * (PlanShapeSpec's "sketch probes are native expressions" test asserts
+  * no ScalaUDF in the sketch_cms_token_freq / sketch_cms_contract /
+  * sketch_bloom_dedup plans, the three whose RETURNED frame contains the
+  * probe; the bloom contracts probe inside intermediate counts, so their
+  * returned literal frame can't carry the assertion).
   *
-  * The blake2b-faithful twins (RefSketches) deliberately stay UDFs: their
-  * per-key hashing IS the reference-fidelity contract and runs a JVM
-  * BLAKE2b core that has no codegen form.
+  * [[RefBloomMightContain]] extends the pattern to the blake2b-faithful
+  * Bloom twin: its membership bits come from the same RefBloom JVM method
+  * either way (fidelity is untouched), but the corpus-sized probe scans in
+  * bloomFaithfulContract shed the UDF boxing/encoder round-trip. The
+  * faithful CMS estimate UDFs stay UDFs deliberately: they run on 20-row
+  * post-limit frames (cold path), where a native expression buys nothing.
   */
 abstract class SketchProbe extends BinaryExpression {
   /** The serialized-sketch child; must be a foldable BinaryType literal. */
@@ -96,6 +103,36 @@ case class BloomMightContain(sketchBytes: Expression, item: Expression) extends 
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** `ref_bloom_might_contain(sketch_bytes, key)` → membership from a
+  * Java-serialized [[RefSketches.RefBloom]] — the reference's
+  * blake2b double-hash filter. The probe calls the SAME
+  * `RefBloom.mightContain` the old UDF called (bit-identical membership;
+  * fidelity is the object, not the call convention), but from generated
+  * code, so corpus-sized probe scans stay inside WholeStageCodegen. */
+case class RefBloomMightContain(sketchBytes: Expression, item: Expression)
+    extends SketchProbe {
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom: RefSketches.RefBloom = {
+    val ois = new java.io.ObjectInputStream(new ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[RefSketches.RefBloom] finally ois.close()
+  }
+
+  override def nullSafeEval(b: Any, it: Any): Any =
+    bloom.mightContain(it.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("refBloom", bloom,
+      classOf[RefSketches.RefBloom].getName)
+    nullSafeCodeGen(ctx, ev, (_, it) =>
+      s"${ev.value} = $ref.mightContain($it.toString());")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(sketchBytes = l, item = r)
+  override def prettyName: String = "ref_bloom_might_contain"
+}
+
 object SketchProbes {
   /** Register both probes on a session (idempotent — the CosineSim
     * registry + call_function route; Column(expr) is not public API in
@@ -105,6 +142,8 @@ object SketchProbes {
       "cms_estimate", es => CmsEstimate(es(0), es(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", es => BloomMightContain(es(0), es(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ref_bloom_might_contain", es => RefBloomMightContain(es(0), es(1)), "built-in")
   }
 
   private def serialize(write: java.io.OutputStream => Unit): Array[Byte] = {
@@ -119,9 +158,27 @@ object SketchProbes {
     call_function("cms_estimate", lit(serialize(cms.writeTo)), token)
   }
 
-  /** Column probe: Bloom membership of `key` under `bloom`. */
-  def bloomMightContain(s: SparkSession, bloom: BloomFilter, key: Column): Column = {
+  /** Column probe: Bloom membership of `key` under `bloom`. A null
+    * filter (the empty-history case — `stat.bloomFilter` over zero rows
+    * yields an unusable sketch, so callers build null) means nothing was
+    * ever inserted: membership is constantly false, not an NPE at
+    * serialize time. */
+  def bloomMightContain(s: SparkSession, bloom: BloomFilter, key: Column): Column =
+    if (bloom == null) lit(false)
+    else {
+      register(s)
+      call_function("bloom_might_contain", lit(serialize(bloom.writeTo)), key)
+    }
+
+  /** Column probe: membership of `key` under the blake2b-faithful
+    * [[RefSketches.RefBloom]] (Java-serialized into the literal child —
+    * a case class of four scalars + the bit array). */
+  def refBloomMightContain(s: SparkSession, bloom: RefSketches.RefBloom,
+      key: Column): Column = {
     register(s)
-    call_function("bloom_might_contain", lit(serialize(bloom.writeTo)), key)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(bloom); oos.close()
+    call_function("ref_bloom_might_contain", lit(bos.toByteArray), key)
   }
 }

@@ -37,11 +37,10 @@ object Sketches {
       .persist()
     // Reference shape: depth 7 × width 544, seed pinned (count_min_sketch.py:28-39)
     val cms = toks.stat.countMinSketch("token", 7, 544, 42)
-    val bc = s.sparkContext.broadcast(cms)
-    val estimate = udf((t: String) => bc.value.estimateCount(t))
     toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token")).limit(20)
-      .withColumn("cms_est", estimate(col("token")))
+      .withColumn("cms_est",
+        graft.functions.SketchProbes.cmsEstimate(s, cms, col("token")))
       .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token"))
   }
@@ -68,10 +67,9 @@ object Sketches {
     val bloom =
       if (history.isEmpty) null
       else history.stat.bloomFilter("sh", 100000L, 0.01)
-    val bc = s.sparkContext.broadcast(bloom)
-    val seen = udf((x: String) => bc.value != null && bc.value.mightContain(x))
     sh.filter(col("doc_id") >= half)
-      .withColumn("seen", seen(col("sh")))
+      .withColumn("seen",
+        graft.functions.SketchProbes.bloomMightContain(s, bloom, col("sh")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("seen"), 1L).otherwise(0L)).as("n_seen"),
@@ -134,11 +132,10 @@ object Sketches {
     val n = toks.count()
     val epsN = math.ceil(2.0 * n / 544).toLong
     val cms = toks.stat.countMinSketch("token", 7, 544, 42)
-    val bc = s.sparkContext.broadcast(cms)
-    val estimate = udf((t: String) => bc.value.estimateCount(t))
     toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token")).limit(20)
-      .withColumn("est", estimate(col("token")))
+      .withColumn("est",
+        graft.functions.SketchProbes.cmsEstimate(s, cms, col("token")))
       .select(col("token"), col("exact_cnt"),
         (col("est") >= col("exact_cnt")).as("no_underestimate"),
         (col("est") <= col("exact_cnt") + lit(epsN)).as("within_eps"))
@@ -172,13 +169,12 @@ object Sketches {
     val bloom = if (nIns == 0) null
       else sh.filter(col("doc_id") < half)
         .stat.bloomFilter("sh", math.max(100000L, nIns), 0.01)
-    val bc = s.sparkContext.broadcast(bloom)
-    val seen = udf((x: String) => bc.value != null && bc.value.mightContain(x))
-    val nMissed = inserted.filter(!seen(col("sh"))).count()
+    def seen = graft.functions.SketchProbes.bloomMightContain(s, bloom, col("sh"))
+    val nMissed = inserted.filter(!seen).count()
     val fresh = sh.filter(col("doc_id") >= half).select(col("sh")).distinct()
       .join(inserted, Seq("sh"), "left_anti").persist()
     val nNew = fresh.count()
-    val nFalsePos = fresh.filter(seen(col("sh"))).count()
+    val nFalsePos = fresh.filter(seen).count()
     val fpOk = nNew == 0 || nFalsePos.toDouble / nNew <= 0.05
     // every dependent count is materialized above and the result is a
     // driver-local literal — drop the cached frames now (same hygiene as
@@ -397,13 +393,14 @@ object Sketches {
     val bloom = sh.filter(col("doc_id") < half).select(col("sh")).as[String]
       .select(graft.functions.RefSketches
         .bloomAgg(math.max(100000L, nIns), 0.01).toColumn).head()
-    val bc = s.sparkContext.broadcast(bloom)
-    val seen = udf((x: String) => bc.value.mightContain(x))
-    val nMissed = inserted.filter(!seen(col("sh"))).count()
+    // corpus-sized probe scans through the codegen'd native expression —
+    // same RefBloom.mightContain bits, no UDF boxing (r10 verdict #3)
+    def seen = graft.functions.SketchProbes.refBloomMightContain(s, bloom, col("sh"))
+    val nMissed = inserted.filter(!seen).count()
     val fresh = sh.filter(col("doc_id") >= half).select(col("sh")).distinct()
       .join(inserted, Seq("sh"), "left_anti").persist()
     val nNew = fresh.count()
-    val nFalsePos = fresh.filter(seen(col("sh"))).count()
+    val nFalsePos = fresh.filter(seen).count()
     val fpOk = nNew == 0 || nFalsePos.toDouble / nNew <= 0.05
     // every dependent count is materialized above and the returned frame is
     // a driver-local literal — unpersist here so direct callers (outside the

@@ -65,6 +65,20 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must NOT read untouched columns (pruning broken): $readSchema")
   }
 
+  test("sketch probes are native expressions: no ScalaUDF in the probe plans") {
+    // The three sketch queries whose RETURNED frame contains the probe
+    // column (the bloom contracts probe inside intermediate counts, so
+    // their returned driver-literal frame can't carry this assertion).
+    // cms_estimate / bloom_might_contain are codegen'd Catalyst
+    // expressions (SketchProbes); a ScalaUDF here means the boxed
+    // per-row probe crept back in (r10 verdict #3).
+    for (q <- Seq("sketch_cms_token_freq", "sketch_cms_contract", "sketch_bloom_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"),
+        s"$q: sketch probe must be a native expression, found ScalaUDF:\n$p")
+    }
+  }
+
   test("rel_pricing_summary: whole-stage codegen covers the aggregate path") {
     // AQE shows codegen spans only in the FINAL adaptive plan, so this
     // one guard executes the (sf0.001, sub-second) query first
