@@ -137,11 +137,11 @@ object Bench {
     // numeric fields on these diagnostic lines are STRINGS (same rule as
     // the canary): the driver's "name":float tail regex must never read
     // a bogus query out of position/wall/receipt pairs
+    def isSuspect(name: String, wall: Double): Boolean =
+      receipts.get(name).exists(r => wall >= 1.0 && wall > 2 * r)
     results.zipWithIndex.foreach { case ((name, wall, _), i) =>
-      receipts.get(name).foreach { r =>
-        if (wall >= 1.0 && wall > 2 * r)
-          println(s"""{"metric":"first_use_suspect","name":${jstr(name)},"position":${jstr((i + 1).toString)},"wall":${jstr(f(wall))},"receipt":${jstr(f(r))}}""")
-      }
+      if (isSuspect(name, wall))
+        println(s"""{"metric":"first_use_suspect","name":${jstr(name)},"position":${jstr((i + 1).toString)},"wall":${jstr(f(wall))},"receipt":${jstr(f(receipts(name)))}}""")
       // Gate discipline (r9 verdict #4): a registered query with no
       // receipt row means it landed after the last full gate run — the
       // exact signature of the two un-gated queries that zeroed round 9.
@@ -175,7 +175,14 @@ object Bench {
     // and warmup-skipped count therefore ALSO ride the final total line,
     // the only line guaranteed to survive; as strings, so the "name":float
     // tail regex can't misread them as query timings.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"warmup_skipped":${jstr(warmupSkipped.toString)},"sf":"$sfDir"}""")
+    // Aggregate suspect/no-receipt counts ride the total line too (r11
+    // verdict #7): the per-name diagnostic lines print BEFORE the long
+    // per_query line and were truncated out of the r11 driver tail, so
+    // the self-attribution machinery was invisible exactly when needed.
+    // Same canary trick: the only guaranteed-surviving line carries them.
+    val nSuspects = results.count { case (n, w, _) => isSuspect(n, w) }
+    val nNoReceipt = results.count { case (n, _, _) => !receipts.contains(n) }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,8 +43,12 @@ object Warmup {
     *         it onto the final total line so a load-inflated round is
     *         diagnosable from the driver artifact alone. */
   def run(s: SparkSession, d: String): Int = {
+    // 0 is the explicit skip-all knob (pre-r11 semantics, restored per
+    // r11 ADVICE: the _ > 0 filter silently treated 0 as malformed and
+    // re-enabled the full 150 s budget for automation that set 0 to
+    // disable warmup). Negative or unparseable values fall back loudly.
     val budgetSec = sys.env.get("SPARK_GRAFT_WARMUP_BUDGET")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0))
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ >= 0))
       .getOrElse {
         sys.env.get("SPARK_GRAFT_WARMUP_BUDGET").foreach(v =>
           System.err.println(s"[warmup] bad SPARK_GRAFT_WARMUP_BUDGET '$v', using 150"))
@@ -66,7 +70,13 @@ object Warmup {
             System.err.println(f"[warmup] $name ${(System.nanoTime() - p0) / 1e9}%.1fs")
           case Left(err) =>
             notWarmed += 1
-            System.err.println(f"[warmup] CUT $name at ${(System.nanoTime() - p0) / 1e9}%.1fs: $err")
+            // the guard abandons the phase's daemon thread mid-body; its
+            // non-interruptible driver-side work may keep running UNDER the
+            // subsequent timed loop (r11 ADVICE) — warmup_skipped > 0 on the
+            // total line therefore marks the whole round's numbers
+            // load-suspect, not just under-warmed
+            System.err.println(f"[warmup] CUT $name at ${(System.nanoTime() - p0) / 1e9}%.1fs: $err" +
+              " (abandoned phase thread may overlap timed queries)")
         }
       }
     // first-job session init (~5 s: codegen infra, broadcast infra, parquet
