@@ -31,6 +31,11 @@ object BloomStatsAgg {
   // approx_fpp = fill^k wrong with no error (r10 review finding; the
   // reference's k=7 at these dims is bloom_filter.py:28).
 
+  /** m for the pinned (CAPACITY, FPP) dims — a pure constant of Spark's
+    * sizing formula, exposed so the sketch_bloom_stats oracle can pin the
+    * exact value as a literal instead of a magic number. */
+  lazy val BIT_SIZE: Long = BloomFilter.create(CAPACITY, FPP).bitSize()
+
   final class Buf(var filter: BloomFilter, var inserted: Long) extends Serializable
 
   val agg: Aggregator[String, Buf, BloomStats] =

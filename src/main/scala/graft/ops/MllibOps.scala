@@ -50,7 +50,7 @@ object MllibOps {
 
   /** Random-hyperplane (bucketed random projection) ANN join over the
     * embeddings table — the MLlib twin of Similarity.knnLsh. */
-  private[ops] def annMllib(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annMllib(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
     // LSH.fit rejects an empty dataset; an empty corpus has no neighbors.
@@ -77,6 +77,60 @@ object MllibOps {
       .orderBy(col("query_id"), col("euclid_dist"), col("cand_id"))
   }
 
+  /** Driver-gated verification rows for [[annMllib]] (r11 verdict #2 —
+    * upgrades the rows-only mllib_ann_join to oracle-exact rows): the
+    * BRP candidate SET is hash-family-internal, but per query
+    *  - `exact_min_dist` — the true nearest-neighbor euclidean distance —
+    *    is exact and oracle-computable;
+    *  - `min_dominated`: the approximate minimum distance can never beat
+    *    the exact minimum (deterministic TRUE; 4dp rounding is monotone);
+    *  - `has_k_cands`: ≥ K candidates returned (measured ≥ 457 per query
+    *    at the smallest fixture — wide margin);
+    *  - `structure_ok`: no self-pairs, distances in [0, join threshold].
+    * The inner join on query_id makes QUERY coverage part of the gate: a
+    * query the BRP join dropped hash-mismatches the oracle's 10 rows.
+    * Recall stays gated by `mllib_ann_contract`; the raw pair frame
+    * remains the operator API (spec-tested in MllibSpec). */
+  private def annMllibVerified(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val d2 = aggregate(zip_with(col("qe"), col("ce"),
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val exactMin = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("dist", sqrt(d2))
+      .groupBy(col("query_id"))
+      .agg(round(min(col("dist")), 4).as("exact_min_dist"))
+    annMllib(s, d).groupBy(col("query_id"))
+      .agg(min(col("euclid_dist")).as("amin"),
+        max(col("euclid_dist")).as("amax"),
+        count(lit(1)).as("ncand"),
+        sum(when(col("cand_id") === col("query_id"), 1L).otherwise(0L)).as("selfs"))
+      .join(broadcast(exactMin), Seq("query_id"))
+      .select(col("query_id"), col("exact_min_dist"),
+        (col("amin") >= col("exact_min_dist") - lit(1e-9)).as("min_dominated"),
+        (col("ncand") >= 5L).as("has_k_cands"),
+        (col("amin") >= 0.0 && col("amax") <= 8.0 + 1e-9 &&
+          col("selfs") === 0L).as("structure_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annMllibVerifiedSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      |           WHERE vec_id < 10),
+      |d AS (
+      |  SELECT q.query_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(q.embedding) + 1),
+      |        i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+      |           * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+      |      (acc, v) -> acc + v)) AS dist
+      |  FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+      |SELECT query_id, round(min(dist), 4) AS exact_min_dist,
+      |  TRUE AS min_dominated, TRUE AS has_k_cands, TRUE AS structure_ok
+      |FROM d GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("mllib_ann_join", annMllib, None))
+    QuerySpec("mllib_ann_join", annMllibVerified, Some(annMllibVerifiedSql)))
 }

@@ -451,12 +451,18 @@ object Relational {
       .repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("pid", spark_partition_id())
-      .persist() // two consumers (offset table + ranked rows) must see the
-                 // SAME range boundaries; also avoids a second source scan.
-                 // Stays cached until the caller's session clearCache —
-                 // unpersisting here would race the returned lazy plan
-                 // (both harnesses clear between queries; a long-running
-                 // service should too). Known bounded leak, r9 ADVICE.
+    // No persist (r11 verdict #5 — the old persist lived until the
+    // caller's clearCache, a bounded leak that is wrong for a long-lived
+    // embedding). The two consumers (offset table + ranked rows) instead
+    // share the ONE range shuffle: an explicit-numPartitions
+    // repartitionByRange is a REPARTITION_BY_NUM exchange, which AQE
+    // never coalesces or local-reads, so spark_partition_id() read above
+    // it is always the reducer partition id (0..nPart-1) in every
+    // subtree, and ReuseExchange dedupes the shuffle within each action
+    // (PlanShapeSpec pins the ReusedExchange). Across separate actions
+    // the sampled range boundaries could in principle differ, but the
+    // rank is a pure function of the total order — any self-consistent
+    // partitioning yields the identical ranking.
     // offsets over the ≤nPart-row count table WITHOUT a window: a
     // constant-partition Window here gets its foldable partition spec
     // removed by EliminateWindowPartitions, leaving an empty-spec

@@ -231,6 +231,7 @@ object Similarity {
     * first (r4: sim_ivf_recall, first in map order, wore the fit and crept
     * 4.5→7.5 s while its probe-side work was unchanged). */
   def warmIndex(s: SparkSession, d: String): Unit = {
+    exactKnnPairs(s, d).count() // fit-once ground-truth pair table build
     knnIvf(s, d).count()
     knnPq(s, d).count() // PQ codebook fit — same fit-once/probe-many shape
     knnIvfPq(s, d).count() // residual-PQ codebook fit — same shape
@@ -255,7 +256,7 @@ object Similarity {
     * model-derived, so no DuckDB oracle (rows-only); recall is asserted
     * against brute force in SimilaritySpec and hard-gated by
     * sim_ann_contract. */
-  private def knnIvf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnIvf(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     import org.apache.spark.ml.clustering.KMeans
     // Spherical quantization: the scoring metric is cosine, so cluster the
@@ -347,14 +348,19 @@ object Similarity {
   private def exactKnnPairs(s: SparkSession, d: String): DataFrame = {
     val path = exactKnnDirs.getOrElseUpdate(ivfKey(d), {
       val p = s"${TmpDirs.create("graft_exact_knn")}/pairs"
-      knnBruteforce(s, d).select(col("query_id"), col("cand_id"))
+      // rank + cos ride along (r11 verdict #2): the per-rank exact cosine
+      // is the oracle-computable baseline the upgraded sim_knn_* queries
+      // compare against, so the fit-once artifact carries it
+      knnBruteforce(s, d)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
         .coalesce(1).write.mode("overwrite").parquet(p)
       p
     })
-    s.read.schema("query_id BIGINT, cand_id BIGINT").parquet(path)
+    s.read.schema("query_id BIGINT, rank INT, cand_id BIGINT, cos DOUBLE")
+      .parquet(path)
   }
 
-  private def ivfRecall(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfRecall(s: SparkSession, d: String): DataFrame = {
     val exact = exactKnnPairs(s, d)
     val approx = knnIvf(s, d).select(col("query_id").as("q2"), col("cand_id").as("c2"))
     val hits = exact.join(approx,
@@ -524,7 +530,7 @@ object Similarity {
     * corpus-sized input), and the original vectors are touched for
     * PQ_SHORTLIST rows per query. Codes are model-derived → rows-only;
     * hard-gated by `sim_pq_contract` (recall floor vs brute force). */
-  private def knnPq(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnPq(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -622,7 +628,7 @@ object Similarity {
     * corpus partitioned by cell id, probes touch NPROBE partitions, and
     * per-row storage is PQ_M bytes + a cell id. Codes are model-derived
     * → rows-only; hard-gated by `sim_ivfpq_contract`. */
-  private def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnIvfPq(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -768,7 +774,7 @@ object Similarity {
     * constant, which cancels in the euclidean differences the shortlist
     * ranks on. Projections are model-derived → rows-only; hard-gated by
     * `sim_pca_contract` (variance + recall floors). */
-  private def knnPca(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnPca(s: SparkSession, d: String): DataFrame = {
     CosineSim.register(s)
     val prj0 = pcaProject(s, d).getOrElse(
       return emptyResult(s,
@@ -862,7 +868,7 @@ object Similarity {
     * Centroids are model-derived → rows-only; quality is hard-gated by
     * the oracle-exact `sim_topic_contract` (purity + variance-explained
     * + coverage floors). */
-  private def topicClusters(s: SparkSession, d: String): DataFrame = {
+  private[graft] def topicClusters(s: SparkSession, d: String): DataFrame = {
     val asg = topicAssign(s, d).getOrElse(
       return emptyResult(s,
         "cluster_id INT, n_docs BIGINT, share DOUBLE, top_label INT, top_label_share DOUBLE"))
@@ -936,21 +942,127 @@ object Similarity {
       |  TRUE AS purity_ok
       |FROM embeddings""".stripMargin
 
+  // --------------------------------------- driver-gated verification rows
+  //
+  // r11 verdict #2: the sim_knn_* / sim_ivf_recall / sim_topic_clusters
+  // registered queries used to dump the raw model-derived frames
+  // (cand_ids, cells, centroid shares — not oracle-computable → rows-only
+  // driver check). The registered queries are now VERIFICATION frames the
+  // DuckDB oracle hash-matches per row; the raw neighbor/report frames
+  // stay the operator API (the private[graft] functions above, exercised
+  // by every verified query and spec-tested directly in SimilaritySpec).
+
+  /** One row per (query_id, rank) — enumerable by the oracle — for an
+    * approximate kNN result:
+    *  - `exact_cos`: the brute-force rank-r cosine (from the fit-once
+    *    [[exactKnnPairs]] artifact; the oracle replays it in SQL);
+    *  - `cos_dominated`: the approximate rank-r cosine can never exceed
+    *    the exact rank-r cosine — if it did, r candidates would all beat
+    *    the r-th best, contradiction — so TRUE is deterministic (rounding
+    *    to 4dp is monotone, so the comparison survives the rounding);
+    *  - `structure_ok`: the index-specific per-row invariants
+    *    (self-exclusion, |cos| ≤ 1, cell/adc/d2 bounds).
+    * The inner join on (query_id, rank) makes row MULTIPLICITY part of
+    * the gate: an index that returns fewer/more than K rows per query
+    * hash-mismatches. WHICH candidates were returned stays gated by the
+    * *_contract recall floors. */
+  private def knnVerified(s: SparkSession, d: String, approx: DataFrame,
+      structureOk: Column): DataFrame = {
+    val exact = exactKnnPairs(s, d)
+      .select(col("query_id"), col("rank"), col("cos").as("exact_cos"))
+    approx
+      .withColumn("structure_ok", structureOk)
+      .select(col("query_id"), col("rank"), col("cos"), col("structure_ok"))
+      .join(broadcast(exact), Seq("query_id", "rank"))
+      .select(col("query_id"), col("rank"), col("exact_cos"),
+        (col("cos") <= col("exact_cos") + lit(1e-9)).as("cos_dominated"),
+        col("structure_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val knnVerifiedSql =
+    s"""SELECT query_id, rank, cos AS exact_cos,
+       |  TRUE AS cos_dominated, TRUE AS structure_ok
+       |FROM ($knnBruteforceSql) ORDER BY query_id, rank""".stripMargin
+
+  private def knnIvfVerified(s: SparkSession, d: String): DataFrame =
+    knnVerified(s, d, knnIvf(s, d),
+      col("cand_id") =!= col("query_id") && abs(col("cos")) <= 1.0001 &&
+        col("cell").between(0, 15))
+
+  private def knnPqVerified(s: SparkSession, d: String): DataFrame =
+    knnVerified(s, d, knnPq(s, d),
+      col("cand_id") =!= col("query_id") && abs(col("cos")) <= 1.0001 &&
+        col("adc") >= -1e-9)
+
+  private def knnIvfPqVerified(s: SparkSession, d: String): DataFrame =
+    knnVerified(s, d, knnIvfPq(s, d),
+      col("cand_id") =!= col("query_id") && abs(col("cos")) <= 1.0001 &&
+        col("cell").between(0, 15) && col("adc") >= -1e-9)
+
+  private def knnPcaVerified(s: SparkSession, d: String): DataFrame =
+    knnVerified(s, d, knnPca(s, d),
+      col("cand_id") =!= col("query_id") && abs(col("cos")) <= 1.0001 &&
+        col("pca_d2") >= -1e-9)
+
+  /** [[ivfRecall]]'s driver-gated form: the recall VALUES are
+    * model-internal, but the floor crossing and the [0,1] ∧ min≤avg≤max
+    * ordering are deterministic for the pinned seeds (rounding at 4dp is
+    * monotone, so the ordering survives it). n_queries is derived the
+    * way the oracle derives it (embeddings with vec_id < NQ). */
+  private def ivfRecallVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nQueries = T.embeddings(s, d).filter(col("vec_id") < NQ).count()
+    if (nQueries == 0)
+      return Seq((0L, true, true)).toDF("n_queries", "avg_floor_ok", "bounds_ok")
+    val r = ivfRecall(s, d).collect()(0) // 1-row summary — driver-bounded
+    val (avg, mn, mx) = (r.getAs[Double]("avg_recall"),
+      r.getAs[Double]("min_recall"), r.getAs[Double]("max_recall"))
+    Seq((nQueries, avg >= IVF_RECALL_FLOOR,
+      0.0 <= mn && mn <= avg && avg <= mx && mx <= 1.0))
+      .toDF("n_queries", "avg_floor_ok", "bounds_ok")
+  }
+
+  private val ivfRecallVerifiedSql =
+    s"""SELECT count(*) AS n_queries, TRUE AS avg_floor_ok, TRUE AS bounds_ok
+       |FROM embeddings WHERE vec_id < $NQ""".stripMargin
+
+  /** [[topicClusters]]'s driver-gated form: one row per cluster id
+    * (enumerable — the contract's coverage gate certifies all TK clusters
+    * nonempty on this fixture) with the per-cluster structural
+    * invariants. `dominance_ok`'s floor is mathematical, not measured:
+    * the dominant label's within-cluster share is ≥ 1/#labels-present
+    * ≥ 1/10 for the fixture's 10-label domain. */
+  private def topicClustersVerified(s: SparkSession, d: String): DataFrame =
+    topicClusters(s, d).select(col("cluster_id"),
+      (col("n_docs") >= 1L).as("nonempty"),
+      (col("share") > 0.0 && col("share") <= 1.0).as("share_ok"),
+      col("top_label").between(0, 9).as("label_ok"),
+      (col("top_label_share") >= 0.1 - 1e-9 && col("top_label_share") <= 1.0)
+        .as("dominance_ok"))
+      .orderBy(col("cluster_id"))
+
+  private val topicClustersVerifiedSql =
+    s"""SELECT CAST(range AS INT) AS cluster_id, TRUE AS nonempty,
+       |  TRUE AS share_ok, TRUE AS label_ok, TRUE AS dominance_ok
+       |FROM range($TK) WHERE (SELECT count(*) FROM embeddings) > 0
+       |ORDER BY cluster_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("sim_knn_bruteforce", knnBruteforce, Some(knnBruteforceSql)),
     QuerySpec("sim_knn_lsh", knnLsh, Some(knnLshSql)),
-    QuerySpec("sim_knn_ivf", knnIvf, None),
+    QuerySpec("sim_knn_ivf", knnIvfVerified, Some(knnVerifiedSql)),
     QuerySpec("sim_vector_stats", vectorStats, Some(vectorStatsSql)),
-    QuerySpec("sim_ivf_recall", ivfRecall, None),
+    QuerySpec("sim_ivf_recall", ivfRecallVerified, Some(ivfRecallVerifiedSql)),
     QuerySpec("sim_ann_contract", annContract, Some(annContractSql)),
     QuerySpec("mllib_ann_contract", mllibAnnContract, Some(mllibAnnContractSql)),
-    QuerySpec("sim_knn_pq", knnPq, None),
+    QuerySpec("sim_knn_pq", knnPqVerified, Some(knnVerifiedSql)),
     QuerySpec("sim_pq_contract", pqContract, Some(pqContractSql)),
-    QuerySpec("sim_knn_ivfpq", knnIvfPq, None),
+    QuerySpec("sim_knn_ivfpq", knnIvfPqVerified, Some(knnVerifiedSql)),
     QuerySpec("sim_ivfpq_contract", ivfpqContract, Some(ivfpqContractSql)),
     QuerySpec("sim_hybrid_search", hybridSearch, Some(hybridSearchSql)),
-    QuerySpec("sim_topic_clusters", topicClusters, None),
+    QuerySpec("sim_topic_clusters", topicClustersVerified, Some(topicClustersVerifiedSql)),
     QuerySpec("sim_topic_contract", topicContract, Some(topicContractSql)),
-    QuerySpec("sim_knn_pca", knnPca, None),
+    QuerySpec("sim_knn_pca", knnPcaVerified, Some(knnVerifiedSql)),
     QuerySpec("sim_pca_contract", pcaContract, Some(pcaContractSql)))
 }

@@ -17,38 +17,93 @@ import graft.functions.Text
   *  - HLL (`approx_count_distinct`) as the scalable distinct-count path the
   *    reference lacked.
   *
-  * Estimates are hash-family-specific, so these queries carry no DuckDB
-  * oracle (driver records rows-only); their (ε,δ) contracts are enforced by
-  * ScalaTest/ScalaCheck property specs against the exact twins
-  * (SURVEY.md §5.2). Sketch aggregation is partial+final by construction
-  * (both sketches merge exactly), so the build is one pass over the data at
-  * any scale.
+  * Raw estimates are hash-family-specific, so no cross-engine oracle can
+  * replay them — instead every registered query here emits the exact
+  * columns both engines CAN compute plus the deterministic sketch
+  * guarantees as booleans (compute-and-pin, the mm_meta_integrity
+  * pattern), so the whole family is driver-hash-gated; the (ε,δ)
+  * contracts are additionally enforced by ScalaTest/ScalaCheck property
+  * specs against the exact twins (SURVEY.md §5.2). The one exception is
+  * sketch_approx_quantiles (GK sketch merge is not order-invariant, and
+  * its accuracy band is already pinned by sketch_quantile_contract —
+  * converting it would register a byte-duplicate query). Sketch
+  * aggregation is partial+final by construction (both sketches merge
+  * exactly), so the build is one pass over the data at any scale.
   */
 object Sketches {
 
-  /** CMS estimates vs exact counts for the corpus top-20 tokens
-    * (A1/A2/A12 twin). `overestimate ≥ 0` always; ≤ ε·N w.h.p. */
+  /** CMS probe report over TWO probe bands (A1/A2/A12 twin), driver-gated
+    * (r11 verdict #2 — was rows-only: the raw estimates are
+    * hash-family-internal, but the Count-Min guarantees per band are
+    * deterministic for the pinned seed and dataset):
+    *  - `present` band: the corpus top-20 tokens — exact ≤ est ≤ exact+ε·N
+    *    (ε = 2/width for the 544-wide reference shape);
+    *  - `absent` band: 10 synthetic never-inserted probes — est ≥ 0 and
+    *    est ≤ ε·N (measured 0 at every fixture SF; absent-key collisions
+    *    are what ε·N bounds). exact_cnt is computed from the data, not
+    *    assumed 0, so a fixture that ever contained a probe token stays
+    *    consistent in both engines.
+    * This is the band the [[cmsContract]] gate does NOT cover (present
+    * keys only); together they pin both sides of the CMS behavior. */
   private def cmsTokenFreq(s: SparkSession, d: String): DataFrame = {
-    // persist: two actions (the CMS build below, then the returned lazy
-    // frame's evaluation) would otherwise each re-scan + re-tokenize the
-    // corpus — same reasoning as cmsContract's persist (review finding)
+    import s.implicits._
+    // persist: three actions (N, the CMS build, the exact counts) would
+    // otherwise each re-scan + re-tokenize the corpus
     val toks = T.documents(s, d)
       .select(explode(Text.tokens(col("text"))).as("token"))
       .persist()
+    val n = toks.count()
+    val epsN = math.ceil(2.0 * n / 544).toLong
     // Reference shape: depth 7 × width 544, seed pinned (count_min_sketch.py:28-39)
     val cms = toks.stat.countMinSketch("token", 7, 544, 42)
-    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("token")).limit(20)
-      .withColumn("cms_est",
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    val top = counts.orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      .withColumn("kind", lit("present"))
+    val absent = (0 until 10).map(i => f"graftabsentprobe$i%02d").toDF("token")
+      .join(counts, Seq("token"), "left")
+      .select(col("token"), coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+      .withColumn("kind", lit("absent"))
+    top.unionByName(absent)
+      .withColumn("est",
         graft.functions.SketchProbes.cmsEstimate(s, cms, col("token")))
-      .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("token"))
+      .select(col("token"), col("kind"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("no_underestimate"),
+        (col("est") <= col("exact_cnt") + lit(epsN)).as("within_eps"))
+      .orderBy(col("kind"), col("exact_cnt").desc, col("token"))
   }
+
+  private val cmsAbsentProbesSql = (0 until 10)
+    .map(i => f"SELECT 'graftabsentprobe$i%02d' AS token").mkString(" UNION ALL ")
+
+  private val cmsTokenFreqSql =
+    s"""WITH tc AS (
+       |  SELECT token, count(*) AS exact_cnt
+       |  FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)
+       |  GROUP BY token),
+       |top AS (SELECT token, 'present' AS kind, exact_cnt FROM tc
+       |        ORDER BY exact_cnt DESC, token LIMIT 20),
+       |ab AS (SELECT p.token, 'absent' AS kind,
+       |         coalesce(tc.exact_cnt, CAST(0 AS BIGINT)) AS exact_cnt
+       |       FROM ($cmsAbsentProbesSql) p LEFT JOIN tc USING (token))
+       |SELECT token, kind, exact_cnt, TRUE AS no_underestimate,
+       |  TRUE AS within_eps
+       |FROM (SELECT * FROM top UNION ALL SELECT * FROM ab)
+       |ORDER BY kind, exact_cnt DESC, token""".stripMargin
 
   /** Bloom-filter shingle dedup (ST5/A5 twin): build the filter over the
     * first half of the corpus (by doc_id), probe the second half's shingles
     * — the approximate version of text_dup_scores' first-half membership.
-    * No false negatives by construction; fpp bounds the score inflation. */
+    *
+    * Driver-gated per PROBED DOC (r11 verdict #2 — was rows-only): the
+    * bloom membership count is hash-internal, but per doc
+    *  - `n_shingles` / `n_true_seen` / `exact_score` / `is_dup_exact` are
+    *    exact (true membership via join against the distinct history set —
+    *    both engines compute them);
+    *  - `no_false_negatives`: n_seen ≥ n_true_seen, structural (inserted
+    *    bits stay set);
+    *  - `fp_bounded`: n_seen − n_true_seen ≤ max(5, ⌈5%·n_shingles⌉) —
+    *    measured 0 false positives per doc at every fixture SF, so the
+    *    bound carries wide margin while still failing a broken filter. */
   private def bloomShingleDedup(s: SparkSession, d: String): DataFrame = {
     // persist: the shingle frame feeds two actions (bloom build, probe);
     // caching saves a full re-tokenize/re-shingle scan
@@ -67,27 +122,73 @@ object Sketches {
     val bloom =
       if (history.isEmpty) null
       else history.stat.bloomFilter("sh", 100000L, 0.01)
+    val hist = history.select(col("sh")).distinct().withColumn("in_hist", lit(1))
+    val score = round(col("n_true_seen").cast("double") / col("n_shingles"), 4)
     sh.filter(col("doc_id") >= half)
       .withColumn("seen",
         graft.functions.SketchProbes.bloomMightContain(s, bloom, col("sh")))
+      .join(hist, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("seen"), 1L).otherwise(0L)).as("n_seen"),
-        round(avg(when(col("seen"), 1.0).otherwise(0.0)), 4).as("bloom_score"))
-      .withColumn("is_dup", col("bloom_score") >= 0.7)
+        sum(when(col("in_hist").isNotNull, 1L).otherwise(0L)).as("n_true_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_true_seen"),
+        score.as("exact_score"),
+        (score >= 0.7).as("is_dup_exact"),
+        (col("n_seen") >= col("n_true_seen")).as("no_false_negatives"),
+        (col("n_seen") - col("n_true_seen") <=
+          greatest(lit(5L), ceil(col("n_shingles") * 0.05).cast("long")))
+          .as("fp_bounded"))
       .orderBy(col("doc_id"))
   }
 
-  /** HLL approximate distinct tokens per snapshot vs exact (the scalable
-    * replacement for A14's in-memory distinct set). */
-  private def hllDistinct(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+  private val bloomShingleDedupSql =
+    s"""WITH shp AS (
+       |  SELECT doc_id, unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
+       |  FROM documents),
+       |h AS (SELECT count(*) // 2 AS half FROM documents),
+       |hist AS (SELECT DISTINCT sh FROM shp
+       |         WHERE doc_id < (SELECT half FROM h)),
+       |probe AS (
+       |  SELECT p.doc_id, CASE WHEN hist.sh IS NOT NULL THEN 1 ELSE 0 END AS t
+       |  FROM shp p LEFT JOIN hist ON p.sh = hist.sh
+       |  WHERE p.doc_id >= (SELECT half FROM h))
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(t) AS BIGINT) AS n_true_seen,
+       |  round(sum(t) * 1.0 / count(*), 4) AS exact_score,
+       |  round(sum(t) * 1.0 / count(*), 4) >= 0.7 AS is_dup_exact,
+       |  TRUE AS no_false_negatives, TRUE AS fp_bounded
+       |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** HLL distinct tokens per snapshot (the scalable replacement for
+    * A14's in-memory distinct set), driver-gated (r11 verdict #2 — was
+    * rows-only): the HLL++ estimate is register-internal, but it is a
+    * pure function of the merged register SET — independent of
+    * partitioning and merge order (registers merge by max) — so
+    * `merge_invariant` (the estimate under two different partitionings is
+    * IDENTICAL) is deterministic TRUE and gates the aggregator's
+    * partial+final merge path, the property the accuracy-band
+    * [[hllContract]] does not cover. */
+  private def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val base = T.documents(s, d)
       .select(expr("doc_id div 100").as("snapshot"),
         explode(Text.tokens(col("text"))).as("token"))
-      .groupBy(col("snapshot"))
-      .agg(countDistinct(col("token")).as("exact_distinct"),
-        approx_count_distinct(col("token"), 0.01).as("approx_distinct"))
+    def approx(parts: Int) = base.repartition(parts).groupBy(col("snapshot"))
+      .agg(approx_count_distinct(col("token"), 0.01).as(s"a$parts"))
+    base.groupBy(col("snapshot"))
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+      .join(approx(7), Seq("snapshot"))
+      .join(approx(13), Seq("snapshot"))
+      .select(col("snapshot"), col("exact_distinct"),
+        (col("a7") === col("a13")).as("merge_invariant"))
       .orderBy(col("snapshot"))
+  }
+
+  private val hllDistinctSql =
+    s"""SELECT doc_id // 100 AS snapshot,
+       |  count(DISTINCT token) AS exact_distinct, TRUE AS merge_invariant
+       |FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token FROM documents)
+       |GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
   /** HLL accuracy contract, oracle-checkable: the approx value itself is
     * hash-family-internal (rows-only in sketch_hll_distinct), but whether
@@ -203,19 +304,39 @@ object Sketches {
 
   /** A6 twin via the custom [[graft.functions.BloomStatsAgg]] Aggregator:
     * corpus-wide Bloom stats with the fill ratio the built-in aggregation
-    * cannot report. One partial+final pass. */
+    * cannot report. One partial+final pass per partitioning.
+    *
+    * Driver-gated (r11 verdict #2 — was rows-only): `bit_size` is a pure
+    * constant of the pinned (capacity, fpp) sizing formula, `inserted` is
+    * the exact shingle count both engines compute, and `merge_invariant`
+    * pins the Aggregator's merge path: the filter merges by bitwise OR
+    * and the insert counter by sum, so the full stats row under two
+    * different partitionings is IDENTICAL — the property the formula-
+    * consistency [[bloomStatsContract]] does not cover. The fill/fpp
+    * VALUES stay reported through that contract's consistency booleans. */
   private def bloomStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = T.documents(s, d)
       .select(Text.tokens(col("text")).as("toks"))
       .select(explode(Text.shingles3(col("toks"))).as("sh"))
       .as[String]
-    sh.select(graft.functions.BloomStatsAgg.agg.toColumn).toDF()
-      .select(col("bit_size"), col("set_bits"),
-        round(col("fill_ratio"), 6).as("fill_ratio"),
-        col("inserted"),
-        round(col("approx_fpp"), 8).as("approx_fpp"))
+    def statsOf(parts: Int) = sh.repartition(parts)
+      .select(graft.functions.BloomStatsAgg.agg.toColumn).toDF()
+    statsOf(7).select(col("bit_size"), col("set_bits").as("sb1"),
+        col("inserted"), col("fill_ratio").as("fr1"), col("approx_fpp").as("fp1"))
+      .crossJoin(statsOf(13).select(col("set_bits").as("sb2"),
+        col("fill_ratio").as("fr2"), col("approx_fpp").as("fp2")))
+      .select(col("bit_size"), col("inserted"),
+        (col("sb1") === col("sb2") && col("fr1") === col("fr2") &&
+          col("fp1") === col("fp2")).as("merge_invariant"))
   }
+
+  private val bloomStatsSql =
+    s"""SELECT CAST(${graft.functions.BloomStatsAgg.BIT_SIZE} AS BIGINT)
+       |    AS bit_size,
+       |  count(*) AS inserted, TRUE AS merge_invariant
+       |FROM (SELECT unnest(${Text.shingles3Sql(Text.toksSql)}) AS sh
+       |      FROM documents)""".stripMargin
 
   /** Bloom-stats contract, oracle-checkable (closes the last rows-only
     * sketch family without a dedicated contract): the fill ratio and fpp
@@ -344,19 +465,74 @@ object Sketches {
         .select(graft.functions.RefSketches.cmsAgg(0, 544, 7).toColumn).head())
   }
 
-  /** Faithful-CMS estimates vs exact counts for the corpus top-20 tokens —
-    * [[cmsTokenFreq]]'s twin with the reference's exact per-key columns
-    * (seed 0, the reference constructor default). Estimates are
-    * blake2b-internal → rows-only; gated by sketch_cms_faithful_contract. */
+  /** Faithful-CMS growth/monotonicity report for the corpus top-20 tokens
+    * — [[cmsTokenFreq]]'s blake2b twin (seed 0, the reference constructor
+    * default), driver-gated (r11 verdict #2 — was rows-only): per-key
+    * estimates are blake2b-internal, but with the SAME seed a sketch over
+    * the first corpus half and a sketch over the whole corpus hash every
+    * key to the same cells, and CMS counters only grow under inserts, so
+    *  - `half_no_underestimate`: est_half ≥ the exact first-half count
+    *    (oracle-exact `exact_cnt_half` column);
+    *  - `merge_monotone`: est_half ≤ est_full — the incremental-growth
+    *    property a mergeable sketch deployment relies on (build per
+    *    partition, merge up), which [[cmsFaithfulContract]]'s ε-band does
+    *    not cover.
+    * Both half sketches are fit-once cached like the full one. */
   private def cmsFaithful(s: SparkSession, d: String): DataFrame = {
-    val cms = faithfulCmsFor(s, d)
-    val bc = s.sparkContext.broadcast(cms)
-    val estimate = udf((t: String) => bc.value.estimate(t))
+    val full = faithfulCmsFor(s, d)
+    val halfCms = faithfulCmsHalfFor(s, d)
+    val half = T.documents(s, d).count() / 2
+    val halfCounts = T.documents(s, d).filter(col("doc_id") < half)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt_half"))
+    val bcF = s.sparkContext.broadcast(full)
+    val bcH = s.sparkContext.broadcast(halfCms)
+    // 20-row post-limit frame — the cold-path UDF exemption (SketchProbes)
+    val estF = udf((t: String) => bcF.value.estimate(t))
+    val estH = udf((t: String) => bcH.value.estimate(t))
     corpusTokens(s, d).groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token")).limit(20)
-      .withColumn("ref_est", estimate(col("token")))
-      .withColumn("overestimate", col("ref_est") - col("exact_cnt"))
+      .join(halfCounts, Seq("token"), "left")
+      .na.fill(0L, Seq("exact_cnt_half"))
+      .select(col("token"), col("exact_cnt"), col("exact_cnt_half"),
+        (estH(col("token")) >= col("exact_cnt_half")).as("half_no_underestimate"),
+        (estH(col("token")) <= estF(col("token"))).as("merge_monotone"))
       .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  private val cmsFaithfulSql =
+    s"""WITH tc AS (
+       |  SELECT token, count(*) AS exact_cnt
+       |  FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents)
+       |  GROUP BY token),
+       |th AS (
+       |  SELECT token, count(*) AS c
+       |  FROM (SELECT unnest(${Text.toksSql}) AS token FROM documents
+       |        WHERE doc_id < (SELECT count(*) // 2 FROM documents))
+       |  GROUP BY token),
+       |top AS (SELECT token, exact_cnt FROM tc
+       |        ORDER BY exact_cnt DESC, token LIMIT 20)
+       |SELECT t.token, t.exact_cnt,
+       |  coalesce(h.c, CAST(0 AS BIGINT)) AS exact_cnt_half,
+       |  TRUE AS half_no_underestimate, TRUE AS merge_monotone
+       |FROM top t LEFT JOIN th h USING (token)
+       |ORDER BY exact_cnt DESC, token""".stripMargin
+
+  /** Fit-once faithful CMS over the FIRST CORPUS HALF (doc_id < n/2) —
+    * [[cmsFaithful]]'s growth-comparison sketch, cached per dataset like
+    * the full one. */
+  private val faithfulCmsHalfCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.functions.RefSketches.RefCms]
+
+  private def faithfulCmsHalfFor(s: SparkSession, d: String)
+      : graft.functions.RefSketches.RefCms = {
+    import s.implicits._
+    faithfulCmsHalfCache.getOrElseUpdate(T.datasetKey(d, "documents"), {
+      val half = T.documents(s, d).count() / 2
+      T.documents(s, d).filter(col("doc_id") < half)
+        .select(explode(Text.tokens(col("text"))).as("token")).as[String]
+        .select(graft.functions.RefSketches.cmsAgg(0, 544, 7).toColumn).head()
+    })
   }
 
   /** Faithful-CMS accuracy contract, oracle-checkable (the [[cmsContract]]
@@ -413,16 +589,16 @@ object Sketches {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("sketch_cms_token_freq", cmsTokenFreq, None),
-    QuerySpec("sketch_cms_faithful", cmsFaithful, None),
+    QuerySpec("sketch_cms_token_freq", cmsTokenFreq, Some(cmsTokenFreqSql)),
+    QuerySpec("sketch_cms_faithful", cmsFaithful, Some(cmsFaithfulSql)),
     QuerySpec("sketch_cms_faithful_contract", cmsFaithfulContract, Some(cmsContractSql)),
     QuerySpec("sketch_bloom_faithful_contract", bloomFaithfulContract, Some(bloomContractSql)),
     QuerySpec("sketch_cms_contract", cmsContract, Some(cmsContractSql)),
-    QuerySpec("sketch_bloom_dedup", bloomShingleDedup, None),
+    QuerySpec("sketch_bloom_dedup", bloomShingleDedup, Some(bloomShingleDedupSql)),
     QuerySpec("sketch_bloom_contract", bloomContract, Some(bloomContractSql)),
-    QuerySpec("sketch_bloom_stats", bloomStats, None),
+    QuerySpec("sketch_bloom_stats", bloomStats, Some(bloomStatsSql)),
     QuerySpec("sketch_bloom_stats_contract", bloomStatsContract, Some(bloomStatsContractSql)),
-    QuerySpec("sketch_hll_distinct", hllDistinct, None),
+    QuerySpec("sketch_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QuerySpec("sketch_hll_contract", hllContract, Some(hllContractSql)),
     QuerySpec("sketch_approx_quantiles", approxQuantiles, None),
     QuerySpec("sketch_quantile_contract", quantileContract, Some(quantileContractSql)))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class DgimBurstStreamSpec extends SparkSpec {
 
   test("stream_dgim_burst estimates dominate exact recent counts") {
-    val est = SparkEntry.queries("stream_dgim_burst")(spark, sf001)
+    val est = graft.streaming.StreamingOps.dgimBurstRaw(spark, sf001)
       .collect().map(r => r.getAs[String]("token") ->
         (r.getAs[Long]("recent_est"), r.getAs[Long]("prev_est"))).toMap
     assert(est.nonEmpty)

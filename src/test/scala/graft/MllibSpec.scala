@@ -17,7 +17,7 @@ class MllibSpec extends SparkSpec {
   }
 
   test("MLlib BRP ANN join returns plausible neighbor sets per query") {
-    val rows = SparkEntry.queries("mllib_ann_join")(spark, sf001).collect()
+    val rows = ops.MllibOps.annMllib(spark, sf001).collect()
     assert(rows.nonEmpty)
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
     byQuery.foreach { case (_, rs) =>

@@ -65,6 +65,21 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must NOT read untouched columns (pruning broken): $readSchema")
   }
 
+  test("rel_window_ntile: the global-rank range shuffle is computed once and reused") {
+    // withGlobalRank dropped its persist (r11 verdict #5): the offset
+    // table and the ranked rows now share the ONE range exchange via
+    // ReuseExchange. Executes (sf0.001, sub-second) because reuse is
+    // finalized in the adaptive plan; a plan with no reused exchange
+    // means the shuffle is computed twice (cost) or — worse — the two
+    // consumers could see different partitionings.
+    val df = SparkEntry.queries("rel_window_ntile")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedShuffle") ||
+      p.contains("StageReuse") || p.contains("reused"),
+      s"expected the range exchange to be reused by both consumers:\n$p")
+  }
+
   test("sketch probes are native expressions: no ScalaUDF in the probe plans") {
     // The three sketch queries whose RETURNED frame contains the probe
     // column (the bloom contracts probe inside intermediate counts, so

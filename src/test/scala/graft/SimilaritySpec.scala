@@ -7,9 +7,19 @@ package graft
   * the structural contracts, not a recall percentage). */
 class SimilaritySpec extends SparkSpec {
 
+  // raw operator frames (neighbor rows with cand_id/cos/cell...): the
+  // registered queries are now the driver-gated verification frames, so
+  // the structural assertions here exercise the raw API directly
+  private def raw(name: String) = name match {
+    case "sim_knn_bruteforce" => SparkEntry.queries(name)(spark, sf001)
+    case "sim_knn_ivf" => ops.Similarity.knnIvf(spark, sf001)
+    case "sim_knn_pq" => ops.Similarity.knnPq(spark, sf001)
+    case "sim_knn_ivfpq" => ops.Similarity.knnIvfPq(spark, sf001)
+    case "sim_knn_pca" => ops.Similarity.knnPca(spark, sf001)
+  }
+
   private def resultMap(name: String) =
-    SparkEntry.queries(name)(spark, sf001).collect()
-      .groupBy(_.getAs[Long]("query_id"))
+    raw(name).collect().groupBy(_.getAs[Long]("query_id"))
 
   test("IVF: neighbors come from at most nprobe cells and scores are true cosines") {
     val bf = resultMap("sim_knn_bruteforce")
@@ -37,8 +47,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF recall metric: deterministic, bounded, and non-trivial") {
-    val r1 = SparkEntry.queries("sim_ivf_recall")(spark, sf001).collect()(0)
-    val r2 = SparkEntry.queries("sim_ivf_recall")(spark, sf001).collect()(0)
+    val r1 = ops.Similarity.ivfRecall(spark, sf001).collect()(0)
+    val r2 = ops.Similarity.ivfRecall(spark, sf001).collect()(0)
     assert(r1 == r2, "seeded kmeans must make the metric deterministic")
     val avg = r1.getAs[Double]("avg_recall")
     assert(avg > 0.2 && avg <= 1.0, s"IVF nprobe-3 recall out of range: $avg")
@@ -46,8 +56,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("PQ: deterministic, re-ranked cosines are true cosines, top-K per query") {
-    val r1 = SparkEntry.queries("sim_knn_pq")(spark, sf001).collect()
-    val r2 = SparkEntry.queries("sim_knn_pq")(spark, sf001).collect()
+    val r1 = ops.Similarity.knnPq(spark, sf001).collect()
+    val r2 = ops.Similarity.knnPq(spark, sf001).collect()
     assert(r1.toSeq == r2.toSeq, "seeded codebooks must make PQ deterministic")
     val bf = resultMap("sim_knn_bruteforce")
     r1.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
@@ -73,8 +83,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("PCA: deterministic, re-ranked cosines are true cosines, top-K per query") {
-    val r1 = SparkEntry.queries("sim_knn_pca")(spark, sf001).collect()
-    val r2 = SparkEntry.queries("sim_knn_pca")(spark, sf001).collect()
+    val r1 = ops.Similarity.knnPca(spark, sf001).collect()
+    val r2 = ops.Similarity.knnPca(spark, sf001).collect()
     assert(r1.toSeq == r2.toSeq, "covariance PCA must make the search deterministic")
     val bf = resultMap("sim_knn_bruteforce")
     r1.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
@@ -99,8 +109,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVFPQ: probed-cell restriction, dense ranks, refined cosines are true cosines") {
-    val r1 = SparkEntry.queries("sim_knn_ivfpq")(spark, sf001).collect()
-    val r2 = SparkEntry.queries("sim_knn_ivfpq")(spark, sf001).collect()
+    val r1 = ops.Similarity.knnIvfPq(spark, sf001).collect()
+    val r2 = ops.Similarity.knnIvfPq(spark, sf001).collect()
     assert(r1.toSeq == r2.toSeq, "seeded coarse+residual codebooks must be deterministic")
     val bf = resultMap("sim_knn_bruteforce")
     r1.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
@@ -126,8 +136,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("topic clusters: deterministic, shares sum to 1, dominant labels sane") {
-    val r1 = SparkEntry.queries("sim_topic_clusters")(spark, sf001).collect()
-    val r2 = SparkEntry.queries("sim_topic_clusters")(spark, sf001).collect()
+    val r1 = ops.Similarity.topicClusters(spark, sf001).collect()
+    val r2 = ops.Similarity.topicClusters(spark, sf001).collect()
     assert(r1.toSeq == r2.toSeq, "seeded fit-once model must make the report deterministic")
     assert(r1.length == 10, "all 10 clusters must be nonempty at fixture scale")
     assert(r1.map(_.getAs[Int]("cluster_id")).toSeq == (0 until 10))
