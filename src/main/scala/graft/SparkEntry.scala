@@ -13,7 +13,8 @@ object SparkEntry {
     ops.Relational.specs ++ ops.TextPipeline.specs ++ ops.Dedup.specs ++
       ops.Similarity.specs ++ ops.TextAnalysis.specs ++ ops.Sketches.specs ++
       ops.MllibOps.specs ++ streaming.StreamingOps.specs ++
-      multimodal.Multimodal.specs ++ RunDetectors.specs
+      multimodal.Multimodal.specs ++ RunDetectors.specs ++
+      sources.SccLoaderGate.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's headline computation (top tokens of the preprocessed

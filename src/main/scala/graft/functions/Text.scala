@@ -131,10 +131,13 @@ object Text {
     * escaping; DuckDB standard strings pass the backslashes through to
     * RE2 untouched. */
   private val edgePunctPatternSql = edgePunctPattern.replace("'", "''")
-  /** T1+T2 only (the [[rawAlphaTokens]] twin) — for oracle chains that
-    * need the reference's lemma-BEFORE-stopwords order. */
-  val rawAlphaToksSql: String =
-    s"list_filter(list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '$edgePunctPatternSql', '', 'g')), t -> regexp_full_match(t, '\\p{L}+'))"
+  /** T1+T2 only (the [[rawAlphaTokens]] twin) over an arbitrary string
+    * expression — for oracle chains that need the reference's
+    * lemma-BEFORE-stopwords order on a column other than `text`.
+    * `expr` must be a bare column/lambda reference (it is repeated). */
+  def rawAlphaToksSqlOf(expr: String): String =
+    s"list_filter(list_transform(string_split(lower($expr), ' '), t -> regexp_replace(t, '$edgePunctPatternSql', '', 'g')), t -> regexp_full_match(t, '\\p{L}+'))"
+  val rawAlphaToksSql: String = rawAlphaToksSqlOf("text")
   val toksSql: String =
     s"list_filter($rawAlphaToksSql, t -> t NOT IN ${stopwordsSqlList})"
 

@@ -50,7 +50,7 @@ object SccJsonSource {
     StructField("label", StringType),
     StructField("dataset", StringType)))
 
-  private val boilerplate =
+  private[sources] val boilerplate =
     "This message contains files. If the description for a file does not " +
       "make sense, ignore it.Here are descriptions of those files:"
 
@@ -83,6 +83,23 @@ object SccJsonSource {
     * (scc_dataset_loader.py:38-45 — `remove_file_description` and
     * `preprocess_messages` sit outside the `if not all_messages` branch). */
   def preprocessedMessages(s: SparkSession, dir: String,
+      allMessages: Boolean = false): DataFrame =
+    // reference order (base_dataset_loader.py:87-90): lemmatize FIRST,
+    // then drop stopwords — a token whose LEMMA is a stopword goes; and a
+    // message whose body preprocesses to "" is KEPT (preprocess_messages
+    // retains it; the stream iterator is what drops falsy bodies)
+    scrubbedMessages(s, dir, allMessages).withColumn("body",          // T1–T5
+      array_join(
+        filter(Lemmatizer.lemmatizeArray(Text.rawAlphaTokens(col("body"))),
+          t => !t.isInCollection(Text.STOPWORDS)), " "))
+
+  /** S1+F1–F5 without the T-stage: the scrubbed message frame — the
+    * reference's state right after `remove_file_description`
+    * (scc_dataset_loader.py:58-75), before `preprocess_messages`. Split
+    * out so the loader's scan/filter/scrub semantics are driver-gateable
+    * without re-expressing the lemma chain (the T-stage has its own
+    * oracle-gated queries, text_preprocess*). */
+  def scrubbedMessages(s: SparkSession, dir: String,
       allMessages: Boolean = false): DataFrame = {
     val exploded = readConversations(s, dir, allMessages)
       .select(col("src_file"), col("label"), col("dataset"),
@@ -92,20 +109,12 @@ object SccJsonSource {
         col("m.medium").as("medium"), col("m.is_inbound").as("is_inbound"))
       .filter(if (allMessages) lit(true) else col("is_inbound"))      // F2
       .filter(col("body").isNotNull && col("body") =!= "")            // F3
-    val scrubbed = exploded
+    exploded
       .withColumn("raw_body", col("body"))                            // F5
       .withColumn("body",                                             // F4
         regexp_replace(
           replace(col("body"), lit(boilerplate), lit("")),
           "Description for file \\d+:", ""))
-    // reference order (base_dataset_loader.py:87-90): lemmatize FIRST,
-    // then drop stopwords — a token whose LEMMA is a stopword goes; and a
-    // message whose body preprocesses to "" is KEPT (preprocess_messages
-    // retains it; the stream iterator is what drops falsy bodies)
-    scrubbed.withColumn("body",                                       // T1–T5
-      array_join(
-        filter(Lemmatizer.lemmatizeArray(Text.rawAlphaTokens(col("body"))),
-          t => !t.isInCollection(Text.STOPWORDS)), " "))
   }
 
   /** O1 + O2: the reference's message stream — global time order, missing

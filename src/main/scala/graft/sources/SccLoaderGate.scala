@@ -1,0 +1,307 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.functions.{Lemmatizer, Text}
+
+/** Driver-gate for the SCC JSON loader chain (SURVEY.md §2.1 S1–S4, §2.2
+  * F1–F6, §2.4 O1/O2) — r11 verdict "What's missing" #1: the loader was
+  * spec-only (SccSourceSpec) because no driver table is conversation
+  * JSON. This module closes that gap by DERIVING a conversation-JSON
+  * fixture deterministically from the driver's own `documents` table
+  * (doc_id + text are the only inputs), writing it once per SF dir under
+  * /tmp, and then running the REAL loader chain over it — so every row
+  * the driver hash-compares has flowed through `spark.read.json`
+  * (multiLine, recursive, fixed schema), the conversation-level medium
+  * drop, the inbound/empty filters, the boilerplate scrub, and the
+  * stream's sort/limit. The DuckDB oracle replays the synthesis rules
+  * and the loader semantics directly over the parquet `documents` table
+  * — JSON round-trip included on the Spark side only, which is exactly
+  * the point: if the scan or any filter drifts, the hashes break.
+  *
+  * Synthesis rules (all keyed on doc_id so both engines agree; the
+  * cycles are coprime-ish so every filter sees hits and misses):
+  *  - conversation = 4 consecutive docs (conv_id = doc_id div 4), 240
+  *    docs → 60 conversation files, conv_id % 3 == 0 nested one level
+  *    deeper (exercises recursiveFileLookup);
+  *  - body (doc_id % 6): 0 = scam preamble + text, 1 = "" (F3), 2 = null
+  *    (F3), 3 = boilerplate + "Description for file 12: " + text (F4),
+  *    4 = all-stopwords (kept by F3, dropped by the stream's falsy
+  *    filter — run_detectors.py:25), 5 = text verbatim;
+  *  - medium (doc_id % 17): 3 → Instagram, 5 → Telegram (either poisons
+  *    the WHOLE conversation — F1), 9 → null (three-valued-exists trap),
+  *    else Email;
+  *  - is_inbound: null at doc_id % 23 == 1 (falsy-null trap), else
+  *    doc_id % 3 != 0 (F2);
+  *  - time: null at doc_id % 10 == 7 (nulls-last trap — at most one per
+  *    conversation, so (time, body, src_file, raw_body) stays a total
+  *    order), else 1000000 + 7·doc_id (globally unique);
+  *  - label null at conv_id % 5 == 0 and dataset null at conv_id % 2 ==
+  *    0 (the loader's coalesce defaults).
+  *
+  * At scale this gate is fixture-bounded by construction: the synthesis
+  * reads LIMIT 240 docs, the single collect() is 60 JSON strings, and
+  * the production path under test (SccJsonSource) remains fully
+  * distributed — a real corpus of conversation files fans out one Spark
+  * input split per file.
+  */
+object SccLoaderGate {
+
+  private val NDocs = 240
+  private val StreamMax = 150
+  private val SampleN = 20
+
+  /** Fixture location: versioned (v1 = the synthesis rules above) and
+    * keyed by the SF dir, so sf0.01 and sf0.1 coexist and a rules change
+    * can never serve a stale fixture. */
+  def fixtureRoot(d: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
+      "/graft_scc_gate_v1_" + graft.TmpDirs.md5Hex(d)
+
+  // ------------------------------------------------------------ synthesis
+
+  /** Per-message synthesized fields, Spark side (the oracle SQL below
+    * replays these rules verbatim in DuckDB). */
+  private def synthMessages(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(NDocs)
+      .withColumn("conv_id", expr("doc_id div 4"))
+      .withColumn("medium",
+        when(col("doc_id") % 17 === 3, "Instagram")
+          .when(col("doc_id") % 17 === 5, "Telegram")
+          .when(col("doc_id") % 17 === 9, lit(null).cast("string"))
+          .otherwise("Email"))
+      .withColumn("is_inbound",
+        when(col("doc_id") % 23 === 1, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 3 =!= 0))
+      .withColumn("time",
+        when(col("doc_id") % 10 === 7, lit(null).cast("long"))
+          .otherwise(lit(1000000L) + col("doc_id") * 7))
+      .withColumn("body",
+        when(col("doc_id") % 6 === 0,
+          concat(lit("Urgent! Please wire the transfers to your 2 accounts. "),
+            col("text")))
+          .when(col("doc_id") % 6 === 1, lit(""))
+          .when(col("doc_id") % 6 === 2, lit(null).cast("string"))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit(SccJsonSource.boilerplate + "Description for file 12: "),
+              col("text")))
+          .when(col("doc_id") % 6 === 4, lit("the is of and"))
+          .otherwise(col("text")))
+
+  /** One JSON document per conversation (message array ordered by
+    * doc_id; nulls omitted by to_json — the loader's fixed schema reads
+    * omitted fields back as null, the same falsy treatment the
+    * reference's `msg.get(...)` gives a missing key). */
+  private def convJson(s: SparkSession, d: String): DataFrame =
+    synthMessages(s, d)
+      .groupBy(col("conv_id"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("pos"),
+        struct(col("body"), col("time"), col("medium"), col("is_inbound"))
+          .as("m")))).as("sm"))
+      .select(col("conv_id"),
+        to_json(struct(
+          transform(col("sm"), x => x.getField("m")).as("messages"),
+          when(col("conv_id") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("label"), (col("conv_id") % 3).cast("string")))
+            .as("label"),
+          when(col("conv_id") % 2 === 0, lit(null).cast("string"))
+            .otherwise(lit("ds")).as("dataset"))).as("js"))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
+
+  /** Build the fixture once per (JVM-agnostic) SF dir: write into a
+    * pid-suffixed build dir, then atomically move into place. A `_GRAFT_OK`
+    * marker (underscore prefix — invisible to Spark's file listing, like
+    * _SUCCESS) distinguishes a complete fixture from a crashed build. */
+  def ensureFixture(s: SparkSession, d: String): String = synchronized {
+    val root = Paths.get(fixtureRoot(d))
+    if (Files.exists(root.resolve("_GRAFT_OK"))) return root.toString
+    deleteRecursively(root) // half-built leftover from a crashed JVM
+    val build = Paths.get(root.toString + ".build-" +
+      ProcessHandle.current().pid())
+    deleteRecursively(build)
+    Files.createDirectories(build.resolve("nested"))
+    convJson(s, d).collect().foreach { r =>
+      val cid = r.getLong(0)
+      val rel = if (cid % 3 == 0) s"nested/conv_$cid.json" else s"conv_$cid.json"
+      Files.write(build.resolve(rel), r.getString(1).getBytes(UTF_8))
+    }
+    Files.write(build.resolve("_GRAFT_OK"), Array.emptyByteArray)
+    try Files.move(build, root, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.DirectoryNotEmptyException =>
+        deleteRecursively(build) // lost a cross-JVM race; fixtures are identical
+    }
+    root.toString
+  }
+
+  // ---------------------------------------------------------- SQL helpers
+
+  private val boilerSql = SccJsonSource.boilerplate.replace("'", "''")
+
+  /** The synthesized message frame + conversation survival, as DuckDB
+    * CTEs (`src`/`m`/`conv`). `coalesce(bool_or(...), FALSE)` mirrors the
+    * loader's three-valued-exists guard: a conversation whose mediums are
+    * all null is KEPT. */
+  private val synthCtes =
+    s"""src AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT $NDocs),
+       |m AS (
+       |  SELECT doc_id, doc_id // 4 AS conv_id,
+       |    CASE doc_id % 17 WHEN 3 THEN 'Instagram' WHEN 5 THEN 'Telegram'
+       |      WHEN 9 THEN NULL ELSE 'Email' END AS medium,
+       |    CASE WHEN doc_id % 23 = 1 THEN NULL
+       |      ELSE doc_id % 3 <> 0 END AS is_inbound,
+       |    CASE WHEN doc_id % 10 = 7 THEN NULL
+       |      ELSE 1000000 + doc_id * 7 END AS time,
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN 'Urgent! Please wire the transfers to your 2 accounts. ' || text
+       |      WHEN 1 THEN ''
+       |      WHEN 2 THEN NULL
+       |      WHEN 3 THEN '$boilerSql' || 'Description for file 12: ' || text
+       |      WHEN 4 THEN 'the is of and'
+       |      ELSE text END AS body
+       |  FROM src),
+       |conv AS (
+       |  SELECT conv_id,
+       |    coalesce(bool_or(medium IN ('Instagram', 'Telegram')), FALSE) AS drop_conv
+       |  FROM m GROUP BY conv_id)""".stripMargin
+
+  /** F1+F2+F3 survivors with the F4 scrub and the relative file path
+    * (the loader's src_file minus the constant fixture prefix — string
+    * order over the suffixes equals string order over the full paths). */
+  private val keptCte =
+    s"""kept AS (
+       |  SELECT m.conv_id, m.time, m.medium, m.is_inbound,
+       |    m.body AS raw_body,
+       |    regexp_replace(replace(m.body, '$boilerSql', ''),
+       |      'Description for file \\d+:', '', 'g') AS body,
+       |    CASE WHEN m.conv_id % 3 = 0
+       |      THEN 'nested/conv_' || m.conv_id || '.json'
+       |      ELSE 'conv_' || m.conv_id || '.json' END AS rel_file
+       |  FROM m JOIN conv USING (conv_id)
+       |  WHERE NOT conv.drop_conv AND coalesce(m.is_inbound, FALSE)
+       |    AND m.body IS NOT NULL AND m.body <> '')""".stripMargin
+
+  // ------------------------------------------------------------- queries
+
+  /** S1–S3+F1–F5 end to end: the scrubbed message frame read back out of
+    * the JSON fixture, routed through the S2 parquet cache-or-compute
+    * (first run computes + writes; every later run serves the cache —
+    * both paths must hash identically). Ordered by (conv_id, time
+    * nulls-last, raw_body): time is unique except ≤1 null per
+    * conversation, so the order is total. */
+  private def loaderMessages(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureFixture(s, d)
+    val frame = SccJsonSource
+      .cacheOrCompute(s, dir + "/_cache", "scc_loader_messages_v1") {
+        SccJsonSource.scrubbedMessages(s, dir)
+          .select(
+            regexp_extract(col("src_file"), "conv_(\\d+)\\.json", 1)
+              .cast("long").as("conv_id"),
+            col("label"), col("dataset"), col("time"), col("medium"),
+            col("is_inbound"), col("raw_body"), col("body"))
+      }
+    frame.orderBy(col("conv_id"), col("time").asc_nulls_last, col("raw_body"))
+  }
+
+  private val loaderMessagesSql =
+    s"""WITH $synthCtes,
+       |$keptCte
+       |SELECT kept.conv_id,
+       |  CASE WHEN kept.conv_id % 5 = 0 THEN 'scam'
+       |    ELSE 'label' || CAST(kept.conv_id % 3 AS VARCHAR) END AS label,
+       |  CASE WHEN kept.conv_id % 2 = 0 THEN 'scc' ELSE 'ds' END AS dataset,
+       |  kept.time, kept.medium, kept.is_inbound, kept.raw_body, kept.body
+       |FROM kept
+       |ORDER BY kept.conv_id, kept.time NULLS LAST, kept.raw_body""".stripMargin
+
+  /** O1+O2 + the stream's falsy-body drop, through the full loader
+    * (preprocessing included — the oracle replays the T-chain with the
+    * same DICT + suffix-rule SQL twins the text_preprocess gate uses).
+    * The rank column pins the ORDER, not just the membership, of the
+    * limit window; the window is post-limit (≤$StreamMax rows), so the
+    * single-partition row_number is bounded by construction. */
+  private def loaderStream(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureFixture(s, d)
+    val w = Window.orderBy(col("time").asc_nulls_last, col("body"),
+      col("src_file"), col("raw_body"))
+    SccJsonSource.messageStream(s, dir, maxMessages = StreamMax)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("time"), col("body"))
+      .orderBy(col("rank"))
+  }
+
+  private val loaderStreamSql = {
+    val caseChain = Lemmatizer.DICT
+      .map { case (w, l) => s"WHEN t = '$w' THEN '$l'" }.mkString(" ")
+    val fallback = Lemmatizer.suffixLemmaSql("t")
+    val pbody =
+      s"""array_to_string(list_filter(list_transform(
+         |  ${Text.rawAlphaToksSqlOf("body")},
+         |  t -> CASE $caseChain ELSE $fallback END),
+         |  t -> t NOT IN ${Text.stopwordsSqlList}), ' ')""".stripMargin
+    s"""WITH $synthCtes,
+       |$keptCte,
+       |prep AS (
+       |  SELECT time, raw_body, rel_file, $pbody AS pbody FROM kept)
+       |SELECT CAST(rank AS INT) AS rank, time, body FROM (
+       |  SELECT time, pbody AS body,
+       |    row_number() OVER (ORDER BY time ASC NULLS LAST, pbody, rel_file,
+       |      raw_body) AS rank
+       |  FROM prep WHERE pbody <> ''
+       |  ORDER BY rank LIMIT $StreamMax)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** F6: seeded exact-n sampling over the surviving conversations — the
+    * md5-of-identity ordering is replayed verbatim by the oracle (Spark's
+    * to_json(struct(conv_id, src_file)) is reconstructed as a string, and
+    * both engines emit lowercase-hex md5), so the SELECTION, not just the
+    * count, is cross-engine-pinned. The sampled frame carries the
+    * RELATIVE file name so the hash input is fixture-location-free. */
+  private def loaderSample(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureFixture(s, d)
+    val convs = SccJsonSource.readConversations(s, dir)
+      .select(regexp_extract(col("src_file"), "((nested/)?conv_\\d+\\.json)", 1)
+        .as("rel"))
+      .distinct()
+      .select(regexp_extract(col("rel"), "conv_(\\d+)", 1).cast("long")
+        .as("conv_id"), col("rel").as("src_file"))
+    SccJsonSource.sampleConversations(convs, SampleN)
+      .orderBy(col("conv_id"))
+  }
+
+  private val loaderSampleSql =
+    s"""WITH $synthCtes,
+       |alive AS (
+       |  SELECT conv_id,
+       |    CASE WHEN conv_id % 3 = 0 THEN 'nested/conv_' || conv_id || '.json'
+       |      ELSE 'conv_' || conv_id || '.json' END AS src_file
+       |  FROM conv WHERE NOT drop_conv)
+       |SELECT conv_id, src_file FROM (
+       |  SELECT conv_id, src_file FROM alive
+       |  ORDER BY md5('42|{"conv_id":' || conv_id || ',"src_file":"'
+       |    || src_file || '"}'), src_file
+       |  LIMIT $SampleN)
+       |ORDER BY conv_id""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+    QuerySpec("scc_loader_messages", loaderMessages, Some(loaderMessagesSql)),
+    QuerySpec("scc_loader_stream", loaderStream, Some(loaderStreamSql)),
+    QuerySpec("scc_loader_sample", loaderSample, Some(loaderSampleSql)))
+}
