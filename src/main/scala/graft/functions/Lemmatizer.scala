@@ -21,13 +21,17 @@ object Lemmatizer {
 
   /** Explicit lemma dictionary: regular corpus-vocabulary plurals (kept
     * for doc value; the suffix rules would produce the same) plus the
-    * common WordNet noun.exc irregular-plural entries (public data —
+    * WordNet noun.exc irregular-plural entries (public data —
     * wolf/woman/foot/corpus/criterion/... are the published exception
     * pairs every morphy description lists). The r10 expansion plus the
     * noun-only rule set below raised golden-NLTK agreement from 0.62 to
     * 0.99 (NltkParitySpec): the reference lemmatizes with NLTK's DEFAULT
     * pos — noun — which never strips -ing/-ed verb forms, so the engine's
-    * old verbal entries/rules were themselves the divergence.
+    * old verbal entries/rules were themselves the divergence. The r12
+    * expansion (verdict #6) covers the remaining published exception
+    * classes (-i/-a/-ices/-ses/-ves/-men + lice/dice/brethren):
+    * agreement 0.995 on the 187-row golden set, the one miss being the
+    * deliberate "axes" pin below.
     *
     * Deliberate remaining divergence: "axes" → "axis" (the technical-
     * corpus reading; NLTK's min-by-length tie-break returns "ax"). */
@@ -53,6 +57,49 @@ object Lemmatizer {
     "axes" -> "axis", "crises" -> "crisis", "oxen" -> "ox",
     "alumni" -> "alumnus", "fungi" -> "fungus", "larvae" -> "larva",
     "radii" -> "radius", "series" -> "series", "species" -> "species",
+    // r12 noun.exc expansion (verdict #6): the published irregular-plural
+    // classes beyond the r10 core. Each inflected form is NOT itself a
+    // WordNet noun lemma (else min-by-length would keep it — the
+    // data/men/media subtlety), so the exception base is NLTK's output.
+    // -i -> -us
+    "cacti" -> "cactus", "nuclei" -> "nucleus", "stimuli" -> "stimulus",
+    "foci" -> "focus", "loci" -> "locus", "syllabi" -> "syllabus",
+    "termini" -> "terminus", "bacilli" -> "bacillus",
+    // -a -> -um / -on
+    "curricula" -> "curriculum", "memoranda" -> "memorandum",
+    "addenda" -> "addendum", "strata" -> "stratum", "spectra" -> "spectrum",
+    "quanta" -> "quantum", "maxima" -> "maximum", "minima" -> "minimum",
+    "optima" -> "optimum", "millennia" -> "millennium",
+    "symposia" -> "symposium", "continua" -> "continuum",
+    "ganglia" -> "ganglion", "automata" -> "automaton",
+    // -ses -> -sis (the exception branch short-circuits morphy's rules,
+    // so e.g. "bases" -> "basis", never the rule-path "base")
+    "ellipses" -> "ellipsis", "synopses" -> "synopsis",
+    "diagnoses" -> "diagnosis", "prognoses" -> "prognosis",
+    "emphases" -> "emphasis", "oases" -> "oasis",
+    "neuroses" -> "neurosis", "psychoses" -> "psychosis",
+    "syntheses" -> "synthesis", "metamorphoses" -> "metamorphosis",
+    "parentheses" -> "parenthesis", "bases" -> "basis",
+    // -ices
+    "vortices" -> "vortex", "apices" -> "apex", "codices" -> "codex",
+    "helices" -> "helix", "cortices" -> "cortex",
+    // -ves (no blanket ves-rule: the engine's suffix rules skip it, so
+    // these ride the dictionary like every other exception)
+    "scarves" -> "scarf", "hooves" -> "hoof", "elves" -> "elf",
+    "selves" -> "self", "wharves" -> "wharf",
+    // -men -> -man: morphy has a men->man detachment RULE, but applying
+    // it blind would mangle abdomen/regimen/specimen (NLTK survives via
+    // the lexicon-membership filter the engine deliberately lacks), so
+    // the common compounds ride the dictionary instead
+    "gentlemen" -> "gentleman", "firemen" -> "fireman",
+    "policemen" -> "policeman", "businessmen" -> "businessman",
+    "craftsmen" -> "craftsman", "freshmen" -> "freshman",
+    "spokesmen" -> "spokesman", "chairmen" -> "chairman",
+    "fishermen" -> "fisherman", "salesmen" -> "salesman",
+    "statesmen" -> "statesman", "workmen" -> "workman",
+    "congressmen" -> "congressman",
+    // other noun.exc irregulars
+    "lice" -> "louse", "dice" -> "die", "brethren" -> "brother",
     // identity pins for stopword-list inflections with NO WordNet noun
     // lemma: NLTK returns the form unchanged (dictionary miss), so the
     // downstream stopword filter removes it — without these the bare -s

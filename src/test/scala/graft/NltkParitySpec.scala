@@ -46,8 +46,12 @@ class NltkParitySpec extends SparkSpec {
     // handling WAS the divergence — added the public WordNet noun.exc
     // irregular plurals to DICT, and guarded non-[a-z] forms (morphy
     // returns dictionary misses unchanged): agreement 0.992 on 124 rows.
-    // The only remaining disagreement is the pinned "axes" tie-break.
-    assert(ratio >= 0.95,
+    // r12 expanded DICT with the remaining published noun.exc classes
+    // (-i/-a/-ices/-ses/-ves/-men compounds + lice/dice/brethren) and grew
+    // the fixture to 187 rows: agreement 0.995. The only remaining
+    // disagreement is the pinned "axes" tie-break — asymptotically exact
+    // short of shipping the WordNet index itself.
+    assert(ratio >= 0.99,
       f"lemma agreement with NLTK golden fell to $ratio%.3f — a rule change " +
         "reopened a closed divergence class")
     // the fixture must still exercise a real divergence (axes, and any
