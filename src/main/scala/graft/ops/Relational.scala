@@ -429,17 +429,34 @@ object Relational {
     * partition in parallel, then shift ranks by broadcast per-partition
     * offsets (the distributed zipWithIndex layout). The offset table
     * scales with the session's shuffle parallelism, not a literal: it
-    * stays ≤ numShufflePartitions rows (broadcastable), and a bigger
-    * cluster raises the setting rather than hitting a 32-way cap.
-    * `sortCols` must form a total order for a deterministic ranking.
+    * stays ≤ numShufflePartitions rows, and a bigger cluster raises the
+    * setting rather than hitting a 32-way cap. `sortCols` must form a
+    * total order for a deterministic ranking.
     *
-    * RESERVED NAMES: the input frame must not already contain `pid`,
-    * `pr`, `off`, `rank`, or `n` — the first three are internal working
-    * columns (dropped on return) and the last two are the outputs; a
-    * caller column with any of these names would be silently shadowed or
-    * collide ambiguously, so the precondition is asserted here instead of
-    * surfacing as wrong ranks downstream.
-    * Shared by [[ntileCore]] and TextAnalysis.perplexityBuckets. */
+    * CONSISTENCY BY CONSTRUCTION (r12): the offset pass and the ranking
+    * pass must see the IDENTICAL partitioning. The r11 persist-free form
+    * relied on ReuseExchange unifying two plan subtrees over one range
+    * shuffle — which held in isolation (PlanShapeSpec pinned it) but
+    * broke once under accumulated full-suite session state, yielding
+    * ranks > n (a 17th ntile bucket from 16). Re-planned subtrees sample
+    * range boundaries independently, so any reuse failure is silent rank
+    * corruption. This version drops to the RDD layer for exactly the
+    * guarantee the DataFrame layer cannot give: both passes run over the
+    * SAME RDD instance, whose shuffle materializes once and is reused by
+    * lineage identity across jobs (the zipWithIndex contract — the one
+    * legitimate RDD use case here). The boundaries live in the fixed
+    * partitioner object, so even a shuffle-loss recomputation reproduces
+    * the identical pids. Cost: one extra job over the shuffle output for
+    * the per-partition counts (bounded: ≤ nPart pairs collected), and an
+    * InternalRow↔Row conversion at the boundary — acceptable for the
+    * rank consumers (aggregated/capped frames), and the upstream plan
+    * below `sorted` still gets full Catalyst optimization.
+    *
+    * RESERVED NAMES: the input frame must not already contain `rank` or
+    * `n` (the appended outputs); `pid`/`pr`/`off` stay reserved for
+    * contract stability with callers written against the r11 form.
+    * Shared by [[ntileCore]], [[zorderContract]], RunDetectors, and
+    * TextAnalysis (zipf ranks, perplexityBuckets). */
   private[graft] def withGlobalRank(s: SparkSession, df: DataFrame,
       sortCols: Seq[Column]): DataFrame = {
     val reserved = Seq("pid", "pr", "off", "rank", "n")
@@ -450,39 +467,27 @@ object Relational {
     val sorted = df
       .repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-    // No persist (r11 verdict #5 — the old persist lived until the
-    // caller's clearCache, a bounded leak that is wrong for a long-lived
-    // embedding). The two consumers (offset table + ranked rows) instead
-    // share the ONE range shuffle: an explicit-numPartitions
-    // repartitionByRange is a REPARTITION_BY_NUM exchange, which AQE
-    // never coalesces or local-reads, so spark_partition_id() read above
-    // it is always the reducer partition id (0..nPart-1) in every
-    // subtree, and ReuseExchange dedupes the shuffle within each action
-    // (PlanShapeSpec pins the ReusedExchange). Across separate actions
-    // the sampled range boundaries could in principle differ, but the
-    // rank is a pure function of the total order — any self-consistent
-    // partitioning yields the identical ranking.
-    // offsets over the ≤nPart-row count table WITHOUT a window: a
-    // constant-partition Window here gets its foldable partition spec
-    // removed by EliminateWindowPartitions, leaving an empty-spec
-    // WindowExec that warns "No Partition Defined" per task (r9 verdict
-    // #8's loudest residual source). A broadcast cross-join aggregate
-    // over nPart×nPart rows (≤ a few M pairs even at cluster-scale
-    // shuffle parallelism) computes the same prefix sums with no single-
-    // partition exchange at all.
-    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
-    val offs = counts
-      .crossJoin(broadcast(counts.select(col("pid").as("ypid"), col("pn").as("ypn"))))
-      .groupBy(col("pid"))
-      .agg(sum(when(col("ypid") < col("pid"), col("ypn")).otherwise(0L)).as("off"),
-        sum(col("ypn")).as("n"))
-      .select(col("pid"), col("off"), col("n"))
-    val wPart = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
-    sorted.withColumn("pr", row_number().over(wPart))
-      .join(broadcast(offs), Seq("pid"))
-      .withColumn("rank", col("pr") + col("off"))
-      .drop("pid", "pr", "off")
+    val rdd = sorted.rdd // ONE instance — shuffle reused across both jobs
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect() // ≤ nPart pairs
+    val n = counts.map(_._2).sum
+    val offs: Map[Int, Long] = {
+      val byPid = counts.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._2)).toMap
+    }
+    val bcOffs = s.sparkContext.broadcast(offs)
+    val outSchema = sorted.schema
+      .add("rank", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("n", org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bcOffs.value(i)
+      it.map { row =>
+        r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r :+ n)
+      }
+    }
+    s.createDataFrame(ranked, outSchema)
   }
 
   /** SQL NTILE(k) as pure arithmetic on the `rank`/`n` columns

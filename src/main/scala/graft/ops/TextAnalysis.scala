@@ -1056,8 +1056,16 @@ object TextAnalysis {
         element_at(array(lit("head"), lit("middle"), lit("tail")),
           Relational.ntileFromRank(3)))
       .groupBy(col("bucket"), col("source"))
+      // nll_sum_x1e4: per-doc avg_nll is round(·, 4), i.e. within an ulp
+      // of k/10⁴ — recover the exact integer k and sum in BIGINT space,
+      // because a float mean over ~n/3 rounded doubles is summation-
+      // order-sensitive at the 4th decimal (r12: the rank rewrite
+      // changed Spark's partial-agg order and flipped one bucket's
+      // round(avg,4) by 1e-4 vs DuckDB; integer sums are order-exact in
+      // both engines, and mean = sum / (10⁴·n) is recoverable by the
+      // reader). min/max stay: selections of existing values, not sums.
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("avg_nll")), 4).as("mean_nll"),
+        sum(round(col("avg_nll") * 10000).cast("long")).as("nll_sum_x1e4"),
         round(min(col("avg_nll")), 4).as("min_nll"),
         round(max(col("avg_nll")), 4).as("max_nll"))
       .orderBy(col("bucket"), col("source"))
@@ -1075,7 +1083,8 @@ object TextAnalysis {
        |SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
        |  ELSE 'tail' END AS bucket, source,
        |  count(*) AS n_docs,
-       |  round(avg(avg_nll), 4) AS mean_nll,
+       |  CAST(sum(CAST(round(avg_nll * 10000) AS BIGINT)) AS BIGINT)
+       |    AS nll_sum_x1e4,
        |  round(min(avg_nll), 4) AS min_nll,
        |  round(max(avg_nll), 4) AS max_nll
        |FROM ranked GROUP BY bucket, source ORDER BY bucket, source""".stripMargin

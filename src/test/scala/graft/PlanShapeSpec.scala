@@ -65,19 +65,33 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must NOT read untouched columns (pruning broken): $readSchema")
   }
 
-  test("rel_window_ntile: the global-rank range shuffle is computed once and reused") {
-    // withGlobalRank dropped its persist (r11 verdict #5): the offset
-    // table and the ranked rows now share the ONE range exchange via
-    // ReuseExchange. Executes (sf0.001, sub-second) because reuse is
-    // finalized in the adaptive plan; a plan with no reused exchange
-    // means the shuffle is computed twice (cost) or — worse — the two
-    // consumers could see different partitionings.
-    val df = SparkEntry.queries("rel_window_ntile")(spark, sf001)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange") || p.contains("ReusedShuffle") ||
-      p.contains("StageReuse") || p.contains("reused"),
-      s"expected the range exchange to be reused by both consumers:\n$p")
+  test("global rank: ranks are a dense 1..n permutation (cross-pass consistency)") {
+    // r12: withGlobalRank's offset pass and ranking pass run over the
+    // same materialized RDD shuffle (lineage identity), replacing the
+    // r11 ReuseExchange dependence that broke once under full-suite
+    // session state and produced ranks > n (a 17th ntile bucket from
+    // 16). This pin executes the rank itself and asserts the property
+    // that failure mode violates: ranks are exactly the dense set 1..n.
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.customer(spark, sf001)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ranked = graft.ops.Relational.withGlobalRank(spark, df,
+      Seq(col("c_acctbal"), col("c_custkey")))
+    val n = df.count()
+    val stats = ranked.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col("rank")).as("distinct_ranks"),
+      min(col("rank")).as("mn"), max(col("rank")).as("mx"),
+      max(col("n")).as("n_col")).collect()(0)
+    assert(stats.getLong(0) == n && stats.getLong(1) == n &&
+      stats.getLong(2) == 1L && stats.getLong(3) == n && stats.getLong(4) == n,
+      s"rank integrity violated: $stats vs n=$n")
+    // and the ranking agrees with the single-partition reference order
+    val ref = df.orderBy(col("c_acctbal"), col("c_custkey"))
+      .limit(50).collect().map(_.getLong(0))
+    val got = ranked.orderBy(col("rank")).limit(50).collect()
+      .map(_.getLong(0))
+    assert(ref.sameElements(got), "global rank order diverges from orderBy")
   }
 
   test("sketch probes are native expressions: no ScalaUDF in the probe plans") {
