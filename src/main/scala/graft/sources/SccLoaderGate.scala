@@ -300,8 +300,74 @@ object SccLoaderGate {
        |  LIMIT $SampleN)
        |ORDER BY conv_id""".stripMargin
 
+  /** S4: the seeded row-level randomSplit, driver-gated compute-and-pin.
+    * randomSplit is per-row Bernoulli (NOT exact-n) and its membership is
+    * seed-and-layout dependent, so the oracle cannot replay the selection;
+    * it pins the PROPERTIES instead: the split must partition the
+    * surviving conversation set (assigned = distinct = survivor count,
+    * both sides unioned), must be deterministic for a fixed seed + input
+    * (a second independent split intersected against the first), and the
+    * realized train fraction must land in a loose envelope around 0.7.
+    * All frames are ≤60 rows; the three 1-row aggregates cross-join
+    * (the bounded-crossJoin convention). */
+  private def loaderSplit(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureFixture(s, d)
+    val convs = SccJsonSource.readConversations(s, dir)
+      .select(regexp_extract(col("src_file"), "((nested/)?conv_\\d+\\.json)", 1)
+        .as("rel"))
+      .distinct()
+      .select(regexp_extract(col("rel"), "conv_(\\d+)", 1).cast("long")
+        .as("conv_id"), col("rel").as("src_file"))
+    def splitIds() = {
+      val (tr, te) = SccJsonSource.trainTestSplit(convs, 0.7, 42L)
+      (tr.select(col("conv_id")), te.select(col("conv_id")))
+    }
+    val (tr1, te1) = splitIds()
+    val (tr2, _) = splitIds()
+    val assigned = tr1.withColumn("side", lit(1))
+      .unionAll(te1.withColumn("side", lit(2)))
+    val stats = assigned.agg(
+      count(lit(1)).as("n_assigned"),
+      countDistinct(col("conv_id")).as("n_distinct"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_train"))
+    val nAll = convs.agg(count(lit(1)).as("n_convs"))
+    val repeat = tr1.join(tr2, "conv_id").agg(count(lit(1)).as("n_repeat"))
+    stats.crossJoin(nAll).crossJoin(repeat)
+      .select(col("n_convs"),
+        (col("n_assigned") === col("n_convs") &&
+          col("n_distinct") === col("n_convs")).as("partition_exact"),
+        (col("n_repeat") === col("n_train")).as("deterministic"),
+        (abs(col("n_train") / col("n_convs") - 0.7) <= 0.2).as("train_frac_ok"))
+  }
+
+  private val loaderSplitSql =
+    s"""WITH $synthCtes,
+       |alive AS (SELECT conv_id FROM conv WHERE NOT drop_conv)
+       |SELECT count(*) AS n_convs, TRUE AS partition_exact,
+       |  TRUE AS deterministic, TRUE AS train_frac_ok FROM alive""".stripMargin
+
+  /** S3: the stdout JSON report sink — `df.toJSON` rendered by the
+    * executors over the sampled conversation frame; DuckDB replays the
+    * exact strings by concatenation (field order = schema order, both
+    * fields non-null so toJSON omits nothing). At scale the same row
+    * shape goes through `df.write.json`; this pins the serialization. */
+  private def loaderReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    loaderSample(s, d).toJSON.toDF("js").orderBy(col("js"))
+  }
+
+  // built by concatenation, NOT stripMargin: the interpolated inner SQL
+  // contains '|' characters (the md5 salt literal), which an outer
+  // stripMargin would eat as margin markers mid-string
+  private val loaderReportSql =
+    "SELECT '{\"conv_id\":' || conv_id || ',\"src_file\":\"' || src_file " +
+      "|| '\"}' AS js " +
+      s"FROM ($loaderSampleSql) ORDER BY js"
+
   def specs: Seq[QuerySpec] = Seq(
     QuerySpec("scc_loader_messages", loaderMessages, Some(loaderMessagesSql)),
     QuerySpec("scc_loader_stream", loaderStream, Some(loaderStreamSql)),
-    QuerySpec("scc_loader_sample", loaderSample, Some(loaderSampleSql)))
+    QuerySpec("scc_loader_sample", loaderSample, Some(loaderSampleSql)),
+    QuerySpec("scc_loader_split", loaderSplit, Some(loaderSplitSql)),
+    QuerySpec("scc_loader_report", loaderReport, Some(loaderReportSql)))
 }
