@@ -231,12 +231,33 @@ object Similarity {
     * first (r4: sim_ivf_recall, first in map order, wore the fit and crept
     * 4.5→7.5 s while its probe-side work was unchanged). */
   def warmIndex(s: SparkSession, d: String): Unit = {
-    exactKnnPairs(s, d).count() // fit-once ground-truth pair table build
-    knnIvf(s, d).count()
-    knnPq(s, d).count() // PQ codebook fit — same fit-once/probe-many shape
-    knnIvfPq(s, d).count() // residual-PQ codebook fit — same shape
-    topicClusters(s, d).count() // topic-model fit — same shape
-    knnPca(s, d).count()        // PCA fit — same shape
+    // ground-truth pair table FIRST and alone: every fit below probes it
+    // for its recall contract, and a concurrent getOrElseUpdate race
+    // would build the (expensive) table once per racer
+    exactKnnPairs(s, d).count()
+    // the five model fits are independent (disjoint fit-once caches) and
+    // each leaves most of local[32] idle — run them as concurrent Spark
+    // jobs (FIFO scheduler interleaves stages) instead of serially.
+    // Measured r12: the serial phase crept to 108 s once the r12 recall
+    // contracts joined each query against the pair table, blowing the
+    // 150 s warmup budget (5 phases skipped, 5 first-use suspects in
+    // BENCH); concurrent, the phase is bounded by the slowest fit.
+    // Pool threads are created inside the phase, so HarnessGuard's
+    // job-group tag inherits (SparkContext localProperties are
+    // InheritableThreadLocal) and a phase CUT still cancels these jobs.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val fits: Seq[() => Long] = Seq(
+      () => knnIvf(s, d).count(),
+      () => knnPq(s, d).count(), // PQ codebook fit — fit-once/probe-many
+      () => knnIvfPq(s, d).count(), // residual-PQ codebook fit
+      () => topicClusters(s, d).count(), // topic-model fit
+      () => knnPca(s, d).count()) // PCA fit
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(fits.map(f => scala.concurrent.Future(f()))),
+      scala.concurrent.duration.Duration(600, "s"))
+    finally pool.shutdown()
     s.catalog.clearCache()
   }
 
