@@ -59,7 +59,10 @@ object ScaleGate {
     // Coalesce to the same file multiplicity regime as the source (one
     // file at sf0.1) is NOT done — many output files is the realistic
     // cluster layout and keeps the write parallel.
-    val bigDir = s"/tmp/graft_scale/x$mult"
+    // staging keyed by the source table's datasetKey, so regenerated
+    // testdata can never serve a stale staged copy
+    val bigDir = s"/tmp/graft_scale/x${mult}_" +
+      TmpDirs.md5Hex(Tables.datasetKey(base, "documents")).take(12)
     val bigTable = new java.io.File(s"$bigDir/documents.parquet")
     val docs = Tables.documents(spark, base)
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L

@@ -58,11 +58,16 @@ object SccLoaderGate {
   private val SampleN = 20
 
   /** Fixture location: versioned (v1 = the synthesis rules above) and
-    * keyed by the SF dir, so sf0.01 and sf0.1 coexist and a rules change
-    * can never serve a stale fixture. */
+    * keyed by the documents table's datasetKey (path + mtime + size, the
+    * ivfKey convention), so sf0.01 and sf0.1 coexist, a rules change can
+    * never serve a stale fixture, and — critically — a REGENERATED
+    * documents table (the driver rewrites testdata every round) gets a
+    * fresh fixture instead of a stale one whose contents no longer match
+    * the oracle's replay over the new parquet. */
   def fixtureRoot(d: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
-      "/graft_scc_gate_v1_" + graft.TmpDirs.md5Hex(d)
+      "/graft_scc_gate_v1_" +
+      graft.TmpDirs.md5Hex(graft.Tables.datasetKey(d, "documents"))
 
   // ------------------------------------------------------------ synthesis
 
