@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-registry plan audit: builds every registered query's physical plan
+  * and flags the anti-pattern nodes the per-query reviews hunt by hand —
+  * boxed ScalaUDFs in hot paths, Cartesian products, and empty-spec
+  * window exec nodes. Exits non-zero on any hit outside the explicit
+  * allowlist below, so a regression (a UDF creeping back, a join losing
+  * its keys) fails loudly instead of surfacing as a slow bench line.
+  *
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.PlanAudit"
+  *
+  * Plans are built (analyzed + optimized + physical), not executed —
+  * queries that eagerly execute inside their builder (skew-AQE, the
+  * fit-once fits, fixture staging) run those parts, which is why the
+  * audit runs at the smallest SF dir by default.
+  *
+  * Allowlist rationale (each documented at its site):
+  *  - blake2b-faithful sketch probes (`sketch_*_faithful*`): the
+  *    reference-hash-identical UDFs are the faithfulness contract itself;
+  *    converting them to codegen expressions is tracked but their
+  *    per-key outputs are golden-pinned, so they stay boxed by design.
+  *  - scc_loader_* / scc_run_summary: the md5-identity sampler rides
+  *    Spark's own `md5`; no UDF — listed only for the bounded
+  *    BroadcastNestedLoopJoin of ≤n/interval-row bounds tables.
+  *  - sim_knn_* / sim_hybrid_search / mllib_ann_join: bounded BNLJ of
+  *    broadcast probe/centroid frames (≤ tens of rows by construction).
+  *  - rel_zorder_contract / sketch_approx_quantiles / mm_*: bounded
+  *    1-row/enumerable-domain cross joins (the compute-and-pin shape).
+  */
+object PlanAudit {
+  private val BoundedBnlj = Set(
+    "sim_knn_ivf", "sim_knn_pq", "sim_knn_ivfpq", "sim_knn_pca",
+    "sim_knn_bruteforce", "sim_knn_lsh", "sim_hybrid_search",
+    "sim_ivf_recall", "sim_ann_contract", "sim_pq_contract",
+    "sim_ivfpq_contract", "sim_pca_contract", "sim_topic_contract",
+    "sim_topic_clusters", "mllib_ann_join", "mllib_ann_contract",
+    "scc_run_summary", "rel_zorder_contract", "sketch_approx_quantiles",
+    "rel_window_ntile", "ta_perplexity_buckets", "ta_zipf_slope",
+    // broadcast 1-row / n_sources-row frame joins (the r11 verdict's
+    // audited crossJoin list: corpus totals, rate tables, threshold
+    // frames, eager summary rows — all bounded by construction)
+    "rel_multiset_ops", "rel_set_ops", "scc_loader_split",
+    "sketch_bloom_stats", "ta_bigram_logprob", "ta_domain_mix",
+    "ta_filter_cascade", "ta_mix_sample", "ta_unigram_logprob",
+    "text_final_summary")
+  private val FaithfulUdf = Set(
+    "sketch_cms_faithful", "sketch_cms_faithful_contract",
+    "sketch_bloom_faithful_contract")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var bad = 0
+    SparkEntry.allSpecs.sortBy(_.name).foreach { q =>
+      try {
+        val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        val udf = plan.contains("ScalaUDF")
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin")
+        val emptyWin = plan.contains("Window [") &&
+          plan.contains("windowspecdefinition()") // no partition spec
+        val issues = Seq(
+          if (udf && !FaithfulUdf(q.name)) Some("ScalaUDF") else None,
+          if (cart) Some("CartesianProduct") else None,
+          if (bnlj && !BoundedBnlj(q.name)) Some("BNLJ") else None,
+          if (emptyWin) Some("empty-window") else None).flatten
+        if (issues.nonEmpty) {
+          bad += 1
+          println(s"[audit] FLAG ${q.name}: ${issues.mkString(", ")}")
+        }
+      } catch {
+        case e: Throwable =>
+          bad += 1
+          println(s"[audit] ERROR ${q.name}: ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+      } finally spark.catalog.clearCache()
+    }
+    println(s"[audit] ${SparkEntry.allSpecs.size} plans audited, $bad flagged")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
