@@ -258,6 +258,11 @@ object Similarity {
       scala.concurrent.Future.sequence(fits.map(f => scala.concurrent.Future(f()))),
       scala.concurrent.duration.Duration(600, "s"))
     finally pool.shutdown()
+    // after the fits: rides the now-cached ivf model + pair table, but
+    // has its own recall-join first-use (flagged suspect in-bench when
+    // unwarmed); running it concurrently with knnIvf would instead race
+    // the model cache into a duplicate KMeans fit
+    ivfRecall(s, d).count()
     s.catalog.clearCache()
   }
 
