@@ -498,13 +498,19 @@ object TextAnalysis {
         .agg(count(lit(1)).as("w")))
       .groupBy(col("w1"), col("w2")).agg(sum(col("w")).as("w"))
       .persist()
+    // out and pr are vocab-bounded (one row per node — broadcastable at
+    // any corpus size: vocab grows ~log-ish, not with corpus rows), so
+    // BROADCAST both join sides: each power iteration becomes a map-side
+    // join over the cached edge table + one aggregation, instead of
+    // re-shuffling the edge table twice per iteration (r12 — 6 edge
+    // shuffles across the 3 iterations collapsed to 0)
     val out = edges.groupBy(col("w1")).agg(sum(col("w")).as("out_w"))
     val n = out.count().toDouble
     var pr = out.select(col("w1").as("node"), round(lit(1.0 / n), 12).as("pr"))
     (1 to 3).foreach { _ =>
       pr = edges
-        .join(out, "w1")
-        .join(pr, col("node") === col("w1"))
+        .join(broadcast(out), "w1")
+        .join(broadcast(pr), col("node") === col("w1"))
         .select(col("w2"), (col("pr") / col("out_w") * col("w")).as("contrib"))
         .groupBy(col("w2").as("node2"))
         .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("contrib")), 12).as("pr"))
