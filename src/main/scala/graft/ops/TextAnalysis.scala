@@ -506,10 +506,19 @@ object TextAnalysis {
     // shuffles across the 3 iterations collapsed to 0)
     val out = edges.groupBy(col("w1")).agg(sum(col("w")).as("out_w"))
     val n = out.count().toDouble
+    // the out-weight join is loop-INVARIANT: attach out_w to the edges
+    // once and persist (NOT pre-divided — the contrib expression must
+    // stay `pr / out_w * w` in exactly the oracle's association, because
+    // both engines round at 12dp each iteration and a reassociated
+    // product can land across a rounding boundary), so each iteration
+    // joins only the vocab-bounded pr frame — map-side — against the
+    // cached edge table; zero edge shuffles across all iterations
+    val edgesOut = edges.join(broadcast(out), "w1")
+      .select(col("w1"), col("w2"), col("w"), col("out_w"))
+      .persist()
     var pr = out.select(col("w1").as("node"), round(lit(1.0 / n), 12).as("pr"))
     (1 to 3).foreach { _ =>
-      pr = edges
-        .join(broadcast(out), "w1")
+      pr = edgesOut
         .join(broadcast(pr), col("node") === col("w1"))
         .select(col("w2"), (col("pr") / col("out_w") * col("w")).as("contrib"))
         .groupBy(col("w2").as("node2"))
