@@ -74,4 +74,18 @@ class SccSourceSpec extends SparkSpec {
     assert(tr1.count() == tr2.count() && te1.count() == te2.count())
     assert(tr1.count() + te1.count() == df.count())
   }
+
+  test("gate fixture root is keyed by dataset CONTENT, not path") {
+    // r12: the cross-JVM gate fixture must not survive a regenerated
+    // documents table (the driver rewrites testdata every round) — the
+    // root is keyed by (path, mtime, size), so touching the table moves
+    // the root and a stale fixture can never serve the new oracle
+    val dir = java.nio.file.Files.createTempDirectory("graft_fixkey").toString
+    val docs = new java.io.File(s"$dir/documents.parquet")
+    java.nio.file.Files.write(docs.toPath, Array[Byte](1, 2, 3))
+    val r1 = graft.sources.SccLoaderGate.fixtureRoot(dir)
+    assert(docs.setLastModified(docs.lastModified() + 1000))
+    val r2 = graft.sources.SccLoaderGate.fixtureRoot(dir)
+    assert(r1 != r2, "regenerated table must produce a fresh fixture root")
+  }
 }
