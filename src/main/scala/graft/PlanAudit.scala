@@ -17,10 +17,9 @@ import org.apache.spark.sql.SparkSession
   * audit runs at the smallest SF dir by default.
   *
   * Allowlist rationale (each documented at its site):
-  *  - blake2b-faithful sketch probes (`sketch_*_faithful*`): the
-  *    reference-hash-identical UDFs are the faithfulness contract itself;
-  *    converting them to codegen expressions is tracked but their
-  *    per-key outputs are golden-pinned, so they stay boxed by design.
+  *  - ScalaUDF: NONE — the last faithful-CMS estimate UDFs moved to the
+  *    codegen'd ref_cms_estimate expression in r13, so any ScalaUDF
+  *    anywhere in the registry is now a flag, no exemptions.
   *  - scc_loader_* / scc_run_summary: the md5-identity sampler rides
   *    Spark's own `md5`; no UDF — listed only for the bounded
   *    BroadcastNestedLoopJoin of ≤n/interval-row bounds tables.
@@ -45,9 +44,7 @@ object PlanAudit {
     "sketch_bloom_stats", "ta_bigram_logprob", "ta_domain_mix",
     "ta_filter_cascade", "ta_mix_sample", "ta_unigram_logprob",
     "text_final_summary")
-  private val FaithfulUdf = Set(
-    "sketch_cms_faithful", "sketch_cms_faithful_contract",
-    "sketch_bloom_faithful_contract")
+  private val FaithfulUdf = Set.empty[String]
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -131,27 +131,50 @@ object SccLoaderGate {
   /** Build the fixture once per (JVM-agnostic) SF dir: write into a
     * pid-suffixed build dir, then atomically move into place. A `_GRAFT_OK`
     * marker (underscore prefix — invisible to Spark's file listing, like
-    * _SUCCESS) distinguishes a complete fixture from a crashed build. */
+    * _SUCCESS) distinguishes a complete fixture from a crashed build.
+    *
+    * Cross-process safety (r12 ADVICE): the check-build-move sequence runs
+    * under a `FileChannel.lock` on a sibling lockfile, with the _GRAFT_OK
+    * check REPEATED inside the lock. Without it, JVM B could observe
+    * _GRAFT_OK missing, JVM A's atomic move then lands, and B's
+    * deleteRecursively would destroy the just-completed fixture while a
+    * third concurrent reader scans it (self-healing but transiently
+    * failure-prone). The in-JVM `synchronized` stays for thread safety —
+    * OverlappingFileLockException is per-JVM, not per-thread. */
   def ensureFixture(s: SparkSession, d: String): String = synchronized {
     val root = Paths.get(fixtureRoot(d))
     if (Files.exists(root.resolve("_GRAFT_OK"))) return root.toString
-    deleteRecursively(root) // half-built leftover from a crashed JVM
-    val build = Paths.get(root.toString + ".build-" +
-      ProcessHandle.current().pid())
-    deleteRecursively(build)
-    Files.createDirectories(build.resolve("nested"))
-    convJson(s, d).collect().foreach { r =>
-      val cid = r.getLong(0)
-      val rel = if (cid % 3 == 0) s"nested/conv_$cid.json" else s"conv_$cid.json"
-      Files.write(build.resolve(rel), r.getString(1).getBytes(UTF_8))
-    }
-    Files.write(build.resolve("_GRAFT_OK"), Array.emptyByteArray)
-    try Files.move(build, root, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-          _: java.nio.file.DirectoryNotEmptyException =>
-        deleteRecursively(build) // lost a cross-JVM race; fixtures are identical
-    }
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(root.toString + ".lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until a concurrent builder finishes
+      try {
+        // re-check under the lock: a concurrent JVM may have completed the
+        // build while we waited — deleting it here was the race
+        if (Files.exists(root.resolve("_GRAFT_OK"))) return root.toString
+        deleteRecursively(root) // half-built leftover from a crashed JVM
+        val build = Paths.get(root.toString + ".build-" +
+          ProcessHandle.current().pid())
+        deleteRecursively(build)
+        Files.createDirectories(build.resolve("nested"))
+        convJson(s, d).collect().foreach { r =>
+          val cid = r.getLong(0)
+          val rel = if (cid % 3 == 0) s"nested/conv_$cid.json" else s"conv_$cid.json"
+          Files.write(build.resolve(rel), r.getString(1).getBytes(UTF_8))
+        }
+        Files.write(build.resolve("_GRAFT_OK"), Array.emptyByteArray)
+        // under the lock the move cannot race another builder; the catch
+        // stays as belt-and-braces for an externally-created root
+        try Files.move(build, root, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+              _: java.nio.file.DirectoryNotEmptyException =>
+            deleteRecursively(build) // fixtures are content-identical
+        }
+      } finally lock.release()
+    } finally ch.close()
     root.toString
   }
 

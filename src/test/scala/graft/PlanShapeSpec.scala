@@ -95,13 +95,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("sketch probes are native expressions: no ScalaUDF in the probe plans") {
-    // The three sketch queries whose RETURNED frame contains the probe
+    // The sketch queries whose RETURNED frame contains the probe
     // column (the bloom contracts probe inside intermediate counts, so
     // their returned driver-literal frame can't carry this assertion).
-    // cms_estimate / bloom_might_contain are codegen'd Catalyst
-    // expressions (SketchProbes); a ScalaUDF here means the boxed
-    // per-row probe crept back in (r10 verdict #3).
-    for (q <- Seq("sketch_cms_token_freq", "sketch_cms_contract", "sketch_bloom_dedup")) {
+    // cms_estimate / bloom_might_contain / ref_cms_estimate are codegen'd
+    // Catalyst expressions (SketchProbes); a ScalaUDF here means the boxed
+    // per-row probe crept back in (r10 verdict #3; the faithful-CMS pair
+    // joined in r13 when its last UDF exemptions were retired).
+    for (q <- Seq("sketch_cms_token_freq", "sketch_cms_contract", "sketch_bloom_dedup",
+        "sketch_cms_faithful", "sketch_cms_faithful_contract")) {
       val p = plan(q)
       assert(!p.contains("ScalaUDF"),
         s"$q: sketch probe must be a native expression, found ScalaUDF:\n$p")
