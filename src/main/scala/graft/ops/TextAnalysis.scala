@@ -486,7 +486,25 @@ object TextAnalysis {
     * step). Intermediate ranks are rounded to 12 decimals every iteration
     * so both engines re-synchronize before ulp drift can accumulate;
     * output rounds to 6. */
-  private def tokenPagerank(s: SparkSession, d: String): DataFrame = {
+  /** Node-count ceiling for broadcasting the per-node frames (pr, out
+    * weights): ~1M (token, double) rows ≈ tens of MB — comfortably inside
+    * executor memory at any cluster size. The lexicon-bounded alpha-token
+    * vocabulary sits orders of magnitude below this at any corpus scale,
+    * but the ceiling makes the query scale-SAFE for open vocabularies
+    * (ids, urls, hashes) too: above it the per-iteration joins fall back
+    * to shuffle joins on the persisted edge table (r12 verdict #5 — the
+    * broadcast plan is an optimization gated on measured size, not an
+    * assumption baked into correctness). */
+  private[graft] val PR_BCAST_MAX_NODES = 1000000L
+
+  private def tokenPagerank(s: SparkSession, d: String): DataFrame =
+    tokenPagerankImpl(s, d, PR_BCAST_MAX_NODES)
+
+  /** [[tokenPagerank]] with the broadcast ceiling injectable so the spec
+    * can force the shuffle-join fallback path (bcastNodeMax = 0) and pin
+    * result identity against the broadcast plan. */
+  private[graft] def tokenPagerankImpl(s: SparkSession, d: String,
+      bcastNodeMax: Long): DataFrame = {
     val toks = T.documents(s, d)
       .select(graft.functions.Text.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
@@ -505,7 +523,15 @@ object TextAnalysis {
     // re-shuffling the edge table twice per iteration (r12 — 6 edge
     // shuffles across the 3 iterations collapsed to 0)
     val out = edges.groupBy(col("w1")).agg(sum(col("w")).as("out_w"))
-    val n = out.count().toDouble
+    val nNodes = out.count()
+    val n = nNodes.toDouble
+    // the MEASURED node count (already materialized for the 1/n teleport
+    // term) gates the broadcast: within the ceiling the per-node frames
+    // broadcast and every iteration is a map-side join; above it the
+    // hint is dropped and Catalyst picks a shuffle join — same plan
+    // shape GraphX-style pagerank pays, correct at any vocabulary size
+    def perNode(df: DataFrame): DataFrame =
+      if (nNodes <= bcastNodeMax) broadcast(df) else df
     // the out-weight join is loop-INVARIANT: attach out_w to the edges
     // once and persist (NOT pre-divided — the contrib expression must
     // stay `pr / out_w * w` in exactly the oracle's association, because
@@ -513,13 +539,13 @@ object TextAnalysis {
     // product can land across a rounding boundary), so each iteration
     // joins only the vocab-bounded pr frame — map-side — against the
     // cached edge table; zero edge shuffles across all iterations
-    val edgesOut = edges.join(broadcast(out), "w1")
+    val edgesOut = edges.join(perNode(out), "w1")
       .select(col("w1"), col("w2"), col("w"), col("out_w"))
       .persist()
     var pr = out.select(col("w1").as("node"), round(lit(1.0 / n), 12).as("pr"))
     (1 to 3).foreach { _ =>
       pr = edgesOut
-        .join(broadcast(pr), col("node") === col("w1"))
+        .join(perNode(pr), col("node") === col("w1"))
         .select(col("w2"), (col("pr") / col("out_w") * col("w")).as("contrib"))
         .groupBy(col("w2").as("node2"))
         .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("contrib")), 12).as("pr"))

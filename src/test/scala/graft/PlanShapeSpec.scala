@@ -110,6 +110,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ta_token_pagerank: open-vocabulary fallback drops the broadcast hint, same results") {
+    // r12 verdict #5: the per-iteration broadcast of the one-row-per-node
+    // pr frame assumed a lexicon-bounded vocabulary. The ceiling makes the
+    // plan unconditional: above PR_BCAST_MAX_NODES the hint is dropped and
+    // Catalyst plans a shuffle join. Force the fallback (ceiling 0) and
+    // pin (a) no broadcast HINT survives into the optimized plan, and
+    // (b) the ranking is IDENTICAL to the broadcast path — the hint is an
+    // optimization, never semantics.
+    val bcast = graft.ops.TextAnalysis
+      .tokenPagerankImpl(spark, sf001, graft.ops.TextAnalysis.PR_BCAST_MAX_NODES)
+    val fallback = graft.ops.TextAnalysis.tokenPagerankImpl(spark, sf001, 0L)
+    assert(bcast.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "default path must carry the broadcast hint (vocab-bounded fast plan)")
+    assert(!fallback.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "fallback path must not carry a broadcast hint")
+    val a = bcast.collect().map(r => (r.getString(0), r.getDouble(1)))
+    val b = fallback.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.sameElements(b),
+      s"fallback ranking diverged:\n  bcast=${a.mkString(",")}\n  fall =${b.mkString(",")}")
+  }
+
   test("rel_pricing_summary: whole-stage codegen covers the aggregate path") {
     // AQE shows codegen spans only in the FINAL adaptive plan, so this
     // one guard executes the (sf0.001, sub-second) query first
