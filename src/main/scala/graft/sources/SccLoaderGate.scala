@@ -374,6 +374,48 @@ object SccLoaderGate {
        |SELECT count(*) AS n_convs, TRUE AS partition_exact,
        |  TRUE AS deterministic, TRUE AS train_frac_ok FROM alive""".stripMargin
 
+  /** S4, row identity (r12 verdict #4 — the one property-only oracle in
+    * the registry): the REALIZED train-side selection, compute-and-pinned.
+    * randomSplit's per-row Bernoulli draw is engine-internal, but it is a
+    * pure function of (seed, per-partition row sequence): Dataset
+    * .randomSplit sorts within partitions by all columns, so after
+    * `repartition(1)` the sequence is the sorted alive conversation list —
+    * which is itself pure doc_id ARITHMETIC (conv survival depends only on
+    * doc_id % 17, and the fixture reads the first min(240, n) docs; every
+    * driver SF has ≥240 docs, so the list is the same 39-conv constant at
+    * every SF and across testdata regenerations). The realized selection
+    * is therefore an engine constant, captured once and pinned as a
+    * literal in the oracle (the golden-file discipline: a drift in the
+    * sampler, the loader chain, or the fixture arithmetic breaks the
+    * hash). The PROPERTY face (partition-exactness, determinism, fraction
+    * envelope) stays pinned by [[loaderSplit]] over the production
+    * (un-canonicalized) layout. */
+  private def loaderSplitIds(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureFixture(s, d)
+    val convs = SccJsonSource.readConversations(s, dir)
+      .select(regexp_extract(col("src_file"), "((nested/)?conv_\\d+\\.json)", 1)
+        .as("rel"))
+      .distinct()
+      .select(regexp_extract(col("rel"), "conv_(\\d+)", 1).cast("long")
+        .as("conv_id"), col("rel").as("src_file"))
+    val (tr, _) = SccJsonSource.trainTestSplit(convs.repartition(1), 0.7, 42L)
+    tr.select(col("conv_id")).orderBy(col("conv_id"))
+  }
+
+  /** The captured engine constant (see [[loaderSplitIds]]): Spark 4.1's
+    * XORShift Bernoulli draw with seed 42 over the sorted 39-conv alive
+    * list selects these 22 conversations (train fraction 22/39 ≈ 0.564 —
+    * Bernoulli, not exact-n, which is exactly why the realized set is
+    * worth pinning). Captured identically at cpus ∈ {4, 32} × sf ∈
+    * {0.001, 0.01}; canonicalization makes any other layout equal too. */
+  private val PinnedTrainIds =
+    "2, 3, 6, 7, 8, 11, 16, 19, 20, 25, 27, 28, 32, 36, 40, 41, 42, 49, 53, 57, 58, 59"
+
+  // CAST: unnest of an int-literal list is INT32 in DuckDB; Spark's
+  // conv_id is BIGINT and the driver compare is dtype-strict
+  private val loaderSplitIdsSql =
+    s"SELECT CAST(unnest([$PinnedTrainIds]) AS BIGINT) AS conv_id ORDER BY conv_id"
+
   /** S3: the stdout JSON report sink — `df.toJSON` rendered by the
     * executors over the sampled conversation frame; DuckDB replays the
     * exact strings by concatenation (field order = schema order, both
@@ -397,5 +439,6 @@ object SccLoaderGate {
     QuerySpec("scc_loader_stream", loaderStream, Some(loaderStreamSql)),
     QuerySpec("scc_loader_sample", loaderSample, Some(loaderSampleSql)),
     QuerySpec("scc_loader_split", loaderSplit, Some(loaderSplitSql)),
+    QuerySpec("scc_loader_split_ids", loaderSplitIds, Some(loaderSplitIdsSql)),
     QuerySpec("scc_loader_report", loaderReport, Some(loaderReportSql)))
 }
