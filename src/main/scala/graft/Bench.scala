@@ -45,10 +45,17 @@ object Bench {
     // init, streaming state-store/RocksDB + per-family stateful-operator
     // first use, IVF index build, decode + token-window first-use) so Bench
     // and Profile agree on what "steady state" means.
-    // best-effort: a broken env must still reach the query loop so every
-    // query reports its own err field instead of the bench dying silently
+    // The wall budget scales with the canary (r12 verdict #1a): 0.23 s is
+    // the quiet-box single-thread baseline for the fixed LCG loop, so
+    // canary/0.23 is a direct machine-speed factor — a loaded box gets up
+    // to 2.5× the budget (≤375 s, still far inside the driver timeout)
+    // instead of tripping mid-warmup and pushing the fit-once artifact
+    // builds into the timed queries (the r12 official artifact's 1.5×
+    // inflation). Cross-JVM ModelStore persistence is the second half of
+    // the same fix: even a SKIPPED phase now costs a disk read, not a fit.
+    val budgetScale = math.min(2.5, canaryStart / 0.23)
     val warmupSkipped =
-      try graft.Warmup.run(spark, sfDir)
+      try graft.Warmup.run(spark, sfDir, budgetScale)
       catch { case e: Throwable =>
         println(s"""{"metric":"warmup_error","err":${jstr(e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(160))}}""")
         -1 // warmup aborted entirely; the sentinel survives onto the total line
@@ -182,6 +189,27 @@ object Bench {
     // Same canary trick: the only guaranteed-surviving line carries them.
     val nSuspects = results.count { case (n, w, _) => isSuspect(n, w) }
     val nNoReceipt = results.count { case (n, _, _) => !receipts.contains(n) }
+    // Full per-query artifact FILE (r12 verdict #6): the driver's bounded
+    // output tail truncates the per_query line to ~69 of 179 entries, so
+    // cross-round per-query diffs depended on truncation luck. The
+    // complete map (plus run context) is written as its own JSON file in
+    // the working directory — it survives in the repo for the next
+    // round's diff regardless of what the stdout tail keeps.
+    val perQueryOut = sys.env.getOrElse("SPARK_GRAFT_PERQUERY_OUT",
+      "bench_perquery.json")
+    try {
+      val errsJson = results.collect { case (n, _, Some(m)) =>
+        s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(perQueryOut),
+        s"""{"total":${f(total)},"n_queries":${results.size},"errors":$nErr,""" +
+          s""""canary_start":${f(canaryStart)},"canary_end":${f(canaryEnd)},""" +
+          s""""warmup_skipped":$warmupSkipped,"n_suspects":$nSuspects,""" +
+          s""""n_no_receipt":$nNoReceipt,"sf":${jstr(sfDir)},""" +
+          s""""queries":$qs,"query_errors":$errsJson}""" + "\n")
+      println(s"""{"metric":"perquery_artifact","path":${jstr(perQueryOut)}}""")
+    } catch { case e: Throwable =>
+      println(s"""{"metric":"perquery_artifact_error","err":${jstr(e.getClass.getName)}}""")
+    }
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import scala.util.control.NonFatal
+
+/** Cross-JVM fit-once artifact store (r12 verdict #1): the ANN/PCA/topic
+  * model fits, the exact-kNN ground-truth table, the LSH pair/label/index
+  * tables, and the faithful-sketch builds are all fit-once PER DATASET —
+  * but the caches were per-JVM TrieMaps, so a bench whose warmup budget
+  * tripped under box load refit every artifact inside whichever timed
+  * query ran first (the r12 official artifact's 1.5× inflation). This
+  * store persists each artifact under a directory keyed by the dataset's
+  * content key (path + mtime + size, the `Tables.datasetKey` convention —
+  * a regenerated dataset can never serve a stale artifact), so a cold JVM
+  * pays a disk read, not a KMeans/PCA refit.
+  *
+  * Completion and concurrency discipline = the SccLoaderGate fixture's:
+  * write into a pid-suffixed build dir, mark `_GRAFT_OK`, atomic-move into
+  * place, all under a cross-process `FileChannel` lock with the
+  * completion marker re-checked inside the lock — concurrent JVMs fit
+  * once, not once per racer, and a crashed build is never mistaken for a
+  * complete artifact. Load failures (torn files, serialVersion drift
+  * after a recompile) fall back to refit-and-replace, never to a query
+  * failure.
+  */
+object ModelStore {
+
+  private def baseDir: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+
+  /** Final on-disk location for (content key, tag). Versioned prefix so an
+    * artifact-format change can never deserialize a stale layout. */
+  def artifactDir(key: String, tag: String): Path =
+    Paths.get(s"$baseDir/graft_models_v1_${TmpDirs.md5Hex(key)}/$tag")
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
+
+  /** Load the completed artifact if present, else compute with `fit`,
+    * persist with `save` (handed the build dir), and atomically publish.
+    * Returns the loaded or freshly-fitted value. */
+  def getOrFit[T](key: String, tag: String)(fit: => T)(
+      save: (T, Path) => Unit, load: Path => T): T = {
+    val dir = artifactDir(key, tag)
+    def tryLoad(): Option[T] =
+      if (Files.exists(dir.resolve("_GRAFT_OK")))
+        try Some(load(dir))
+        catch {
+          case NonFatal(e) =>
+            System.err.println(s"[modelstore] reload of $tag failed " +
+              s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}) — refitting")
+            None
+        }
+      else None
+    tryLoad().getOrElse {
+      Files.createDirectories(dir.getParent)
+      val ch = FileChannel.open(
+        dir.getParent.resolve(s"$tag.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until a concurrent fitter finishes
+        try {
+          // re-check under the lock: a concurrent JVM may have published
+          // while we waited for it
+          tryLoad().getOrElse {
+            val value = fit
+            deleteRecursively(dir) // torn artifact from a crashed build
+            val build = Paths.get(dir.toString + ".build-" +
+              ProcessHandle.current().pid())
+            deleteRecursively(build)
+            Files.createDirectories(build)
+            save(value, build)
+            Files.write(build.resolve("_GRAFT_OK"), Array.emptyByteArray)
+            try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException |
+                  _: java.nio.file.DirectoryNotEmptyException =>
+                deleteRecursively(build) // raced an external publisher
+            }
+            value
+          }
+        } finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** [[getOrFit]] for Java-serializable values (RefCms sketches, collected
+    * Row arrays): one `value.bin` file in the artifact dir. */
+  def getOrFitSer[T <: AnyRef](key: String, tag: String)(fit: => T): T =
+    getOrFit[T](key, tag)(fit)(
+      (v, dir) => {
+        val oos = new java.io.ObjectOutputStream(
+          Files.newOutputStream(dir.resolve("value.bin")))
+        try oos.writeObject(v) finally oos.close()
+      },
+      dir => {
+        val ois = new java.io.ObjectInputStream(
+          Files.newInputStream(dir.resolve("value.bin")))
+        try ois.readObject().asInstanceOf[T] finally ois.close()
+      })
+
+  /** Ensure a parquet (or any file-tree) artifact exists under the store:
+    * `write` is handed the BUILD dir and lays out whatever file tree it
+    * wants; the completed tree is published atomically. Returns the final
+    * artifact dir path (the same file names `write` created, under it). */
+  def ensureTree(key: String, tag: String)(write: Path => Unit): String = {
+    getOrFit[Unit](key, tag)(())((_, build) => write(build), _ => ())
+    artifactDir(key, tag).toString
+  }
+}

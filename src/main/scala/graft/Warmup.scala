@@ -42,7 +42,14 @@ object Warmup {
     *         exhaustion or cut off by the per-phase guard) — Bench carries
     *         it onto the final total line so a load-inflated round is
     *         diagnosable from the driver artifact alone. */
-  def run(s: SparkSession, d: String): Int = {
+  def run(s: SparkSession, d: String): Int = run(s, d, 1.0)
+
+  /** `budgetScale` (r12 verdict #1a): Bench passes the measured
+    * canary-derived machine-speed factor, so a loaded box gets a
+    * proportionally larger wall budget instead of tripping mid-warmup
+    * and dumping the fit-once costs into the timed queries. Capped by
+    * the caller; an explicit SPARK_GRAFT_WARMUP_BUDGET always wins. */
+  def run(s: SparkSession, d: String, budgetScale: Double): Int = {
     // 0 is the explicit skip-all knob (pre-r11 semantics, restored per
     // r11 ADVICE: the _ > 0 filter silently treated 0 as malformed and
     // re-enabled the full 150 s budget for automation that set 0 to
@@ -52,7 +59,11 @@ object Warmup {
       .getOrElse {
         sys.env.get("SPARK_GRAFT_WARMUP_BUDGET").foreach(v =>
           System.err.println(s"[warmup] bad SPARK_GRAFT_WARMUP_BUDGET '$v', using 150"))
-        150
+        val scaled = math.round(150 * math.max(1.0, budgetScale)).toInt
+        if (scaled != 150)
+          System.err.println(
+            f"[warmup] budget scaled to ${scaled}s (machine-speed factor $budgetScale%.2f)")
+        scaled
       }
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9

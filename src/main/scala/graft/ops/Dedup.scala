@@ -149,12 +149,13 @@ object Dedup {
   private val pairDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def minhashPairsFor(s: SparkSession, d: String): DataFrame = {
-    val path = pairDirs.getOrElseUpdate(T.datasetKey(d, "documents"), {
-      val p = s"${TmpDirs.create("graft_lsh_pairs")}/pairs"
-      minhashPairs(T.documents(s, d))
-        .coalesce(4).write.mode("overwrite").parquet(p)
-      p
-    })
+    // content-keyed ModelStore (r12 verdict #1): cross-JVM reuse — a cold
+    // JVM reads the pair table a previous bench/verify run already built
+    val path = pairDirs.getOrElseUpdate(T.datasetKey(d, "documents"),
+      graft.ModelStore.ensureTree(T.datasetKey(d, "documents"), "lsh_pairs") { b =>
+        minhashPairs(T.documents(s, d))
+          .coalesce(4).write.mode("overwrite").parquet(b.resolve("pairs").toString)
+      } + "/pairs")
     s.read.schema("id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE").parquet(path)
   }
 
@@ -366,12 +367,11 @@ object Dedup {
   private val embedPairDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def embedPairsFor(s: SparkSession, d: String): DataFrame = {
-    val path = embedPairDirs.getOrElseUpdate(T.datasetKey(d, "embeddings"), {
-      val p = s"${TmpDirs.create("graft_embed_pairs")}/pairs"
-      embedPairs(s, T.embeddings(s, d))
-        .coalesce(4).write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = embedPairDirs.getOrElseUpdate(T.datasetKey(d, "embeddings"),
+      graft.ModelStore.ensureTree(T.datasetKey(d, "embeddings"), "embed_pairs") { b =>
+        embedPairs(s, T.embeddings(s, d))
+          .coalesce(4).write.mode("overwrite").parquet(b.resolve("pairs").toString)
+      } + "/pairs")
     s.read.schema("id_a BIGINT, id_b BIGINT, cos DOUBLE").parquet(path)
   }
 
@@ -619,13 +619,12 @@ object Dedup {
   private val labelDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def nearDupLabels(s: SparkSession, d: String): DataFrame = {
-    val path = labelDirs.getOrElseUpdate(T.datasetKey(d, "documents"), {
-      val p = s"${TmpDirs.create("graft_cc_labels")}/labels"
-      // built over the fit-once pair table, not a fresh pair pipeline
-      labelsFromPairs(minhashPairsFor(s, d).select(col("id_a"), col("id_b")))
-        .coalesce(4).write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = labelDirs.getOrElseUpdate(T.datasetKey(d, "documents"),
+      graft.ModelStore.ensureTree(T.datasetKey(d, "documents"), "cc_labels") { b =>
+        // built over the fit-once pair table, not a fresh pair pipeline
+        labelsFromPairs(minhashPairsFor(s, d).select(col("id_a"), col("id_b")))
+          .coalesce(4).write.mode("overwrite").parquet(b.resolve("labels").toString)
+      } + "/labels")
     s.read.schema("doc_id BIGINT, cluster_id BIGINT").parquet(path)
   }
 
@@ -866,11 +865,10 @@ object Dedup {
     * half; `corpusSig` is only evaluated (and the index only written) on
     * the first call per dataset. */
   private[graft] def corpusLshIndex(d: String, corpusSig: => DataFrame): String =
-    lshIndexes.getOrElseUpdate(T.datasetKey(d, "documents"), {
-      val p = TmpDirs.create("graft_lsh_index_").toFile.getAbsolutePath
-      buildLshIndex(corpusSig, p)
-      p
-    })
+    lshIndexes.getOrElseUpdate(T.datasetKey(d, "documents"),
+      graft.ModelStore.ensureTree(T.datasetKey(d, "documents"), "lsh_index") { b =>
+        buildLshIndex(corpusSig, b.toString)
+      })
 
   private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)

@@ -167,6 +167,29 @@ object Similarity {
   private val ivfModels =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
 
+  // ------------------- cross-JVM persistence of the fit-once models
+  // (r12 verdict #1): the TrieMaps above/below stay as the L1 in-JVM
+  // cache; on an L1 miss the model is LOADED from the content-keyed
+  // ModelStore when a previous JVM already fit it, and only fit (then
+  // saved) otherwise — so a bench whose warmup budget trips under box
+  // load pays a parquet read inside the timed query, not a KMeans/PCA
+  // refit (the r12 official artifact's 1.5× inflation mode).
+  private def storedKm(key: String, tag: String)(
+      fit: => org.apache.spark.ml.clustering.KMeansModel)
+      : org.apache.spark.ml.clustering.KMeansModel =
+    graft.ModelStore.getOrFit(key, tag)(fit)(
+      (m, p) => m.write.overwrite().save(p.resolve("model").toString),
+      p => org.apache.spark.ml.clustering.KMeansModel.load(p.resolve("model").toString))
+
+  private def storedKmSeq(key: String, tag: String, n: Int)(
+      fit: => Seq[org.apache.spark.ml.clustering.KMeansModel])
+      : Seq[org.apache.spark.ml.clustering.KMeansModel] =
+    graft.ModelStore.getOrFit(key, tag)(fit)(
+      (ms, p) => ms.zipWithIndex.foreach { case (m, i) =>
+        m.write.overwrite().save(p.resolve(s"m$i").toString) },
+      p => (0 until n).map(i =>
+        org.apache.spark.ml.clustering.KMeansModel.load(p.resolve(s"m$i").toString)))
+
   /** The coarse quantizer's fit spec lives HERE and nowhere else: knnIvf
     * and knnIvfPq share the ivfModels cache key, so a second literal at
     * either call site could silently serve the other's model after an
@@ -174,10 +197,11 @@ object Similarity {
   private def coarseQuantizer(d: String, e: DataFrame)
       : org.apache.spark.ml.clustering.KMeansModel =
     ivfModels.getOrElseUpdate(ivfKey(d),
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(16).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(e))
+      storedKm(ivfKey(d), "ivf_coarse")(
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(16).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(e)))
 
   /** PQ sub-vector width, with the divisibility the slicing assumes made
     * LOUD: silent integer division would drop the trailing dim % PQ_M
@@ -372,16 +396,18 @@ object Similarity {
   private val exactKnnDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def exactKnnPairs(s: SparkSession, d: String): DataFrame = {
-    val path = exactKnnDirs.getOrElseUpdate(ivfKey(d), {
-      val p = s"${TmpDirs.create("graft_exact_knn")}/pairs"
+    val path = exactKnnDirs.getOrElseUpdate(ivfKey(d),
       // rank + cos ride along (r11 verdict #2): the per-rank exact cosine
       // is the oracle-computable baseline the upgraded sim_knn_* queries
-      // compare against, so the fit-once artifact carries it
-      knnBruteforce(s, d)
-        .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
-        .coalesce(1).write.mode("overwrite").parquet(p)
-      p
-    })
+      // compare against, so the fit-once artifact carries it. Persisted
+      // through the content-keyed ModelStore (r12 verdict #1) so a cold
+      // JVM reads the table instead of recomputing the brute-force pass.
+      graft.ModelStore.ensureTree(ivfKey(d), "exact_knn") { build =>
+        knnBruteforce(s, d)
+          .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(build.resolve("pairs").toString)
+      } + "/pairs")
     s.read.schema("query_id BIGINT, rank INT, cand_id BIGINT, cos DOUBLE")
       .parquet(path)
   }
@@ -571,10 +597,11 @@ object Similarity {
     val withSubs = (0 until PQ_M).foldLeft(e)((df, m) =>
       df.withColumn(s"f$m", array_to_vector(slice(col("nvec"), m * subDim + 1, subDim))))
     val models = pqModels.getOrElseUpdate(ivfKey(d),
-      (0 until PQ_M).map(m =>
-        new KMeans().setK(PQ_KC).setSeed(42L + m).setMaxIter(5)
-          .setFeaturesCol(s"f$m").setPredictionCol(s"code$m")
-          .fit(withSubs)))
+      storedKmSeq(ivfKey(d), "pq_codebooks", PQ_M)(
+        (0 until PQ_M).map(m =>
+          new KMeans().setK(PQ_KC).setSeed(42L + m).setMaxIter(5)
+            .setFeaturesCol(s"f$m").setPredictionCol(s"code$m")
+            .fit(withSubs))))
     val codes = cachedCorpusFrame(s, s"pqcodes|${ivfKey(d)}")(
       models.foldLeft(withSubs)((df, km) => km.transform(df))
         .select(Seq(col("vec_id"), col("embedding"), col("nvec")) ++
@@ -676,10 +703,11 @@ object Similarity {
     val withSubs = (0 until PQ_M).foldLeft(resid)((df, m) =>
       df.withColumn(s"rf$m", array_to_vector(slice(col("rvec"), m * subDim + 1, subDim))))
     val models = ivfpqModels.getOrElseUpdate(ivfKey(d),
-      (0 until PQ_M).map(m =>
-        new KMeans().setK(PQ_KC).setSeed(71L + m).setMaxIter(5)
-          .setFeaturesCol(s"rf$m").setPredictionCol(s"code$m")
-          .fit(withSubs)))
+      storedKmSeq(ivfKey(d), "ivfpq_codebooks", PQ_M)(
+        (0 until PQ_M).map(m =>
+          new KMeans().setK(PQ_KC).setSeed(71L + m).setMaxIter(5)
+            .setFeaturesCol(s"rf$m").setPredictionCol(s"code$m")
+            .fit(withSubs))))
     val codes = cachedCorpusFrame(s, s"ivfpqcodes|${ivfKey(d)}")(
       models.foldLeft(withSubs)((df, km) => km.transform(df))
         .select(Seq(col("vec_id"), col("embedding"), col("nvec"), col("cell")) ++
@@ -781,7 +809,10 @@ object Similarity {
     val e = withNormalized(s, d)
     if (e.select(lit(1)).limit(1).collect().isEmpty) return None
     val model = pcaModels.getOrElseUpdate(ivfKey(d),
-      new PCA().setK(PCA_K).setInputCol("features").setOutputCol("pcaVec").fit(e))
+      graft.ModelStore.getOrFit(ivfKey(d), "pca_model")(
+        new PCA().setK(PCA_K).setInputCol("features").setOutputCol("pcaVec").fit(e))(
+        (m, p) => m.write.overwrite().save(p.resolve("model").toString),
+        p => org.apache.spark.ml.feature.PCAModel.load(p.resolve("model").toString)))
     Some(model.transform(e)
       .select(col("vec_id"), col("embedding"),
         vector_to_array(col("pcaVec")).as("pca")))
@@ -875,9 +906,10 @@ object Similarity {
     val e = withNormalized(s, d)
     if (e.select(lit(1)).limit(1).collect().isEmpty) return None
     val km = topicModels.getOrElseUpdate(ivfKey(d),
-      new KMeans().setK(TK).setSeed(7L).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("cluster_id")
-        .fit(e))
+      storedKm(ivfKey(d), "topic_kmeans")(
+        new KMeans().setK(TK).setSeed(7L).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("cluster_id")
+          .fit(e)))
     Some(km.transform(e)
       .select(col("vec_id"), col("label"), col("nvec"), col("cluster_id")))
   }
