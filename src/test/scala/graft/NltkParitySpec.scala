@@ -60,16 +60,19 @@ class NltkParitySpec extends SparkSpec {
     assert(ratio < 1.0, "fixture no longer exercises any divergent form")
   }
 
-  test("tokenizer agreement with golden NLTK word_tokenize+isalpha >= 0.9 mean recall, 1.0 precision") {
+  test("tokenizer agreement with golden NLTK word_tokenize+isalpha >= 0.99 mean recall, 1.0 precision") {
     import spark.implicits._
     val rows = goldenLines("/nltk_punkt_tokens.tsv").map(a => (a(0), a(1)))
     assert(rows.size >= 10, "golden token fixture unexpectedly small")
     // the engine's T1+T2 tokenization with the stopword stage disabled —
     // stopword-list identity is pinned separately (TextSpec); this
     // isolates the TOKENIZER divergence. r10: edge-punct stripping lifted
-    // mean recall 0.727 → 0.948; precision stays exactly 1.0 (the engine
-    // never emits a token NLTK's word_tokenize+isalpha would not — the
-    // strip only recovers clean words wearing adjacent punctuation).
+    // mean recall 0.727 → 0.948; r13: the clitic strip (n't/'s/'re/'ve/
+    // 'll/'d/'m split the way Treebank does) closed the contraction class
+    // and lifted it past 0.99 — the only remaining divergence is the
+    // double-contraction fixture row. Precision stays exactly 1.0 (the
+    // engine never emits a token NLTK's word_tokenize+isalpha would not —
+    // strips only recover stems/clean words NLTK itself emits).
     val ours = rows.map(_._1).toDF("text")
       .select(graft.functions.Text.rawAlphaTokens(col("text")).as("toks"))
       .collect().map(_.getSeq[String](0))
@@ -86,10 +89,10 @@ class NltkParitySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     val meanPrec = precisions.sum / precisions.size
     info(f"tokenizer mean recall vs NLTK golden: $mean%.3f, precision $meanPrec%.3f")
-    assert(mean >= 0.9,
+    assert(mean >= 0.99,
       f"tokenizer recall vs NLTK golden fell to $mean%.3f — a change is " +
-        "dropping materially more than the documented contraction/interior-" +
-        "punctuation forms")
+        "dropping materially more than the documented double-contraction/" +
+        "interior-punctuation forms")
     assert(meanPrec == 1.0,
       f"tokenizer precision vs NLTK golden fell to $meanPrec%.3f — the engine " +
         "emitted tokens NLTK would not (over-eager stripping or splitting)")

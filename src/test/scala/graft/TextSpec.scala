@@ -35,8 +35,13 @@ class TextSpec extends SparkSpec {
     // em—dash: interior punctuation — the stripped form is not pure
     // letters, so the whole token drops (NLTK would split it; the
     // divergence class pinned in NltkParitySpec)
-    // contractions keep their interior apostrophe and drop whole
-    assert(toks("don't can't o'clock") == Seq.empty)
+    // contractions split at the clitic the way Treebank does (r13): the
+    // stem survives ("don't" → "do" → stopword-dropped here; "can't" →
+    // "ca" — Treebank's stem, NOT a stopword, so it survives exactly as
+    // the reference pipeline keeps it); o'clock keeps its interior
+    // apostrophe (no clitic suffix) and drops whole, matching NLTK's
+    // one-token "o'clock" failing isalpha
+    assert(toks("don't can't o'clock") == Seq("ca"))
     // digits anywhere still drop the token (isalpha)
     assert(toks("x1 2nd 3.14") == Seq.empty)
     // a token that is ALL punctuation strips to nothing and drops
