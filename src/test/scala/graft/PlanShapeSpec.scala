@@ -257,7 +257,9 @@ class PlanShapeSpec extends SparkSpec {
     // pushdown) appearing here would mean the audit re-hashes the
     // corpus per run — the exact cost the index exists to amortize.
     val p = plan("dedup_contamination")
-    assert(p.contains("graft_lsh_index"),
+    // the index lives in the content-keyed ModelStore since r13
+    // (graft_models_v1_<key>/lsh_index); the assertion matches the tag
+    assert(p.contains("lsh_index"),
       s"train bands/sigs must be read from the persisted index files:\n$p")
     assert(p.contains("GreaterThanOrEqual(doc_id"),
       s"test-half filter must push to the documents scan:\n$p")
