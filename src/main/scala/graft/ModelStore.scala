@@ -43,10 +43,26 @@ object ModelStore {
       finally stream.close()
     }
 
+  /** Per-(key,tag) in-JVM monitor: `FileChannel.lock` guards across
+    * PROCESSES but throws OverlappingFileLockException when a second
+    * THREAD of the same JVM locks the same file — and same-JVM races are
+    * real here (warmIndex's concurrent fits both reach the shared
+    * ivf_coarse tag through TrieMap.getOrElseUpdate, whose `op` is not
+    * mutually excluded). Same-JVM callers serialize on this monitor
+    * first, so exactly one of them holds the file lock. */
+  private val jvmLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** Load the completed artifact if present, else compute with `fit`,
     * persist with `save` (handed the build dir), and atomically publish.
     * Returns the loaded or freshly-fitted value. */
   def getOrFit[T](key: String, tag: String)(fit: => T)(
+      save: (T, Path) => Unit, load: Path => T): T =
+    jvmLocks.getOrElseUpdate(s"$key|$tag", new Object).synchronized {
+      getOrFitLocked(key, tag)(fit)(save, load)
+    }
+
+  private def getOrFitLocked[T](key: String, tag: String)(fit: => T)(
       save: (T, Path) => Unit, load: Path => T): T = {
     val dir = artifactDir(key, tag)
     def tryLoad(): Option[T] =

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Completion/recovery semantics of the cross-JVM fit-once store (r13):
+  * the properties a torn or concurrent build must satisfy, pinned without
+  * Spark (the store is plain files + locks). */
+class ModelStoreSpec extends AnyFunSuite {
+
+  private def freshKey(): String =
+    s"modelstore-spec|${System.nanoTime()}|${ProcessHandle.current().pid()}"
+
+  test("fit runs once; later calls (same or new 'JVM' path) load the artifact") {
+    val key = freshKey()
+    var fits = 0
+    def get(): String = ModelStore.getOrFitSer(key, "t1") { fits += 1; s"value-$fits" }
+    assert(get() == "value-1")
+    assert(get() == "value-1") // served from disk, not refit
+    assert(fits == 1)
+    val dir = ModelStore.artifactDir(key, "t1")
+    assert(Files.exists(dir.resolve("_GRAFT_OK")) &&
+      Files.exists(dir.resolve("value.bin")))
+  }
+
+  test("a torn artifact (no _GRAFT_OK) is refit and replaced, not served") {
+    val key = freshKey()
+    val dir = ModelStore.artifactDir(key, "t2")
+    // simulate a crashed build: files present, completion marker absent
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("value.bin"), Array[Byte](1, 2, 3))
+    val got = ModelStore.getOrFitSer(key, "t2")("fresh")
+    assert(got == "fresh")
+    assert(Files.exists(dir.resolve("_GRAFT_OK")))
+  }
+
+  test("an unreadable artifact falls back to refit instead of failing") {
+    val key = freshKey()
+    val dir = ModelStore.artifactDir(key, "t3")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("value.bin"), Array[Byte](0, 0, 0)) // not a java stream
+    Files.write(dir.resolve("_GRAFT_OK"), Array.emptyByteArray)
+    val got = ModelStore.getOrFitSer(key, "t3")("recovered")
+    assert(got == "recovered")
+    // and the replacement is durable for the next caller
+    assert(ModelStore.getOrFitSer(key, "t3")("WRONG — must load") == "recovered")
+  }
+
+  test("ensureTree publishes the written file tree atomically under the tag dir") {
+    val key = freshKey()
+    var writes = 0
+    def ensure(): String = ModelStore.ensureTree(key, "tree") { build =>
+      writes += 1
+      Files.createDirectories(build.resolve("sub"))
+      Files.write(build.resolve("sub/part0"), "data".getBytes)
+    }
+    val p1 = ensure()
+    val p2 = ensure()
+    assert(p1 == p2 && writes == 1)
+    assert(new String(Files.readAllBytes(Paths.get(p1, "sub", "part0"))) == "data")
+  }
+
+  test("concurrent same-key callers fit exactly once and never throw") {
+    val key = freshKey()
+    val fits = new java.util.concurrent.atomic.AtomicInteger(0)
+    // FileChannel.lock throws OverlappingFileLockException when a second
+    // THREAD of the same JVM locks the same file — and same-JVM races are
+    // real (warmIndex's concurrent fits share the ivf_coarse tag through
+    // a non-mutually-excluding TrieMap.getOrElseUpdate). The per-(key,tag)
+    // in-JVM monitor must serialize them: one fit, three loads, no throw.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val results = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] {
+          def call(): String = ModelStore.getOrFitSer(key, "t5") {
+            Thread.sleep(50); s"v${fits.incrementAndGet()}"
+          }
+        }))
+      val got = results.map(_.get()).toSet
+      assert(got == Set("v1"), s"racers saw $got")
+      assert(fits.get() == 1, s"fit ran ${fits.get()} times")
+    } finally pool.shutdown()
+  }
+}
