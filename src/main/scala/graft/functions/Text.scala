@@ -85,23 +85,30 @@ object Text {
     * 's / 're / 've / 'll / 'd / 'm — the published CONTRACTIONS set)
     * recovers exactly the stem Treebank emits; note the n of "n't" moves
     * WITH the clitic, which is why the stem of "can't" is "ca". Anchored
-    * \z, single possible match — Spark's replace-all and DuckDB's
-    * replace-first are equivalent here. Residual divergence: DOUBLE
-    * contractions ("she'd've" — Treebank splits twice, one pass strips
-    * once, the leftover "she'd" fails isalpha and drops where NLTK keeps
-    * "she") — engine-emits-subset, so golden precision stays exactly 1.0;
+    * \z, single possible match per application — Spark's replace-all and
+    * DuckDB's replace-first are equivalent here. Applied TWICE: NLTK's
+    * contraction regex matches sequentially along the string, so a
+    * DOUBLE contraction splits in one pass ("she'd've" → she + 'd +
+    * 've); two anchored strips reproduce that ("she'd've" → "she'd" →
+    * "she"), and a second application can only ever fire on a token that
+    * carried two clitics (true alpha stems contain no apostrophe).
+    * Residual divergence: word-INTERNAL Treebank splits with no
+    * apostrophe-suffix signature ("more'n" → more + 'n, "d'ye" → d' +
+    * ye) — the engine drops the whole form where NLTK keeps the alpha
+    * part; engine-emits-subset, so golden precision stays exactly 1.0;
     * pinned as the adversarial fixture row. */
   private val CliticSuffix = """(?:n't|'(?:s|re|ve|ll|d|m))\z"""
 
   /** T1+T2 only — lowercase, whitespace-split, edge-punct strip, clitic
-    * strip, alpha-only — without the stopword stage (NltkParitySpec
-    * isolates the tokenizer divergence from the separately-pinned
-    * stopword list). */
+    * strip (×2 — see [[CliticSuffix]]), alpha-only — without the stopword
+    * stage (NltkParitySpec isolates the tokenizer divergence from the
+    * separately-pinned stopword list). */
   def rawAlphaTokens(text: Column): Column =
     filter(
       transform(split(lower(text), " "),
-        t => regexp_replace(regexp_replace(t, edgePunctPattern, ""),
-          CliticSuffix, "")),
+        t => regexp_replace(regexp_replace(
+          regexp_replace(t, edgePunctPattern, ""),
+          CliticSuffix, ""), CliticSuffix, "")),
       // \A..\z: RLIKE is find-semantics and Java `$` forgives a final
       // newline, so "word\n" would pass a ^..$ filter that DuckDB's
       // regexp_full_match rejects (see edgePunctPattern note)
@@ -156,10 +163,10 @@ object Text {
     * expression — for oracle chains that need the reference's
     * lemma-BEFORE-stopwords order on a column other than `text`.
     * `expr` must be a bare column/lambda reference (it is repeated).
-    * The clitic strip is non-'g' (anchored \z — one possible match),
-    * matching the Spark side's effective single replacement. */
+    * The clitic strips are non-'g' (anchored \z — one possible match per
+    * application) and applied twice, matching the Spark side. */
   def rawAlphaToksSqlOf(expr: String): String =
-    s"list_filter(list_transform(string_split(lower($expr), ' '), t -> regexp_replace(regexp_replace(t, '$edgePunctPatternSql', '', 'g'), '$cliticSuffixSql', '')), t -> regexp_full_match(t, '\\p{L}+'))"
+    s"list_filter(list_transform(string_split(lower($expr), ' '), t -> regexp_replace(regexp_replace(regexp_replace(t, '$edgePunctPatternSql', '', 'g'), '$cliticSuffixSql', ''), '$cliticSuffixSql', '')), t -> regexp_full_match(t, '\\p{L}+'))"
   val rawAlphaToksSql: String = rawAlphaToksSqlOf("text")
   val toksSql: String =
     s"list_filter($rawAlphaToksSql, t -> t NOT IN ${stopwordsSqlList})"

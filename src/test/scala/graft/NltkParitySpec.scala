@@ -68,11 +68,13 @@ class NltkParitySpec extends SparkSpec {
     // stopword-list identity is pinned separately (TextSpec); this
     // isolates the TOKENIZER divergence. r10: edge-punct stripping lifted
     // mean recall 0.727 → 0.948; r13: the clitic strip (n't/'s/'re/'ve/
-    // 'll/'d/'m split the way Treebank does) closed the contraction class
-    // and lifted it past 0.99 — the only remaining divergence is the
-    // double-contraction fixture row. Precision stays exactly 1.0 (the
-    // engine never emits a token NLTK's word_tokenize+isalpha would not —
-    // strips only recover stems/clean words NLTK itself emits).
+    // 'll/'d/'m split the way Treebank does, applied twice for double
+    // contractions) closed the contraction class and lifted it past
+    // 0.99 — the only remaining divergence is the word-internal
+    // no-suffix-signature fixture row ("more'n"). Precision stays
+    // exactly 1.0 (the engine never emits a token NLTK's
+    // word_tokenize+isalpha would not — strips only recover stems/clean
+    // words NLTK itself emits).
     val ours = rows.map(_._1).toDF("text")
       .select(graft.functions.Text.rawAlphaTokens(col("text")).as("toks"))
       .collect().map(_.getSeq[String](0))
@@ -91,7 +93,7 @@ class NltkParitySpec extends SparkSpec {
     info(f"tokenizer mean recall vs NLTK golden: $mean%.3f, precision $meanPrec%.3f")
     assert(mean >= 0.99,
       f"tokenizer recall vs NLTK golden fell to $mean%.3f — a change is " +
-        "dropping materially more than the documented double-contraction/" +
+        "dropping materially more than the documented word-internal-split/" +
         "interior-punctuation forms")
     assert(meanPrec == 1.0,
       f"tokenizer precision vs NLTK golden fell to $meanPrec%.3f — the engine " +
