@@ -209,7 +209,8 @@ object ScaleGate {
       val wN = (1 to reps).map(_ => run(q, bigDir))
       val r = R(q, cold1, w1.map(_._1).min, coldN, wN.map(_._1).min,
         math.max(st1a, w1.map(_._2).max), math.max(stNa, wN.map(_._2).max), bound)
-      println(f"[scale] ${r.name}%-28s 1x ${r.warm1}%6.2f | ${mult}x ${r.warmN}%6.2f | " +
+      println(f"[scale] ${r.name}%-28s 1x ${r.warm1}%6.2f (cold ${r.cold1}%6.2f) | " +
+        f"${mult}x ${r.warmN}%6.2f (cold ${r.coldN}%6.2f) | " +
         f"ratio ${r.ratio}%6.2f (bound ${r.bound}%4.0f) " +
         (if (r.state1 > 0) f"| state ${r.state1}%d -> ${r.stateN}%d " else "") +
         (if (r.ok && r.stateOk) "OK" else "FAIL"))
