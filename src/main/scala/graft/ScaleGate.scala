@@ -223,6 +223,23 @@ object ScaleGate {
       val st = if (r.state1 > 0) s"${r.state1}→${r.stateN}" else "—"
       println(f"| ${r.name} | ${r.warm1}%.2f | ${r.warmN}%.2f | ${r.ratio}%.2f | ${r.bound}%.0f | $st | ${if (r.ok && r.stateOk) "OK" else "FAIL"} |")
     }
+    // committable JSON artifact (the bench_perquery.json convention):
+    // cross-round scale diffs shouldn't depend on scraping the run log
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_sweep.json")
+    try {
+      def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val rowsJson = results.map { r =>
+        s""""${r.name}":{"warm1":${f(r.warm1)},"warmN":${f(r.warmN)},""" +
+          s""""cold1":${f(r.cold1)},"coldN":${f(r.coldN)},"ratio":${f(r.ratio)},""" +
+          s""""bound":${f(r.bound)},"state1":${r.state1},"stateN":${r.stateN}}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        s"""{"mult":$mult,"sf":"$base","full":$full,"n_queries":${results.size},""" +
+          s""""queries":$rowsJson}""" + "\n")
+      println(s"[scale] artifact written to $outPath")
+    } catch { case e: Throwable =>
+      println(s"[scale] artifact write failed: ${e.getClass.getName}")
+    }
     val bad = results.filterNot(r => r.ok && r.stateOk)
     if (bad.nonEmpty) {
       println(s"[scale] FAIL: ${bad.map(_.name).mkString(", ")} exceeded growth/state bounds")

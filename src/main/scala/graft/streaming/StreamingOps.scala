@@ -253,10 +253,22 @@ object StreamingOps {
           state.update(math.min(priorMin, batchMin))
           out.iterator
         })
-    val q = flags.toDF().writeStream.format("memory").queryName("stream_dedup_sink")
+    // Durable idempotent parquet sink, NOT a memory sink (r13): the
+    // per-shingle flag stream is corpus-sized (~44 rows per doc), and the
+    // memory sink collects it all on the driver — the ONE true
+    // scale-killer the full-registry 100× gate found (OOM at 50M flag
+    // rows; the RocksDB state itself stayed flat at the 22k distinct
+    // keys). The production shape writes flags distributed and
+    // aggregates from the files, so the driver never holds the stream.
+    val outDir = TmpDirs.create("graft_stream_dedup_out").toString
+    val q = flags.toDF().writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outDir))
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val scores = s.table("stream_dedup_sink")
+    // explicit schema: an empty corpus writes no part files
+    val scores = s.read.schema("doc_id BIGINT, seen DOUBLE")
+      .parquet(s"$outDir/batch=*")
       .groupBy(col("doc_id"))
       .agg(round(avg(col("seen")), 4).as("dup_score"))
     graft.Tables.documents(s, d).select(col("doc_id"))
