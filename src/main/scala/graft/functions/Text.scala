@@ -97,18 +97,33 @@ object Text {
     * ye) — the engine drops the whole form where NLTK keeps the alpha
     * part; engine-emits-subset, so golden precision stays exactly 1.0;
     * pinned as the adversarial fixture row. */
-  private val CliticSuffix = """(?:n't|'(?:s|re|ve|ll|d|m))\z"""
+  private val Clitic = """(?:n't|'(?:s|re|ve|ll|d|m))"""
+  val cliticSuffixPattern: String = s"""$Clitic\\z"""
 
-  /** T1+T2 only — lowercase, whitespace-split, edge-punct strip, clitic
-    * strip (×2 — see [[CliticSuffix]]), alpha-only — without the stopword
+  /** The FUSED per-token scrub — one regex call per token instead of
+    * three (edge strip + clitic ×2), because this lambda runs inside
+    * `transform` for every token of every document, the engine's hottest
+    * loop. Semantics identical to the three-pass composition (TextSpec
+    * pins the equivalence on an adversarial token corpus):
+    *  - `\A punct+` — the leading edge strip;
+    *  - `(clitic{1,2} punct* | punct+) \z` — the trailing strip: up to
+    *    two clitics (double contractions) optionally wearing trailing
+    *    punctuation, or a plain trailing punctuation run. Clitics
+    *    contain an apostrophe (or the fused n't), so a true alpha stem
+    *    can never lose letters; both alternatives require ≥1 char, so
+    *    the pattern never empty-matches. Leftmost-first alternation
+    *    behaves identically in Java regex and RE2 (DuckDB default). */
+  val tokenScrubPattern: String =
+    s"""\\A$EdgePunct+|(?:$Clitic{1,2}$EdgePunct*|$EdgePunct+)\\z"""
+
+  /** T1+T2 only — lowercase, whitespace-split, fused edge-punct+clitic
+    * scrub (see [[tokenScrubPattern]]), alpha-only — without the stopword
     * stage (NltkParitySpec isolates the tokenizer divergence from the
     * separately-pinned stopword list). */
   def rawAlphaTokens(text: Column): Column =
     filter(
       transform(split(lower(text), " "),
-        t => regexp_replace(regexp_replace(
-          regexp_replace(t, edgePunctPattern, ""),
-          CliticSuffix, ""), CliticSuffix, "")),
+        t => regexp_replace(t, tokenScrubPattern, "")),
       // \A..\z: RLIKE is find-semantics and Java `$` forgives a final
       // newline, so "word\n" would pass a ^..$ filter that DuckDB's
       // regexp_full_match rejects (see edgePunctPattern note)
@@ -157,16 +172,15 @@ object Text {
     * The edge-punct pattern's apostrophe is doubled for SQL string
     * escaping; DuckDB standard strings pass the backslashes through to
     * RE2 untouched. */
-  private val edgePunctPatternSql = edgePunctPattern.replace("'", "''")
-  private val cliticSuffixSql = CliticSuffix.replace("'", "''")
+  private val tokenScrubPatternSql = tokenScrubPattern.replace("'", "''")
   /** T1+T2 only (the [[rawAlphaTokens]] twin) over an arbitrary string
     * expression — for oracle chains that need the reference's
     * lemma-BEFORE-stopwords order on a column other than `text`.
     * `expr` must be a bare column/lambda reference (it is repeated).
-    * The clitic strips are non-'g' (anchored \z — one possible match per
-    * application) and applied twice, matching the Spark side. */
+    * 'g' matches Spark's replace-all; the fused pattern's \A and \z
+    * branches each match at most once. */
   def rawAlphaToksSqlOf(expr: String): String =
-    s"list_filter(list_transform(string_split(lower($expr), ' '), t -> regexp_replace(regexp_replace(regexp_replace(t, '$edgePunctPatternSql', '', 'g'), '$cliticSuffixSql', ''), '$cliticSuffixSql', '')), t -> regexp_full_match(t, '\\p{L}+'))"
+    s"list_filter(list_transform(string_split(lower($expr), ' '), t -> regexp_replace(t, '$tokenScrubPatternSql', '', 'g')), t -> regexp_full_match(t, '\\p{L}+'))"
   val rawAlphaToksSql: String = rawAlphaToksSqlOf("text")
   val toksSql: String =
     s"list_filter($rawAlphaToksSql, t -> t NOT IN ${stopwordsSqlList})"

@@ -505,4 +505,33 @@ class TextSpec extends SparkSpec {
     }
     assert(out(1L)._3 >= 1 && out(2L)._3 >= 1 && out(3L)._3 == 0)
   }
+
+  test("fused token scrub ≡ edge-strip then clitic-strip ×2 (r13 hot-path fusion)") {
+    import graft.functions.Text
+    // The fused single-regex scrub exists because the per-token lambda is
+    // the engine's hottest loop; this pins its equivalence to the naive
+    // three-pass composition over an adversarial cross product (empty
+    // stems, clitic-looking stems, interior apostrophes, double clitics,
+    // unicode punctuation runs on both ends).
+    val fused = Text.tokenScrubPattern.r
+    val edge = Text.edgePunctPattern.r
+    val clitic = Text.cliticSuffixPattern.r
+    def ref(t: String): String = {
+      val e = edge.replaceAllIn(t, "")
+      clitic.replaceFirstIn(clitic.replaceFirstIn(e, ""), "")
+    }
+    val stems = Seq("", "do", "ca", "she", "it", "word", "y'all", "o'clock",
+      "rock'n'roll", "café", "n", "s", "don")
+    val clitics = Seq("", "n't", "'s", "'re", "'ve", "'ll", "'d", "'m",
+      "'d've", "n't's", "'n", "'ll've'd")
+    val puncts = Seq("", ",", "...", "\"", "''", "—", "?!", "'", "«»")
+    var n = 0
+    for (p1 <- puncts; s <- stems; c <- clitics; p2 <- puncts) {
+      val tok = p1 + s + c + p2
+      assert(fused.replaceAllIn(tok, "") == ref(tok),
+        s"fused scrub diverges from 3-pass reference on <$tok>")
+      n += 1
+    }
+    assert(n > 10000) // the cross product actually ran
+  }
 }
