@@ -308,10 +308,17 @@ object StreamingOps {
       .select(Text.tokens(col("text")).as("toks"))
       .select(explode(array_distinct(Text.shingles3(col("toks")))).as("sh"))
       .dropDuplicates("sh")
-    val q = firstSeen.writeStream.format("memory").queryName("stream_dropdup_sink")
+    // parquet sink, not memory (r13): the survivor stream is
+    // distinct-shingle-sized — key-bounded, but keys grow with a real
+    // (non-duplicated) corpus, so the driver must stay out of the path
+    // (the stream_stateful_dedup memory-sink lesson applied family-wide)
+    val outDir = TmpDirs.create("graft_stream_dropdup_out").toString
+    val q = firstSeen.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outDir))
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("stream_dropdup_sink")
+    s.read.schema("sh STRING").parquet(s"$outDir/batch=*")
       .agg(count(lit(1)).as("n_distinct_shingles"))
   }
 
@@ -418,10 +425,18 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    val q = src.writeStream.format("memory").queryName("stream_wmdedup_sink")
+      // the sink only needs the dedup key; dropping ts here avoids a
+      // timestamp parquet round-trip in the file sink below
+      .select(col("user_id"), col("event_type"))
+    // parquet sink, not memory (r13): first arrivals ∝ distinct keys —
+    // driver-resident only by accident of the old test sink
+    val outDir = TmpDirs.create("graft_stream_wmdedup_out").toString
+    val q = src.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outDir))
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("stream_wmdedup_sink")
+    s.read.schema("user_id BIGINT, event_type STRING").parquet(s"$outDir/batch=*")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_first_arrivals"))
       .orderBy(col("event_type"))
@@ -449,11 +464,19 @@ object StreamingOps {
       """v_user = user_id AND
         |view_ts >= purchase_ts - INTERVAL 1 HOUR AND
         |view_ts < purchase_ts""".stripMargin))
+    // parquet sink, not memory (r13): the join output is
+    // event-proportional — at stream scale it lands in files, never on
+    // the driver (the stream_stateful_dedup memory-sink lesson)
+    val outDir = TmpDirs.create("graft_stream_ssj_out").toString
     val q = joined.select(col("purchase_id"), col("view_id"), col("user_id"))
-      .writeStream.format("memory").queryName("stream_ssj_sink")
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, outDir))
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("stream_ssj_sink").orderBy(col("purchase_id"), col("view_id"))
+    s.read.schema("purchase_id BIGINT, view_id BIGINT, user_id BIGINT")
+      .parquet(s"$outDir/batch=*")
+      .orderBy(col("purchase_id"), col("view_id"))
   }
 
   private val streamStreamJoinSql =
@@ -476,10 +499,17 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
     val sessions = src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    val q = sessions.writeStream.format("memory").queryName("stream_sess_sink")
+    // parquet sink, not memory (r13): the session table is
+    // user×session-sized. Complete mode re-emits the FULL result each
+    // batch, so the idempotent write is a plain overwrite of one fixed
+    // dir — the last batch's overwrite IS the complete result.
+    val outDir = TmpDirs.create("graft_stream_sess_out").toString
+    val q = sessions.select(col("user_id"), col("n_events")).writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir))
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("stream_sess_sink")
+    s.read.schema("user_id BIGINT, n_events BIGINT").parquet(outDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
