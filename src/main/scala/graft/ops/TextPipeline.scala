@@ -356,9 +356,99 @@ object TextPipeline {
     ()
   }
 
+  // ----------------------------------------------------- S5: plot sink
+
+  /** S5 — the bump-chart PLOT SINK (`/root/reference/plot/bump_chart.py:
+    * 87-104`), closing the one §2 row that had stayed rank-table-only:
+    * the snapshot-rank trajectories rendered as a deterministic SVG. SVG
+    * is pure string construction, so unlike a matplotlib PNG the RENDERED
+    * BYTES are oracle-checkable — the DuckDB twin rebuilds the identical
+    * element strings from the same rank table (the scc_loader_report
+    * `toJSON`-replay discipline applied to a plot). Geometry is all
+    * integer arithmetic (x = 40 + 60·snapshot, y = 20 + 24·rank), so both
+    * engines render byte-identical coordinates; tokens are `\p{L}+` so no
+    * XML escaping is needed by construction. Rows are (kind, svg) —
+    * 0 header, 1 x-axis labels, 2 one polyline+label per token, 3 footer
+    * — and [[writeBumpChart]] assembles them into the actual .svg file
+    * (the sink form; the file content is exactly these rows in order).
+    * Row count is bounded: 2 + #snapshots + ≤10·#snapshots tokens. */
+  private[graft] def bumpChartSvg(s: SparkSession, d: String): DataFrame = {
+    val ranks = snapshotTopk(s, d)
+    val header = ranks.agg(max(col("snapshot")).as("mx"))
+      .select(lit(0).as("kind"),
+        concat(lit("<svg xmlns=\"http://www.w3.org/2000/svg\" width=\""),
+          (col("mx") * 60 + 240).cast("string"),
+          lit("\" height=\"300\">")).as("svg"))
+    val axis = ranks.select(col("snapshot")).distinct()
+      .select(lit(1).as("kind"),
+        concat(lit("<text x=\""), (col("snapshot") * 60 + 40).cast("string"),
+          lit("\" y=\"290\">s"), col("snapshot").cast("string"),
+          lit("</text>")).as("svg"))
+    val polys = ranks
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(struct(col("snapshot"), col("rank")))).as("pts"))
+      .select(lit(2).as("kind"), concat(
+        lit("<polyline fill=\"none\" stroke=\"#4878a8\" stroke-width=\"2\" points=\""),
+        array_join(transform(col("pts"), p =>
+          concat((p.getField("snapshot") * 60 + 40).cast("string"), lit(","),
+            (p.getField("rank") * 24 + 20).cast("string"))), " "),
+        lit("\"/><text x=\""),
+        (element_at(col("pts"), -1).getField("snapshot") * 60 + 46).cast("string"),
+        lit("\" y=\""),
+        (element_at(col("pts"), -1).getField("rank") * 24 + 24).cast("string"),
+        lit("\">"), col("token"), lit("</text>")).as("svg"))
+    val footer = s.range(1).select(lit(3).as("kind"), lit("</svg>").as("svg"))
+    header.unionByName(axis).unionByName(polys).unionByName(footer)
+      .orderBy(col("kind"), col("svg"))
+  }
+
+  private val bumpChartSvgSql = {
+    val rt =
+      s"""SELECT snapshot, CAST(rank AS INT) AS rank, token FROM (
+         |  SELECT snapshot, token, cnt,
+         |    row_number() OVER (PARTITION BY snapshot
+         |      ORDER BY cnt DESC, token) AS rank
+         |  FROM (SELECT doc_id // 100 AS snapshot, token, count(*) AS cnt
+         |        FROM (SELECT doc_id, unnest(${Text.toksSql}) AS token
+         |              FROM documents)
+         |        GROUP BY snapshot, token))
+         |WHERE rank <= 10""".stripMargin
+    s"""WITH rt AS ($rt),
+       |hdr AS (SELECT 0 AS kind,
+       |  '<svg xmlns="http://www.w3.org/2000/svg" width="' ||
+       |  (max(snapshot)*60 + 240) || '" height="300">' AS svg FROM rt),
+       |axis AS (SELECT DISTINCT 1 AS kind,
+       |  '<text x="' || (snapshot*60 + 40) || '" y="290">s' || snapshot
+       |  || '</text>' AS svg FROM rt),
+       |poly AS (SELECT 2 AS kind,
+       |  '<polyline fill="none" stroke="#4878a8" stroke-width="2" points="' ||
+       |  string_agg((snapshot*60 + 40) || ',' || (rank*24 + 20), ' '
+       |    ORDER BY snapshot) ||
+       |  '"/><text x="' || (max(snapshot)*60 + 46) || '" y="' ||
+       |  (arg_max(rank, snapshot)*24 + 24) || '">' || token || '</text>' AS svg
+       |  FROM rt GROUP BY token),
+       |ftr AS (SELECT 3 AS kind, '</svg>' AS svg)
+       |SELECT kind, svg FROM (
+       |  SELECT * FROM hdr UNION ALL SELECT * FROM axis
+       |  UNION ALL SELECT * FROM poly UNION ALL SELECT * FROM ftr)
+       |ORDER BY kind, svg""".stripMargin
+  }
+
+  /** The sink itself: renders the chart rows to `path` as a complete .svg
+    * file. The collected frame is bounded by construction (≤ 2 +
+    * 11·#snapshots rows); a real deployment would emit per-partition
+    * fragments the same way the reference's matplotlib call is a single
+    * driver-side figure. */
+  def writeBumpChart(s: SparkSession, d: String, path: String): Unit = {
+    val rows = bumpChartSvg(s, d).collect().map(_.getString(1))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      rows.mkString("", "\n", "\n"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("text_bump_chart_svg", bumpChartSvg, Some(bumpChartSvgSql)),
     QuerySpec("text_preprocess", preprocess, Some(preprocessSql)),
     QuerySpec("text_preprocess_lemma", preprocessLemma, Some(preprocessLemmaSql)),
     QuerySpec("text_top_tokens", topTokens, Some(topTokensSql)),

@@ -506,6 +506,26 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._3 >= 1 && out(2L)._3 >= 1 && out(3L)._3 == 0)
   }
 
+  test("S5 bump-chart sink: writeBumpChart renders a well-formed SVG of the rank table") {
+    val dir = TmpDirs.create("graft_bump_spec")
+    val path = s"$dir/bump.svg"
+    graft.ops.TextPipeline.writeBumpChart(spark, sf001, path)
+    val svg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(svg.startsWith("<svg xmlns=\"http://www.w3.org/2000/svg\""))
+    assert(svg.trim.endsWith("</svg>"))
+    val polys = "<polyline ".r.findAllIn(svg).size
+    val labels = "<text ".r.findAllIn(svg).size
+    assert(polys >= 10, s"expected >=10 token trajectories, got $polys")
+    // one label per polyline plus one per snapshot axis tick
+    assert(labels > polys, s"labels=$labels polys=$polys")
+    // every y coordinate is on the integer rank grid (20 + 24*rank, rank 1..10)
+    val ys = "points=\"([^\"]+)\"".r.findAllMatchIn(svg).flatMap(
+      _.group(1).split(" ").map(_.split(",")(1).toInt)).toSeq
+    assert(ys.nonEmpty && ys.forall(y => (y - 20) % 24 == 0 &&
+      (y - 20) / 24 >= 1 && (y - 20) / 24 <= 10), "rank grid violated")
+  }
+
   test("fused token scrub ≡ edge-strip then clitic-strip ×2 (r13 hot-path fusion)") {
     import graft.functions.Text
     // The fused single-regex scrub exists because the per-token lambda is
