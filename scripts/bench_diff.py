@@ -45,7 +45,8 @@ def main() -> None:
     if not moved:
         print("no per-query moves beyond the noise floor")
     for delta, name, a, b in moved:
-        print(f"  {name:30s} {a:7.3f} -> {b:7.3f}  ({delta:+.3f}s, {b / a:4.2f}x)")
+        # max() guard: an errored old run records 0.0 — show the move, don't crash
+        print(f"  {name:30s} {a:7.3f} -> {b:7.3f}  ({delta:+.3f}s, {b / max(a, 1e-9):4.2f}x)")
 
 
 if __name__ == "__main__":

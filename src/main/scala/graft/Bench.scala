@@ -4,8 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = Sessions.withOverrides(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -28,19 +27,20 @@ object Bench {
     // canary = slow machine, not a plan regression). Values are emitted as
     // STRINGS so the driver's "name":float tail regex cannot misread them
     // as query timings.
-    def cpuCanary(): Double = {
-      var acc = 0x9e3779b97f4a7c15L
-      var i = 0L
-      val t0 = System.nanoTime()
-      while (i < 200000000L) {
-        acc = acc * 6364136223846793005L + 1442695040888963407L
-        i += 1
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (acc == 42L) println("") // defeat dead-code elimination
-      dt
-    }
+    def cpuCanary(): Double = Canary.single()
+    // Parallel-throughput canary (r13 verdict #4): the SAME fixed loop on
+    // `cpus` threads at once, timed as one wall. The single-thread canary
+    // catches per-core slowdown, but the r13 standing suspects were a
+    // host-level PARALLEL-throughput shift the single-thread canary could
+    // not see (walls ~2-4x receipts with the canary unchanged) — so
+    // receipts kept flagging the same ~6 queries on every clean run.
+    // Receipts now carry the parallel canary measured when they were
+    // captured (the reserved __parallel_canary row), and the suspect
+    // threshold scales by today's value against it: receipts self-scale
+    // with the box instead of going stale whenever its parallel
+    // throughput moves.
     val canaryStart = cpuCanary()
+    val parCanary = Canary.parallel(cpus.toInt)
     // untimed warmup — the shared Warmup.run entry point (session first-job
     // init, streaming state-store/RocksDB + per-family stateful-operator
     // first use, IVF index build, decode + token-window first-use) so Bench
@@ -126,7 +126,7 @@ object Bench {
     // judge-profiling step. Position = 1-based rank in the fixed
     // alphabetical run order. Sub-second walls are never flagged (pure
     // per-query overhead noise, same floor as scripts/bench_compare.py).
-    val receipts: Map[String, Double] = {
+    val allReceiptRows: Map[String, Double] = {
       val in = getClass.getResourceAsStream("/perf_receipts.tsv")
       if (in == null) Map.empty
       else {
@@ -141,11 +141,23 @@ object Bench {
         finally src.close()
       }
     }
+    // reserved __-rows are capture-time context, not query receipts
+    // (EntrySpec's 1:1 registry↔receipts invariant skips them the same way)
+    val receipts = allReceiptRows.filterNot(_._1.startsWith("__"))
+    // Threshold self-scaling: receipts were captured at a measured
+    // parallel throughput (__parallel_canary); today's box may be slower
+    // in PARALLEL even when the single-thread canary is unchanged (SMT
+    // contention, cgroup quotas, co-tenants — the r13 standing-suspect
+    // mode). Scale only UP, capped at 3x: a faster box needs no relaxing,
+    // and beyond 3x the walls are telling us something a threshold
+    // shouldn't hide.
+    val refParCanary = allReceiptRows.getOrElse("__parallel_canary", parCanary)
+    val parScale = math.min(3.0, math.max(1.0, parCanary / refParCanary))
     // numeric fields on these diagnostic lines are STRINGS (same rule as
     // the canary): the driver's "name":float tail regex must never read
     // a bogus query out of position/wall/receipt pairs
     def isSuspect(name: String, wall: Double): Boolean =
-      receipts.get(name).exists(r => wall >= 1.0 && wall > 2 * r)
+      receipts.get(name).exists(r => wall >= 1.0 && wall > 2 * r * parScale)
     results.zipWithIndex.foreach { case ((name, wall, _), i) =>
       if (isSuspect(name, wall))
         println(s"""{"metric":"first_use_suspect","name":${jstr(name)},"position":${jstr((i + 1).toString)},"wall":${jstr(f(wall))},"receipt":${jstr(f(receipts(name)))}}""")
@@ -203,6 +215,7 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(perQueryOut),
         s"""{"total":${f(total)},"n_queries":${results.size},"errors":$nErr,""" +
           s""""canary_start":${f(canaryStart)},"canary_end":${f(canaryEnd)},""" +
+          s""""parallel_canary":${f(parCanary)},"parallel_canary_ref":${f(refParCanary)},""" +
           s""""warmup_skipped":$warmupSkipped,"n_suspects":$nSuspects,""" +
           s""""n_no_receipt":$nNoReceipt,"sf":${jstr(sfDir)},""" +
           s""""queries":$qs,"query_errors":$errsJson}""" + "\n")
@@ -210,7 +223,7 @@ object Bench {
     } catch { case e: Throwable =>
       println(s"""{"metric":"perquery_artifact_error","err":${jstr(e.getClass.getName)}}""")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"parallel_canary":${jstr(f(parCanary))},"parallel_canary_ref":${jstr(f(refParCanary))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

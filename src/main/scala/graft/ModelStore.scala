@@ -27,13 +27,69 @@ import scala.util.control.NonFatal
   */
 object ModelStore {
 
+  /** Store root: `SPARK_GRAFT_MODELSTORE` (env, or the
+    * `spark.graft.modelstore` system property for in-JVM tests) points the
+    * store at shared storage in a multi-driver deployment — each node's
+    * /tmp is node-local, so the tmpdir default would refit once per
+    * driver host. Concurrency holds on any root where
+    * `FileChannel.lock` is a real advisory lock (local disk, NFSv4);
+    * on object stores without POSIX lock semantics the discipline
+    * degrades to last-publisher-wins of IDENTICAL artifacts (fits are
+    * deterministic per key), never to a torn read — `_GRAFT_OK` + the
+    * atomic move still gate visibility. */
   private def baseDir: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    sys.props.get("spark.graft.modelstore")
+      .orElse(sys.env.get("SPARK_GRAFT_MODELSTORE"))
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      .stripSuffix("/")
 
-  /** Final on-disk location for (content key, tag). Versioned prefix so an
-    * artifact-format change can never deserialize a stale layout. */
+  /** Fingerprint of the compiled graft code (ADVICE r13 #1): artifacts are
+    * functions of (dataset bytes, FIT LOGIC), but the key carried only the
+    * dataset content — a store populated by a pre-change build was
+    * silently served to changed code (the r13 clitic change altered every
+    * token-derived artifact; Java-deserialization fallback catches
+    * serialVersion drift but not semantically stale trees that load
+    * fine). Hashing (relative path, size, mtime) of every .class file
+    * under this class's code source makes any recompile a new key —
+    * over-invalidation (a comment-only rebuild refits, ~seconds with the
+    * store warm per artifact) is safe where under-invalidation is the
+    * bug. Falls back to a constant when the code source is unreadable
+    * (never in this harness; the behavior is then exactly pre-r14). */
+  private[graft] lazy val buildFingerprint: String = {
+    try {
+      val src = getClass.getProtectionDomain.getCodeSource
+      if (src == null) "nofp"
+      else {
+        val loc = Paths.get(src.getLocation.toURI)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        if (Files.isDirectory(loc)) {
+          val stream = Files.walk(loc)
+          try {
+            val lines = new java.util.ArrayList[String]()
+            stream.filter(p => p.toString.endsWith(".class")).forEach { p =>
+              lines.add(s"${loc.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
+            }
+            java.util.Collections.sort(lines)
+            lines.forEach(l => md.update(l.getBytes("UTF-8")))
+          } finally stream.close()
+        } else {
+          md.update(s"$loc|${Files.size(loc)}|${Files.getLastModifiedTime(loc).toMillis}".getBytes("UTF-8"))
+        }
+        md.digest().map("%02x".format(_)).mkString.take(12)
+      }
+    } catch { case NonFatal(_) => "nofp" }
+  }
+
+  /** Final on-disk location for (content key, tag). Versioned prefix
+    * (layout changes) + build fingerprint folded INTO the digest (logic
+    * changes): neither a stale FORMAT nor stale SEMANTICS can be served
+    * across recompiles. Folded rather than a separate path segment so
+    * the path stays v1-length — plan dumps truncate scan locations at
+    * `spark.sql.maxMetadataStringLength` (100), and a longer store path
+    * pushed ".../lsh_index" out of the dumped Location string, breaking
+    * the PlanShapeSpec index-scan pin. */
   def artifactDir(key: String, tag: String): Path =
-    Paths.get(s"$baseDir/graft_models_v1_${TmpDirs.md5Hex(key)}/$tag")
+    Paths.get(s"$baseDir/graft_models_v2_${TmpDirs.md5Hex(s"$buildFingerprint|$key")}/$tag")
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

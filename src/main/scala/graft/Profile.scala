@@ -17,13 +17,17 @@ object Profile {
     val n = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = Sessions.withOverrides(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stamp both canaries so a receipt captured from this run records the
+    // machine state it was measured at (__parallel_canary in
+    // perf_receipts.tsv; Bench scales its suspect threshold by the ratio)
+    println(f"[profile] cpu_canary ${Canary.single()}%.3f s, " +
+      f"parallel_canary(${cpus}) ${Canary.parallel(cpus.toInt)}%.3f s")
     if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1")) {
       // the same untimed set as Bench, via the shared entry point
       graft.Warmup.run(spark, sfDir)

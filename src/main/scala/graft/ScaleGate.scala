@@ -101,8 +101,7 @@ object ScaleGate {
     val slack = 1.5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = Sessions.withOverrides(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)

@@ -92,13 +92,44 @@ object Text {
     * 've); two anchored strips reproduce that ("she'd've" → "she'd" →
     * "she"), and a second application can only ever fire on a token that
     * carried two clitics (true alpha stems contain no apostrophe).
-    * Residual divergence: word-INTERNAL Treebank splits with no
-    * apostrophe-suffix signature ("more'n" → more + 'n, "d'ye" → d' +
-    * ye) — the engine drops the whole form where NLTK keeps the alpha
-    * part; engine-emits-subset, so golden precision stays exactly 1.0;
-    * pinned as the adversarial fixture row. */
+    * Word-INTERNAL splits with no apostrophe-suffix signature are not
+    * clitics — they are the FIXED Treebank word list, handled by
+    * [[WordSplits]] below (r14, closing the last tokenizer divergence
+    * class). */
   private val Clitic = """(?:n't|'(?:s|re|ve|ll|d|m))"""
   val cliticSuffixPattern: String = s"""$Clitic\\z"""
+
+  /** The Treebank FIXED word-list contractions (r14 — r13 verdict #6 +
+    * ADVICE #2): beyond the clitic-suffix regex, Treebank's word_tokenize
+    * splits a closed list of fused forms at a word-internal position with
+    * no suffix signature — the published Penn `tokenizer.sed` /
+    * NLTK `MacIntyreContractions` CONTRACTIONS2+3 list (cannot → can+not,
+    * gonna → gon+na, more'n → more+'n, d'ye → d+'ye, 'tis → 't+is …).
+    * `isalpha` then keeps the alpha parts. Before r14 the engine either
+    * dropped the whole form (more'n, d'ye — recall loss) or emitted the
+    * FUSED form NLTK never emits (cannot, gonna … — a latent PRECISION
+    * violation: "cannot" is not a stopword, so it survived the full
+    * pipeline where the reference drops can/not as stopwords).
+    *
+    * Applied AFTER the fused scrub as a constant-list equality CASE (no
+    * regex — the scrub stays one regex call per token, the engine's
+    * hottest loop), each match emitting its alpha parts ready for the
+    * `\p{L}+` filter. "tis"/"twas" are matched post-strip (the leading
+    * apostrophe of 'tis/'twas is edge punctuation), deliberately
+    * conflating the bare archaic spellings — documented, corpus-absent.
+    * Non-alpha parts ('ye, 'n, 't) are pre-dropped here; the filter
+    * would drop them anyway. */
+  private[graft] val WordSplits: Seq[(String, Seq[String])] = Seq(
+    "cannot" -> Seq("can", "not"),
+    "gimme" -> Seq("gim", "me"),
+    "gonna" -> Seq("gon", "na"),
+    "gotta" -> Seq("got", "ta"),
+    "lemme" -> Seq("lem", "me"),
+    "wanna" -> Seq("wan", "na"),
+    "d'ye" -> Seq("d"), // d + 'ye; 'ye is non-alpha
+    "more'n" -> Seq("more"), // more + 'n; 'n is non-alpha
+    "tis" -> Seq("is"), // 't + is; leading ' already edge-stripped
+    "twas" -> Seq("was")) // 't + was
 
   /** The FUSED per-token scrub — one regex call per token instead of
     * three (edge strip + clitic ×2), because this lambda runs inside
@@ -117,13 +148,25 @@ object Text {
     s"""\\A$EdgePunct+|(?:$Clitic{1,2}$EdgePunct*|$EdgePunct+)\\z"""
 
   /** T1+T2 only — lowercase, whitespace-split, fused edge-punct+clitic
-    * scrub (see [[tokenScrubPattern]]), alpha-only — without the stopword
-    * stage (NltkParitySpec isolates the tokenizer divergence from the
-    * separately-pinned stopword list). */
+    * scrub (see [[tokenScrubPattern]]), Treebank word-list split (see
+    * [[WordSplits]]), alpha-only — without the stopword stage
+    * (NltkParitySpec isolates the tokenizer divergence from the
+    * separately-pinned stopword list).
+    *
+    * The word-list stage is its OWN transform over the scrubbed array —
+    * not nested in the scrub lambda — because each branch of the CASE
+    * chain references the element, and referencing a regexp_replace
+    * result inside codegen re-evaluates it per reference (the shingles3
+    * O(n²) lesson). Bound lambda variables over a materialized array are
+    * free; the split stage adds only string equality + one flatten. */
   def rawAlphaTokens(text: Column): Column =
     filter(
-      transform(split(lower(text), " "),
-        t => regexp_replace(t, tokenScrubPattern, "")),
+      flatten(transform(
+        transform(split(lower(text), " "),
+          t => regexp_replace(t, tokenScrubPattern, "")),
+        t => WordSplits.foldRight(array(t)) { case ((w, parts), els) =>
+          when(t === w, typedLit(parts)).otherwise(els)
+        })),
       // \A..\z: RLIKE is find-semantics and Java `$` forgives a final
       // newline, so "word\n" would pass a ^..$ filter that DuckDB's
       // regexp_full_match rejects (see edgePunctPattern note)
@@ -173,14 +216,21 @@ object Text {
     * escaping; DuckDB standard strings pass the backslashes through to
     * RE2 untouched. */
   private val tokenScrubPatternSql = tokenScrubPattern.replace("'", "''")
+  /** The [[WordSplits]] CASE chain as a DuckDB lambda body (identical
+    * list, identical order; apostrophes doubled for SQL escaping). */
+  private val wordSplitsCaseSql: String =
+    WordSplits.map { case (w, parts) =>
+      s"WHEN t = '${w.replace("'", "''")}' THEN [${parts.map("'" + _ + "'").mkString(", ")}]"
+    }.mkString("CASE ", " ", " ELSE [t] END")
   /** T1+T2 only (the [[rawAlphaTokens]] twin) over an arbitrary string
     * expression — for oracle chains that need the reference's
     * lemma-BEFORE-stopwords order on a column other than `text`.
     * `expr` must be a bare column/lambda reference (it is repeated).
     * 'g' matches Spark's replace-all; the fused pattern's \A and \z
-    * branches each match at most once. */
+    * branches each match at most once. flatten + the word-list CASE
+    * lambda mirror [[rawAlphaTokens]]'s split stage exactly. */
   def rawAlphaToksSqlOf(expr: String): String =
-    s"list_filter(list_transform(string_split(lower($expr), ' '), t -> regexp_replace(t, '$tokenScrubPatternSql', '', 'g')), t -> regexp_full_match(t, '\\p{L}+'))"
+    s"list_filter(flatten(list_transform(list_transform(string_split(lower($expr), ' '), t -> regexp_replace(t, '$tokenScrubPatternSql', '', 'g')), t -> $wordSplitsCaseSql)), t -> regexp_full_match(t, '\\p{L}+'))"
   val rawAlphaToksSql: String = rawAlphaToksSqlOf("text")
   val toksSql: String =
     s"list_filter($rawAlphaToksSql, t -> t NOT IN ${stopwordsSqlList})"

@@ -374,7 +374,13 @@ object TextPipeline {
     * Row count is bounded: 2 + #snapshots + ≤10·#snapshots tokens. */
   private[graft] def bumpChartSvg(s: SparkSession, d: String): DataFrame = {
     val ranks = snapshotTopk(s, d)
-    val header = ranks.agg(max(col("snapshot")).as("mx"))
+    // coalesce: an EMPTY rank table (empty corpus) makes max(snapshot)
+    // NULL, which would concat to a NULL svg row — and Spark sorts NULLs
+    // first while the DuckDB twin sorts NULLS LAST, so the twins would
+    // diverge AND writeBumpChart would print the literal "null". With the
+    // 0-width fallback (mirrored in the SQL twin) the empty-corpus output
+    // is a well-formed empty chart in both engines.
+    val header = ranks.agg(coalesce(max(col("snapshot")), lit(0L)).as("mx"))
       .select(lit(0).as("kind"),
         concat(lit("<svg xmlns=\"http://www.w3.org/2000/svg\" width=\""),
           (col("mx") * 60 + 240).cast("string"),
@@ -416,7 +422,7 @@ object TextPipeline {
     s"""WITH rt AS ($rt),
        |hdr AS (SELECT 0 AS kind,
        |  '<svg xmlns="http://www.w3.org/2000/svg" width="' ||
-       |  (max(snapshot)*60 + 240) || '" height="300">' AS svg FROM rt),
+       |  (coalesce(max(snapshot), 0)*60 + 240) || '" height="300">' AS svg FROM rt),
        |axis AS (SELECT DISTINCT 1 AS kind,
        |  '<text x="' || (snapshot*60 + 40) || '" y="290">s' || snapshot
        |  || '</text>' AS svg FROM rt),

@@ -351,7 +351,10 @@ object StreamingOps {
         writeBatchIdempotent(batch, batchId, outDir))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.read.parquet(s"$outDir/batch=*")
+    // explicit schema like the sibling sinks: an empty batch writes no
+    // part files, and a corpus the quality gate filters out entirely must
+    // return the zero-row aggregate, not "Unable to infer schema"
+    s.read.schema("fp STRING, n_toks BIGINT").parquet(s"$outDir/batch=*")
       .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_toks")).as("n_tokens_kept"))
   }
 
@@ -387,7 +390,8 @@ object StreamingOps {
     // min/max/count are order-independent, so the compare is float-exact
     // regardless of how rows distributed over batches (sum over 100k
     // doubles can differ in the last bit between accumulation orders)
-    s.read.parquet(s"$outDir/batch=*")
+    s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$outDir/batch=*")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(min(col("value")), 4).as("min_value"),

@@ -29,7 +29,11 @@ class EntrySpec extends SparkSpec {
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val receipts =
       try src.getLines().filterNot(l => l.isEmpty || l.startsWith("#"))
-        .map(_.split("\t")(0)).toSet
+        .map(_.split("\t")(0))
+        // reserved __-rows (e.g. __parallel_canary, the capture-time
+        // parallel-throughput context Bench scales thresholds by) are
+        // not query receipts
+        .filterNot(_.startsWith("__")).toSet
       finally src.close()
     val registry = SparkEntry.queries.keySet
     assert(registry.subsetOf(receipts),

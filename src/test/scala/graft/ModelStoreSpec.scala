@@ -61,6 +61,35 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(Paths.get(p1, "sub", "part0"))) == "data")
   }
 
+  test("store root is configurable (shared storage in multi-driver deployments)") {
+    // r13 verdict #5: each node's /tmp is node-local, so fit-once
+    // artifacts must be pointable at shared storage. The sysprop is the
+    // in-JVM stand-in for the SPARK_GRAFT_MODELSTORE env var.
+    val root = Files.createTempDirectory("graft-modelstore-root").toString
+    System.setProperty("spark.graft.modelstore", root)
+    try {
+      val key = freshKey()
+      assert(ModelStore.artifactDir(key, "t6").toString.startsWith(root))
+      assert(ModelStore.getOrFitSer(key, "t6")("on-shared-root") == "on-shared-root")
+      assert(Files.exists(ModelStore.artifactDir(key, "t6").resolve("_GRAFT_OK")))
+    } finally System.clearProperty("spark.graft.modelstore")
+  }
+
+  test("artifact path carries a real build fingerprint (logic-version key component)") {
+    // ADVICE r13 #1: a recompile must produce a NEW key so semantically
+    // stale artifacts from a pre-change build can never be served. The
+    // fingerprint derives from the compiled .class tree, so in any real
+    // build it is a 12-hex digest, never the unreadable-source fallback.
+    val fp = ModelStore.buildFingerprint
+    assert(fp.matches("[0-9a-f]{12}"), s"fingerprint '$fp' — code source unreadable?")
+    // the fingerprint is FOLDED into the digest (path stays v1-length so
+    // plan-dump Location truncation can't hide the tag segment): the dir
+    // must be exactly md5(fp|key), i.e. different code → different dir
+    val key = freshKey()
+    val dir = ModelStore.artifactDir(key, "t7").toString
+    assert(dir.contains(s"graft_models_v2_${TmpDirs.md5Hex(s"$fp|$key")}"))
+  }
+
   test("concurrent same-key callers fit exactly once and never throw") {
     val key = freshKey()
     val fits = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -60,7 +60,7 @@ class NltkParitySpec extends SparkSpec {
     assert(ratio < 1.0, "fixture no longer exercises any divergent form")
   }
 
-  test("tokenizer agreement with golden NLTK word_tokenize+isalpha >= 0.99 mean recall, 1.0 precision") {
+  test("tokenizer agreement with golden NLTK word_tokenize+isalpha >= 0.999 mean recall, 1.0 precision") {
     import spark.implicits._
     val rows = goldenLines("/nltk_punkt_tokens.tsv").map(a => (a(0), a(1)))
     assert(rows.size >= 10, "golden token fixture unexpectedly small")
@@ -69,9 +69,11 @@ class NltkParitySpec extends SparkSpec {
     // isolates the TOKENIZER divergence. r10: edge-punct stripping lifted
     // mean recall 0.727 → 0.948; r13: the clitic strip (n't/'s/'re/'ve/
     // 'll/'d/'m split the way Treebank does, applied twice for double
-    // contractions) closed the contraction class and lifted it past
-    // 0.99 — the only remaining divergence is the word-internal
-    // no-suffix-signature fixture row ("more'n"). Precision stays
+    // contractions) lifted it to 0.994; r14: the Treebank FIXED word-list
+    // contractions (cannot/gimme/gonna/gotta/lemme/wanna/d'ye/more'n/
+    // 'tis/'twas — Text.WordSplits) closed the last rule-determined
+    // class, including the latent PRECISION hazard where the engine
+    // emitted fused forms ("cannot") NLTK never emits. Precision stays
     // exactly 1.0 (the engine never emits a token NLTK's
     // word_tokenize+isalpha would not — strips only recover stems/clean
     // words NLTK itself emits).
@@ -91,14 +93,21 @@ class NltkParitySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     val meanPrec = precisions.sum / precisions.size
     info(f"tokenizer mean recall vs NLTK golden: $mean%.3f, precision $meanPrec%.3f")
-    assert(mean >= 0.99,
-      f"tokenizer recall vs NLTK golden fell to $mean%.3f — a change is " +
-        "dropping materially more than the documented word-internal-split/" +
-        "interior-punctuation forms")
+    assert(mean >= 0.999,
+      f"tokenizer recall vs NLTK golden fell to $mean%.3f — a change " +
+        "reopened a closed divergence class (clitic, word-list, or " +
+        "edge-punct)")
     assert(meanPrec == 1.0,
       f"tokenizer precision vs NLTK golden fell to $meanPrec%.3f — the engine " +
         "emitted tokens NLTK would not (over-eager stripping or splitting)")
-    assert(mean < 1.0, "fixture no longer exercises any divergent tokenization")
+    // r14: every RULE-DETERMINED divergence class is closed, so the
+    // fixture (which by documented policy excludes corpus-TRAINED Punkt
+    // behavior — abbreviation periods, sentence-boundary models) now
+    // agrees exactly; the lemma test above still pins a live divergence
+    // ("axes"). The remaining real-world gap is Punkt's trained abbrev
+    // handling ("dr." kept whole → dropped, where the engine strips the
+    // period and keeps "dr"), untestable without the trained model and
+    // excluded from the fixture for exactly that reason.
   }
 
   test("r10 divergence classes: engine behavior pinned per adversarial class") {

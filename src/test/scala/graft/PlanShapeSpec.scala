@@ -258,7 +258,7 @@ class PlanShapeSpec extends SparkSpec {
     // corpus per run — the exact cost the index exists to amortize.
     val p = plan("dedup_contamination")
     // the index lives in the content-keyed ModelStore since r13
-    // (graft_models_v1_<key>/lsh_index); the assertion matches the tag
+    // (graft_models_v2_<md5(fp|key)>/lsh_index); the assertion matches the tag
     assert(p.contains("lsh_index"),
       s"train bands/sigs must be read from the persisted index files:\n$p")
     assert(p.contains("GreaterThanOrEqual(doc_id"),

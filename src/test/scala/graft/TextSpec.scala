@@ -554,4 +554,27 @@ class TextSpec extends SparkSpec {
     }
     assert(n > 10000) // the cross product actually ran
   }
+
+  test("Treebank word-list contractions split into NLTK's alpha parts (r14)") {
+    import spark.implicits._
+    import graft.functions.Text
+    // The closed MacIntyre list, each form wearing edge punctuation so the
+    // scrub→word-list ordering is exercised; 'tis/'twas enter with their
+    // leading apostrophe (edge-stripped before the list check). A word
+    // that merely CONTAINS a list form must not split ("cannothing").
+    val got = Seq("You cannot, gimme; (gonna) gotta! lemme wanna " +
+        "d'ye more'n 'tis 'twas cannothing scannot")
+      .toDF("text").select(Text.rawAlphaTokens(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(got == Seq("you", "can", "not", "gim", "me", "gon", "na",
+      "got", "ta", "lem", "me", "wan", "na", "d", "more", "is", "was",
+      "cannothing", "scannot"))
+    // and the stopword stage then drops exactly the NLTK-stopword parts
+    // (can/not/d/is/was/me), the reference-pipeline behavior the r13
+    // ADVICE flagged as divergent for the fused "cannot"
+    val full = Seq("you cannot gimme gonna")
+      .toDF("text").select(Text.tokens(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(full == Seq("gim", "gon", "na"))
+  }
 }
