@@ -108,6 +108,24 @@ object ScaleGate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // -------------------------------------------------- spill tracker
+    // cumulative task spill bytes, reset per query run (r13 verdict #2:
+    // the memory-pressure gate must MEASURE spills, not assume them —
+    // at 100 TB spill is the steady state, and this sandbox's 128 GiB
+    // never forces the spill path unless the heap is squeezed via
+    // GRAFT_EXTRA_JAVA_OPTS=-Xmx… + SPARK_GRAFT_CONF_spark_memory_fraction)
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled): Unit
+          spillDisk.addAndGet(m.diskBytesSpilled): Unit
+        }
+      }
+    })
+
     // -------------------------------------------------- state-row tracker
     // max summed state-store rows per streaming progress, reset per query
     val stateRows = new java.util.concurrent.atomic.AtomicLong(0)
@@ -182,17 +200,20 @@ object ScaleGate {
       }
 
     // ------------------------------------------------------------- timing
-    def run(name: String, dir: String): (Double, Long) = {
+    def run(name: String, dir: String): (Double, Long, Long) = {
       stateRows.set(0)
+      spillMem.set(0)
+      spillDisk.set(0)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       spark.catalog.clearCache()
-      ((System.nanoTime() - t0) / 1e9, stateRows.get)
+      ((System.nanoTime() - t0) / 1e9, stateRows.get,
+        spillMem.get + spillDisk.get)
     }
 
     case class R(name: String, cold1: Double, warm1: Double,
                  coldN: Double, warmN: Double, state1: Long, stateN: Long,
-                 bound: Double) {
+                 bound: Double, spill1: Long, spillN: Long) {
       def ratio: Double = warmN / warm1
       def ok: Boolean = ratio <= bound
       // state must never grow super-linearly in the input; the key-bounded
@@ -202,16 +223,19 @@ object ScaleGate {
 
     val results = queries.map { q =>
       val bound = mult * BoundOverrides.getOrElse(q, slack)
-      val (cold1, st1a) = run(q, base)
+      val (cold1, st1a, _) = run(q, base)
       val w1 = (1 to reps).map(_ => run(q, base))
-      val (coldN, stNa) = run(q, bigDir)
+      val (coldN, stNa, _) = run(q, bigDir)
       val wN = (1 to reps).map(_ => run(q, bigDir))
       val r = R(q, cold1, w1.map(_._1).min, coldN, wN.map(_._1).min,
-        math.max(st1a, w1.map(_._2).max), math.max(stNa, wN.map(_._2).max), bound)
+        math.max(st1a, w1.map(_._2).max), math.max(stNa, wN.map(_._2).max), bound,
+        w1.map(_._3).max, wN.map(_._3).max)
       println(f"[scale] ${r.name}%-28s 1x ${r.warm1}%6.2f (cold ${r.cold1}%6.2f) | " +
         f"${mult}x ${r.warmN}%6.2f (cold ${r.coldN}%6.2f) | " +
         f"ratio ${r.ratio}%6.2f (bound ${r.bound}%4.0f) " +
         (if (r.state1 > 0) f"| state ${r.state1}%d -> ${r.stateN}%d " else "") +
+        (if (r.spillN > 0 || r.spill1 > 0)
+          f"| spill ${r.spill1 / 1048576}%dMiB -> ${r.spillN / 1048576}%dMiB " else "") +
         (if (r.ok && r.stateOk) "OK" else "FAIL"))
       r
     }
@@ -230,7 +254,8 @@ object ScaleGate {
       val rowsJson = results.map { r =>
         s""""${r.name}":{"warm1":${f(r.warm1)},"warmN":${f(r.warmN)},""" +
           s""""cold1":${f(r.cold1)},"coldN":${f(r.coldN)},"ratio":${f(r.ratio)},""" +
-          s""""bound":${f(r.bound)},"state1":${r.state1},"stateN":${r.stateN}}"""
+          s""""bound":${f(r.bound)},"state1":${r.state1},"stateN":${r.stateN},""" +
+          s""""spill1":${r.spill1},"spillN":${r.spillN}}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
         s"""{"mult":$mult,"sf":"$base","full":$full,"n_queries":${results.size},""" +

@@ -160,10 +160,19 @@ object Text {
     * O(n²) lesson). Bound lambda variables over a materialized array are
     * free; the split stage adds only string equality + one flatten. */
   def rawAlphaTokens(text: Column): Column =
+    rawAlphaTokensOfSplit(split(lower(text), " "))
+
+  /** [[rawAlphaTokens]] over an ALREADY lower+whitespace-split column —
+    * for pipelines that also need the raw split for other signals
+    * (n_raw, stopword-ratio): materialize `split(lower(text), " ")` as
+    * its own column ONCE and feed it here, instead of re-lowering and
+    * re-splitting the text per consumer (the ta_curation_pipeline r14
+    * shave). Pass a bare column reference, never a nested expression —
+    * the shingles3 re-evaluation warning applies. */
+  def rawAlphaTokensOfSplit(raw: Column): Column =
     filter(
       flatten(transform(
-        transform(split(lower(text), " "),
-          t => regexp_replace(t, tokenScrubPattern, "")),
+        transform(raw, t => regexp_replace(t, tokenScrubPattern, "")),
         t => WordSplits.foldRight(array(t)) { case ((w, parts), els) =>
           when(t === w, typedLit(parts)).otherwise(els)
         })),
@@ -184,6 +193,11 @@ object Text {
     * unicode rows. */
   def tokens(text: Column): Column =
     filter(rawAlphaTokens(text), t => !t.isInCollection(STOPWORDS))
+
+  /** [[tokens]] over an already lower+whitespace-split column (see
+    * [[rawAlphaTokensOfSplit]] for when and why). */
+  def tokensOfSplit(raw: Column): Column =
+    filter(rawAlphaTokensOfSplit(raw), t => !t.isInCollection(STOPWORDS))
 
   /** k=3 shingles joined by spaces (duplicate_detector.py:7-13): the i-th
     * shingle is tokens[i..i+2]; fewer than 3 tokens → no shingles.
