@@ -4,12 +4,18 @@ import java.nio.file.Files
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-/** Degenerate-input robustness: every batch operator must run (not throw)
-  * on structurally-valid but EMPTY tables — the state every incremental
+/** Degenerate-input robustness: every operator must run (not throw) on
+  * structurally-valid but EMPTY tables — the state every incremental
   * production run starts from (new partition, fresh date, empty shard).
-  * Streaming queries are excluded: an AvailableNow replay over an empty
-  * directory never registers its memory sink — a harness artifact of the
-  * test staging, not an operator property.
+  *
+  * r14: the sweep now covers the stream_* family too — both r13 ADVICE
+  * schema-inference bugs (foreachBatch sinks re-read with inferred
+  * schemas, which explode when an empty batch writes no part files)
+  * lived exactly in the set the old exclusion skipped. The one remaining
+  * harness artifact is handled per-sink: an AvailableNow replay with NO
+  * batches never materializes a `format("memory")` table, so a missing
+  * sink table reads as an empty frame (the production meaning of "the
+  * stream saw no data"), not as a failure.
   */
 class EmptyInputSpec extends SparkSpec {
 
@@ -41,5 +47,15 @@ class EmptyInputSpec extends SparkSpec {
         catch { case e: Throwable => Some(s"${q.name}: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
       }
     assert(failures.isEmpty, s"operators crashing on empty input:\n${failures.mkString("\n")}")
+  }
+
+  test("every streaming operator runs on empty tables (empty first ingest day)") {
+    val failures = SparkEntry.allSpecs
+      .filter(_.name.startsWith("stream_"))
+      .flatMap { q =>
+        try { q.fn(spark, emptyDir).count(); None }
+        catch { case e: Throwable => Some(s"${q.name}: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(160)}") }
+      }
+    assert(failures.isEmpty, s"streaming operators crashing on empty input:\n${failures.mkString("\n")}")
   }
 }
