@@ -451,9 +451,65 @@ object TextPipeline {
       rows.mkString("", "\n", "\n"))
   }
 
+  // ------------------------------------------- tokenizer torture parity
+
+  /** Adversarial tokenizer-parity corpus: every divergence class the
+    * golden-NLTK fixture ever exercised, PLUS the regex-dialect traps the
+    * twins are documented to sidestep (\A/\z vs ^/$ on newline-bearing
+    * tokens, RLIKE find-semantics, curly/unicode punctuation, the fixed
+    * Treebank word list, double clitics, near-miss non-splits). One
+    * shared literal drives BOTH engines — the Spark frame and the DuckDB
+    * VALUES clause are generated from this Seq, so the two sides cannot
+    * drift — and the driver's hash compare re-proves tokenizer parity
+    * every round on inputs far nastier than the corpus. */
+  private[graft] val TortureStrings: Seq[String] = Seq(
+    "You cannot wire the money, gotta stop now.",
+    "d'ye wanna meet the lawyer tomorrow?",
+    "he said 'twas a scam; 'tis true — lemme check, gimme the details",
+    "that costs more'n the lawyer said it would",
+    "she'd've sent it; don't worry, it's fine!",
+    "cannothing scannot wannabe gottan (cannot)",
+    "«café» “naïve” ‘word’ — results… pending",
+    "UPPER MiXeD lower", // case folding before everything
+    "a  b   c", // runs of spaces -> empty split cells, filtered
+    "", // empty document
+    "...", "?!—–…", // punctuation-only tokens
+    "trailing newline\n", "mid\nline token", // the \A\z-vs-^$ trap rows
+    "word, word. word! word? (word) [word] {word}",
+    "can't won't shan't ain't y'all'd've", // clitic chains incl. triple
+    "o'clock rock'n'roll 1990's x1 e.g. file.txt and/or",
+    "don't,  “don't”, (don't!)", // clitic + wrapping punct combos
+    "tis twas more'n. d'ye? gonna! wanna,") // word-list forms wearing punct
+
+  private def tokenizerTorture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TortureStrings.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("sid", "text")
+      .select(col("sid"), Text.tokens(col("text")).as("toks"))
+      .select(col("sid"),
+        array_join(col("toks"), " ").as("toks_joined"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .orderBy(col("sid"))
+  }
+
+  private val tokenizerTortureSql: String = {
+    val values = TortureStrings.zipWithIndex.map { case (t, i) =>
+      s"($i, '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    // coalesce: DuckDB's array_to_string is NULL on an EMPTY list where
+    // Spark's array_join is '' — the zero-token torture rows exist to
+    // pin exactly this kind of dialect edge
+    s"""WITH t(sid, text) AS (VALUES $values)
+       |SELECT sid, coalesce(array_to_string(toks, ' '), '') AS toks_joined,
+       |  CAST(len(toks) AS BIGINT) AS n_toks
+       |FROM (SELECT sid, ${Text.toksSql} AS toks FROM t)
+       |ORDER BY sid""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("text_tokenizer_torture", tokenizerTorture, Some(tokenizerTortureSql)),
     QuerySpec("text_bump_chart_svg", bumpChartSvg, Some(bumpChartSvgSql)),
     QuerySpec("text_preprocess", preprocess, Some(preprocessSql)),
     QuerySpec("text_preprocess_lemma", preprocessLemma, Some(preprocessLemmaSql)),
