@@ -54,8 +54,21 @@ object Bench {
     // inflation). Cross-JVM ModelStore persistence is the second half of
     // the same fix: even a SKIPPED phase now costs a disk read, not a fit.
     val budgetScale = math.min(2.5, canaryStart / 0.23)
+    // Cold-store probe (r14 verdict #2): a fresh recompile (new build
+    // fingerprint) or new box means the warmup's fit phases do the real
+    // KMeans/ground-truth work, not disk reads — the r14 official
+    // artifact's 18.5 s sim_ivfpq_contract outlier was exactly a cold
+    // store blowing the warm-sized budget. Probe the two artifacts every
+    // ANN fit depends on; Warmup doubles its budget base when cold.
+    val storeCold = {
+      val k = Tables.datasetKey(sfDir, "embeddings")
+      !(graft.ModelStore.isWarm(k, "exact_knn") &&
+        graft.ModelStore.isWarm(k, "ivf_coarse"))
+    }
+    if (storeCold)
+      println(s"""{"metric":"cold_model_store","value":"true"}""")
     val warmupSkipped =
-      try graft.Warmup.run(spark, sfDir, budgetScale)
+      try graft.Warmup.run(spark, sfDir, budgetScale, storeCold)
       catch { case e: Throwable =>
         println(s"""{"metric":"warmup_error","err":${jstr(e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(160))}}""")
         -1 // warmup aborted entirely; the sentinel survives onto the total line
@@ -152,7 +165,27 @@ object Bench {
     // and beyond 3x the walls are telling us something a threshold
     // shouldn't hide.
     val refParCanary = allReceiptRows.getOrElse("__parallel_canary", parCanary)
-    val parScale = math.min(3.0, math.max(1.0, parCanary / refParCanary))
+    // Thread-count parity (r14 ADVICE #1): the reference canary was
+    // captured at __parallel_canary_threads threads (Profile's cpus);
+    // comparing a parallel wall measured at a DIFFERENT thread count
+    // against it mis-scales the suspect threshold silently. When the
+    // counts differ, re-run the canary at the capture count so the
+    // ratio is apples-to-apples; without the threads row, scaling is
+    // skipped (ratio pinned to 1) rather than trusted.
+    val refParThreads = allReceiptRows.get("__parallel_canary_threads").map(_.toInt)
+    val parForScale: Option[Double] = refParThreads match {
+      case Some(t) if t == cpus.toInt => Some(parCanary)
+      case Some(t) =>
+        val v = Canary.parallel(t)
+        println(s"""{"metric":"parallel_canary_recapture","threads":${jstr(t.toString)},"value":${jstr(f(v))},"bench_threads":${jstr(cpus)}}""")
+        Some(v)
+      case None =>
+        println(s"""{"metric":"parallel_canary_no_threads_row","note":"receipt thread count unknown; suspect-threshold scaling disabled"}""")
+        None
+    }
+    val parScale = parForScale
+      .map(v => math.min(3.0, math.max(1.0, v / refParCanary)))
+      .getOrElse(1.0)
     // numeric fields on these diagnostic lines are STRINGS (same rule as
     // the canary): the driver's "name":float tail regex must never read
     // a bogus query out of position/wall/receipt pairs

@@ -49,12 +49,23 @@ object ModelStore {
     * silently served to changed code (the r13 clitic change altered every
     * token-derived artifact; Java-deserialization fallback catches
     * serialVersion drift but not semantically stale trees that load
-    * fine). Hashing (relative path, size, mtime) of every .class file
-    * under this class's code source makes any recompile a new key —
-    * over-invalidation (a comment-only rebuild refits, ~seconds with the
-    * store warm per artifact) is safe where under-invalidation is the
-    * bug. Falls back to a constant when the code source is unreadable
-    * (never in this harness; the behavior is then exactly pre-r14). */
+    * fine). Hashing every fit-relevant .class file under this class's
+    * code source makes any logic recompile a new key — over-invalidation
+    * is safe where under-invalidation is the bug.
+    *
+    * r15 (r14 ADVICE #5 + verdict #2): the digest covers class CONTENT
+    * bytes, not (size, mtime) — mtimes differ across hosts that compiled
+    * or copied byte-identical builds independently, so in the shared-store
+    * deployment each driver host derived its own key and silently refit
+    * into a private prefix, defeating the fit-once sharing. And the
+    * MEASUREMENT-HARNESS classes (Bench/Profile/Warmup/… below) are
+    * excluded: they contain no fit logic, so a harness-only rebuild — the
+    * most common kind during perf work, and the one that produced the
+    * r14 cold-store bench outlier — keeps the store warm. Falls back to a
+    * constant when the code source is unreadable (never in this harness;
+    * the behavior is then exactly pre-r14). */
+  private val HarnessClasses =
+    "graft/(Bench|Profile|Warmup|Verify|PlanAudit|ScaleGate|Canary|Sessions|HarnessGuard|Explain)(\\$.*)?\\.(class|tasty)"
   private[graft] lazy val buildFingerprint: String = {
     try {
       val src = getClass.getProtectionDomain.getCodeSource
@@ -65,15 +76,20 @@ object ModelStore {
         if (Files.isDirectory(loc)) {
           val stream = Files.walk(loc)
           try {
-            val lines = new java.util.ArrayList[String]()
-            stream.filter(p => p.toString.endsWith(".class")).forEach { p =>
-              lines.add(s"${loc.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
+            val paths = new java.util.ArrayList[Path]()
+            stream.filter { p =>
+              p.toString.endsWith(".class") &&
+                !loc.relativize(p).toString.matches(HarnessClasses)
+            }.forEach(p => paths.add(p))
+            paths.sort(java.util.Comparator.comparing[Path, String](
+              ((p: Path) => loc.relativize(p).toString): java.util.function.Function[Path, String]))
+            paths.forEach { p =>
+              md.update(loc.relativize(p).toString.getBytes("UTF-8"))
+              md.update(Files.readAllBytes(p))
             }
-            java.util.Collections.sort(lines)
-            lines.forEach(l => md.update(l.getBytes("UTF-8")))
           } finally stream.close()
         } else {
-          md.update(s"$loc|${Files.size(loc)}|${Files.getLastModifiedTime(loc).toMillis}".getBytes("UTF-8"))
+          md.update(Files.readAllBytes(loc))
         }
         md.digest().map("%02x".format(_)).mkString.take(12)
       }
@@ -90,6 +106,15 @@ object ModelStore {
     * the PlanShapeSpec index-scan pin. */
   def artifactDir(key: String, tag: String): Path =
     Paths.get(s"$baseDir/graft_models_v2_${TmpDirs.md5Hex(s"$buildFingerprint|$key")}/$tag")
+
+  /** Whether (key, tag) is already published for the CURRENT build
+    * fingerprint — Bench's cold-store probe (r14 verdict #2): a cold
+    * store means the warmup's fit phases do real KMeans/PCA work instead
+    * of parquet reads, so the wall budget must scale accordingly or the
+    * fits land inside the timed queries (the r14 official artifact's
+    * 18.5 s `sim_ivfpq_contract` outlier). */
+  def isWarm(key: String, tag: String): Boolean =
+    Files.exists(artifactDir(key, tag).resolve("_GRAFT_OK"))
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

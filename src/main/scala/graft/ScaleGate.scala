@@ -201,14 +201,20 @@ object ScaleGate {
 
     // ------------------------------------------------------------- timing
     def run(name: String, dir: String): (Double, Long, Long) = {
+      // task-end events arrive asynchronously on the listener bus (r14
+      // ADVICE #3): drain before the reset so a previous run's stragglers
+      // can't leak into this query's counters, and again after the action
+      // so every task-end of THIS run is counted before the read
+      org.apache.spark.graft.GraftCoreShim.drainListenerBus(spark.sparkContext)
       stateRows.set(0)
       spillMem.set(0)
       spillDisk.set(0)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      ((System.nanoTime() - t0) / 1e9, stateRows.get,
-        spillMem.get + spillDisk.get)
+      org.apache.spark.graft.GraftCoreShim.drainListenerBus(spark.sparkContext)
+      (wall, stateRows.get, spillMem.get + spillDisk.get)
     }
 
     case class R(name: String, cold1: Double, warm1: Double,

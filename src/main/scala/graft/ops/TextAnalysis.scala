@@ -1253,12 +1253,16 @@ object TextAnalysis {
        |    AND stop_hits * 1.0 / n_raw <= 0.6
        |    AND punct_chars * 1.0 / len_chars <= 0.3),
        |kept AS (
-       |  SELECT doc_id, n_toks FROM (
-       |    SELECT doc_id, n_toks,
-       |      min(doc_id) OVER (PARTITION BY md5(array_to_string(toks, ' ')))
-       |        AS keeper
-       |    FROM filtered)
-       |  WHERE doc_id = keeper)
+       |  -- mirrors the Spark side's partial-agg dedup EXACTLY (r14 ADVICE
+       |  -- #4): min(struct(doc_id, n_toks)) keeps ONE row per fingerprint
+       |  -- (ties on doc_id broken by n_toks, positional struct order in
+       |  -- both engines), where the old min-over-window form kept every
+       |  -- row tied at the min doc_id — the twins diverged whenever
+       |  -- duplicate doc_id rows shared a fingerprint
+       |  SELECT (k).doc_id AS doc_id, (k).n_toks AS n_toks FROM (
+       |    SELECT min(struct_pack(doc_id := doc_id, n_toks := n_toks)) AS k
+       |    FROM filtered
+       |    GROUP BY md5(array_to_string(toks, ' '))))
        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'b3' THEN 'train'
        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'val'
        |            ELSE 'test' END AS split,

@@ -12,4 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Column ↔ Expression bridges (r15): the Spark 4 public Column API no
+    * longer exposes expression construction, but a library shipping
+    * native codegen'd expressions (the tier-(b) custom-operator path)
+    * needs exactly that to offer a Column builder without a session
+    * registry round-trip. `ExpressionUtils` is the classic bridge the
+    * connect/classic split introduced for this purpose. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
