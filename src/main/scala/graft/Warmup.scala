@@ -142,6 +142,9 @@ object Warmup {
           q.name == "sketch_cms_faithful" || q.name == "sketch_approx_quantiles")
         .foreach(_.fn(s, d).count())
     }
+    // fit-once BPE training artifact (r15): count + K merge rounds, now
+    // ModelStore-persisted — on a warm store this is a parquet read
+    phase("bpe-fit")(graft.ops.TextAnalysis.warmBpe(s, d))
     s.catalog.clearCache()
     notWarmed
   }

@@ -114,11 +114,17 @@ object Text {
     * Applied AFTER the fused scrub as a constant-list equality CASE (no
     * regex — the scrub stays one regex call per token, the engine's
     * hottest loop), each match emitting its alpha parts ready for the
-    * `\p{L}+` filter. "tis"/"twas" are matched post-strip (the leading
-    * apostrophe of 'tis/'twas is edge punctuation), deliberately
-    * conflating the bare archaic spellings — documented, corpus-absent.
-    * Non-alpha parts ('ye, 'n, 't) are pre-dropped here; the filter
-    * would drop them anyway. */
+    * `\p{L}+` filter. Non-alpha parts ('ye, 'n, 't) are pre-dropped
+    * here; the filter would drop them anyway.
+    *
+    * 'tis/'twas are NOT in this list (r15, r14 ADVICE #2): NLTK's
+    * CONTRACTIONS2 patterns for them require the APOSTROPHE
+    * (`\b('t)(is|was)\b`), but the edge strip removes a leading
+    * apostrophe before the list check ran, so keying on the bare
+    * post-strip forms also split bare "tis"/"twas" — emitting a token
+    * ("is") NLTK would not and breaking the pinned precision==1.0
+    * invariant. They are matched PRE-scrub instead, apostrophe intact,
+    * by [[tisTokenPattern]]/[[twasTokenPattern]]. */
   private[graft] val WordSplits: Seq[(String, Seq[String])] = Seq(
     "cannot" -> Seq("can", "not"),
     "gimme" -> Seq("gim", "me"),
@@ -127,9 +133,18 @@ object Text {
     "lemme" -> Seq("lem", "me"),
     "wanna" -> Seq("wan", "na"),
     "d'ye" -> Seq("d"), // d + 'ye; 'ye is non-alpha
-    "more'n" -> Seq("more"), // more + 'n; 'n is non-alpha
-    "tis" -> Seq("is"), // 't + is; leading ' already edge-stripped
-    "twas" -> Seq("was")) // 't + was
+    "more'n" -> Seq("more")) // more + 'n; 'n is non-alpha
+
+  /** The apostrophe-bearing Treebank archaic contractions, matched on the
+    * RAW (pre-scrub) token so the apostrophe distinguishes "'tis" (NLTK:
+    * 't + is) from bare "tis" (NLTK: kept whole — it has no apostrophe,
+    * so CONTRACTIONS2 `\b('t)(is)\b` cannot fire). Edge punctuation may
+    * wrap the form the same way the scrub would strip it ("('tis," still
+    * splits). \A/\z anchored: both rlike and DuckDB regexp_matches are
+    * find-semantics, and these anchors mean begin/end of INPUT in Java
+    * and RE2 alike (see [[edgePunctPattern]]'s note). */
+  val tisTokenPattern: String = s"""\\A$EdgePunct*'tis$EdgePunct*\\z"""
+  val twasTokenPattern: String = s"""\\A$EdgePunct*'twas$EdgePunct*\\z"""
 
   /** The FUSED per-token scrub — one regex call per token instead of
     * three (edge strip + clitic ×2), because this lambda runs inside
@@ -147,39 +162,78 @@ object Text {
   val tokenScrubPattern: String =
     s"""\\A$EdgePunct+|(?:$Clitic{1,2}$EdgePunct*|$EdgePunct+)\\z"""
 
-  /** T1+T2 only — lowercase, whitespace-split, fused edge-punct+clitic
-    * scrub (see [[tokenScrubPattern]]), Treebank word-list split (see
-    * [[WordSplits]]), alpha-only — without the stopword stage
-    * (NltkParitySpec isolates the tokenizer divergence from the
-    * separately-pinned stopword list).
+  /** T1+T2 only — lowercase, whitespace-split, 'tis/'twas pre-scrub rules,
+    * fused edge-punct+clitic scrub (see [[tokenScrubPattern]]), Treebank
+    * word-list split (see [[WordSplits]]), alpha-only — without the
+    * stopword stage (NltkParitySpec isolates the tokenizer divergence
+    * from the separately-pinned stopword list).
     *
-    * The word-list stage is its OWN transform over the scrubbed array —
-    * not nested in the scrub lambda — because each branch of the CASE
-    * chain references the element, and referencing a regexp_replace
-    * result inside codegen re-evaluates it per reference (the shingles3
-    * O(n²) lesson). Bound lambda variables over a materialized array are
-    * free; the split stage adds only string equality + one flatten. */
+    * r15: emits the NATIVE [[GraftTokens]] expression — one codegen'd JVM
+    * call per row — instead of the `transform`/`filter` higher-order
+    * chain, whose CodegenFallback interpretation cost ~25 µs/token
+    * engine-wide (r14 verdict #1). The declarative twin survives as
+    * [[hofRawAlphaTokensOfSplit]]; TokenizerExprSpec pins native ≡
+    * declarative on the torture corpus + random unicode. */
   def rawAlphaTokens(text: Column): Column =
-    rawAlphaTokensOfSplit(split(lower(text), " "))
+    nativeTokens(text, dropStops = false)
 
   /** [[rawAlphaTokens]] over an ALREADY lower+whitespace-split column —
     * for pipelines that also need the raw split for other signals
     * (n_raw, stopword-ratio): materialize `split(lower(text), " ")` as
     * its own column ONCE and feed it here, instead of re-lowering and
     * re-splitting the text per consumer (the ta_curation_pipeline r14
-    * shave). Pass a bare column reference, never a nested expression —
-    * the shingles3 re-evaluation warning applies. */
+    * shave). */
   def rawAlphaTokensOfSplit(raw: Column): Column =
+    nativeTokens(raw, dropStops = false)
+
+  private def nativeTokens(in: Column, dropStops: Boolean): Column =
+    org.apache.spark.sql.graft.GraftSqlShim.column(
+      GraftTokens(org.apache.spark.sql.graft.GraftSqlShim.expression(in), dropStops))
+
+  /** The reference's T3+T4 tail (lemmatize with the dict+suffix contract,
+    * THEN drop stopwords — base_dataset_loader.py:87-90's stage order)
+    * over a raw-alpha token array, as the native [[GraftLemmaStop]]
+    * expression. Declarative twin: `filter(Lemmatizer.lemmatizeArray(raw),
+    * ¬isInCollection(STOPWORDS))` — pinned ≡ in TokenizerExprSpec. */
+  def lemmaStopTokens(raw: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShim.column(
+      GraftLemmaStop(org.apache.spark.sql.graft.GraftSqlShim.expression(raw)))
+
+  /** Membership-hit count of `arr`'s cells in a pinned word list, as the
+    * native [[GraftCountIn]] expression — the stop-ratio / lang-id
+    * signal. Declarative twin: `size(filter(arr, _.isInCollection(words)))`. */
+  def countIn(arr: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graft.GraftSqlShim.column(
+      GraftCountIn(org.apache.spark.sql.graft.GraftSqlShim.expression(arr), words))
+
+  /** The pre-r15 declarative (higher-order-function) formulation, kept as
+    * the in-engine parity twin for the native expression: the word-list
+    * stage is its OWN transform over the stage-1 arrays — not nested in
+    * the scrub lambda — because referencing a regexp_replace result
+    * inside codegen re-evaluates it per reference (the shingles3 O(n²)
+    * lesson); stage 1 wraps each scrubbed token in a 1-element array so
+    * the 'tis/'twas branches (which must see the PRE-scrub apostrophe)
+    * can emit their split forms through the same flatten. */
+  private[graft] def hofRawAlphaTokensOfSplit(raw: Column): Column =
     filter(
       flatten(transform(
-        transform(raw, t => regexp_replace(t, tokenScrubPattern, "")),
-        t => WordSplits.foldRight(array(t)) { case ((w, parts), els) =>
-          when(t === w, typedLit(parts)).otherwise(els)
+        transform(raw, t =>
+          when(t.rlike(tisTokenPattern), typedLit(Seq("is")))
+            .when(t.rlike(twasTokenPattern), typedLit(Seq("was")))
+            .otherwise(array(regexp_replace(t, tokenScrubPattern, "")))),
+        a => WordSplits.foldRight(a) { case ((w, parts), els) =>
+          when(element_at(a, 1) === w, typedLit(parts)).otherwise(els)
         })),
       // \A..\z: RLIKE is find-semantics and Java `$` forgives a final
       // newline, so "word\n" would pass a ^..$ filter that DuckDB's
       // regexp_full_match rejects (see edgePunctPattern note)
       t => t.rlike("\\A\\p{L}+\\z"))
+
+  private[graft] def hofRawAlphaTokens(text: Column): Column =
+    hofRawAlphaTokensOfSplit(split(lower(text), " "))
+
+  private[graft] def hofTokens(text: Column): Column =
+    filter(hofRawAlphaTokens(text), t => !t.isInCollection(STOPWORDS))
 
   /** Preprocessed token array: lowercase, whitespace-split, edge-punct
     * strip (see [[edgePunctPattern]]), alpha-only (unicode `\p{L}+`,
@@ -192,12 +246,12 @@ object Text {
     * uses RE2's identical `\p{L}` — NltkParitySpec pins the agreement on
     * unicode rows. */
   def tokens(text: Column): Column =
-    filter(rawAlphaTokens(text), t => !t.isInCollection(STOPWORDS))
+    nativeTokens(text, dropStops = true)
 
   /** [[tokens]] over an already lower+whitespace-split column (see
     * [[rawAlphaTokensOfSplit]] for when and why). */
   def tokensOfSplit(raw: Column): Column =
-    filter(rawAlphaTokensOfSplit(raw), t => !t.isInCollection(STOPWORDS))
+    nativeTokens(raw, dropStops = true)
 
   /** k=3 shingles joined by spaces (duplicate_detector.py:7-13): the i-th
     * shingle is tokens[i..i+2]; fewer than 3 tokens → no shingles.
@@ -209,14 +263,16 @@ object Text {
     * nesting the tokenizer (a per-token regex) there turns an O(n) row into
     * O(n²) regex calls (measured 12× slower at sf0.1). */
   def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => array_join(slice(toks, i, lit(3)), " ")))
-      .otherwise(typedLit(Seq.empty[String]))
+    graft.functions.VectorExprs.graft_shingles(toks, 3)
 
-  /** General k-shingles (same contract as [[shingles3]]: pass a PROJECTED
-    * toks column, never the nested tokenizer — see the warning above). */
+  /** General k-shingles (same contract as [[shingles3]]). r15: both are
+    * the native [[GraftShingles]] expression — the transform-over-
+    * sequence formulation was interpreted CodegenFallback per SHINGLE;
+    * declarative twins below for the parity spec. */
   def shinglesK(toks: Column, k: Int): Column =
+    graft.functions.VectorExprs.graft_shingles(toks, k)
+
+  private[graft] def hofShinglesK(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => array_join(slice(toks, i, lit(k)), " ")))
@@ -230,12 +286,25 @@ object Text {
     * escaping; DuckDB standard strings pass the backslashes through to
     * RE2 untouched. */
   private val tokenScrubPatternSql = tokenScrubPattern.replace("'", "''")
-  /** The [[WordSplits]] CASE chain as a DuckDB lambda body (identical
-    * list, identical order; apostrophes doubled for SQL escaping). */
+  private val tisTokenPatternSql = tisTokenPattern.replace("'", "''")
+  private val twasTokenPatternSql = twasTokenPattern.replace("'", "''")
+  /** Stage-1 DuckDB lambda: the 'tis/'twas pre-scrub rules (on the RAW
+    * token, apostrophe intact — r14 ADVICE #2), else the fused scrub,
+    * each branch emitting a LIST so stage 2 + flatten see one shape.
+    * regexp_matches = find-semantics, the RLIKE twin; the \A/\z-anchored
+    * pattern strings are shared verbatim with the Spark side. */
+  private val stage1Sql: String =
+    s"CASE WHEN regexp_matches(t, '$tisTokenPatternSql') THEN ['is'] " +
+      s"WHEN regexp_matches(t, '$twasTokenPatternSql') THEN ['was'] " +
+      s"ELSE [regexp_replace(t, '$tokenScrubPatternSql', '', 'g')] END"
+  /** The [[WordSplits]] CASE chain as a DuckDB lambda over the stage-1
+    * lists (identical list, identical order; apostrophes doubled for SQL
+    * escaping; a[1] is DuckDB's 1-based head — referencing it per branch
+    * is a plain list index, no re-evaluated regex). */
   private val wordSplitsCaseSql: String =
     WordSplits.map { case (w, parts) =>
-      s"WHEN t = '${w.replace("'", "''")}' THEN [${parts.map("'" + _ + "'").mkString(", ")}]"
-    }.mkString("CASE ", " ", " ELSE [t] END")
+      s"WHEN a[1] = '${w.replace("'", "''")}' THEN [${parts.map("'" + _ + "'").mkString(", ")}]"
+    }.mkString("CASE ", " ", " ELSE a END")
   /** T1+T2 only (the [[rawAlphaTokens]] twin) over an arbitrary string
     * expression — for oracle chains that need the reference's
     * lemma-BEFORE-stopwords order on a column other than `text`.
@@ -244,7 +313,7 @@ object Text {
     * branches each match at most once. flatten + the word-list CASE
     * lambda mirror [[rawAlphaTokens]]'s split stage exactly. */
   def rawAlphaToksSqlOf(expr: String): String =
-    s"list_filter(flatten(list_transform(list_transform(string_split(lower($expr), ' '), t -> regexp_replace(t, '$tokenScrubPatternSql', '', 'g')), t -> $wordSplitsCaseSql)), t -> regexp_full_match(t, '\\p{L}+'))"
+    s"list_filter(flatten(list_transform(list_transform(string_split(lower($expr), ' '), t -> $stage1Sql), a -> $wordSplitsCaseSql)), t -> regexp_full_match(t, '\\p{L}+'))"
   val rawAlphaToksSql: String = rawAlphaToksSqlOf("text")
   val toksSql: String =
     s"list_filter($rawAlphaToksSql, t -> t NOT IN ${stopwordsSqlList})"

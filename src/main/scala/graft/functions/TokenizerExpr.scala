@@ -1,0 +1,285 @@
+package graft.functions
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The tokenize→scrub→word-split→alpha→stopword chain as ONE native JVM
+  * pass (r14 verdict #1 — the engine's single biggest measured CPU lever):
+  * the declarative chain in [[Text]] rides Spark's `ArrayTransform` /
+  * `ArrayFilter`, which are CodegenFallback — every token of every
+  * document pays interpreted per-element Catalyst dispatch, measured at
+  * ~25 µs/token, 50–100× the cost of the scrub regex itself (~0.3 µs).
+  * This helper computes the IDENTICAL function (reference semantics:
+  * /root/reference/data_loader/base_dataset_loader.py:80-91 — lowercase,
+  * whitespace split, NLTK-style punctuation/contraction handling, isalpha,
+  * stopwords; the Penn `tokenizer.sed` fixed word list) in a tight loop
+  * that the expressions below call as a single codegen'd method — the
+  * whole chain stays inside WholeStageCodegen with zero per-element
+  * dispatch.
+  *
+  * Parity is pinned three ways: the declarative twins remain in [[Text]]
+  * (`hof*` builders) and TokenizerExprSpec asserts native ≡ declarative
+  * over the torture corpus + random unicode strings; NltkParitySpec runs
+  * the golden-NLTK fixture THROUGH the native path (Text's public
+  * builders now emit these expressions); and every tokenizing oracle
+  * query hash-compares against the unchanged DuckDB twins.
+  *
+  * Fast path: a pure-letter token (the overwhelming majority) cannot
+  * match the scrub (every branch requires an EdgePunct char or an
+  * apostrophe-bearing clitic) nor the 'tis/'twas rules (both require a
+  * literal apostrophe), so it skips all regex work — one letter-scan,
+  * one word-list probe, one stopword probe.
+  */
+object GraftTokenizer {
+
+  private val scrubP = Pattern.compile(Text.tokenScrubPattern)
+  private val tisP = Pattern.compile(Text.tisTokenPattern)
+  private val twasP = Pattern.compile(Text.twasTokenPattern)
+  // Matchers are stateful and not thread-safe; one per executor thread,
+  // reset per token — no per-token Matcher allocation
+  private def tl(p: Pattern) = ThreadLocal.withInitial[Matcher](() => p.matcher(""))
+  private val scrubM = tl(scrubP)
+  private val tisM = tl(tisP)
+  private val twasM = tl(twasP)
+
+  private val wordSplits: java.util.HashMap[String, Array[String]] = {
+    val m = new java.util.HashMap[String, Array[String]]()
+    Text.WordSplits.foreach { case (w, parts) => m.put(w, parts.toArray) }
+    m
+  }
+  private val stops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Text.STOPWORDS.foreach(s.add)
+    s
+  }
+  private val lemmaDict: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Lemmatizer.DICT.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  /** Python `str.isalpha` / `\p{L}+` twin: non-empty and every code point
+    * in Unicode categories Lu/Ll/Lt/Lm/Lo — exactly
+    * `Character.isLetter`'s definition, exactly Java/RE2 `\p{L}`.
+    * Code-point iteration so supplementary-plane letters count and
+    * unpaired surrogates (category Cs) reject, as in both regex twins. */
+  private def isAllLetters(s: String): Boolean = {
+    val n = s.length
+    if (n == 0) return false
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (!Character.isLetter(cp)) return false
+      i += Character.charCount(cp)
+    }
+    true
+  }
+
+  private def emit(tok: String, dropStops: Boolean,
+                   out: java.util.ArrayList[AnyRef]): Unit =
+    if (!(dropStops && stops.contains(tok))) {
+      out.add(UTF8String.fromString(tok)): Unit
+    }
+
+  /** One already-lowercased whitespace token through scrub → word-split →
+    * alpha → (stopword). Mirrors the declarative pass order exactly:
+    * 'tis/'twas pre-scrub rules first (they need the pre-strip apostrophe
+    * — r14 ADVICE #2), then the fused scrub, then the word-list probe,
+    * then the `\p{L}+` filter. */
+  private def processToken(t: String, dropStops: Boolean,
+                           out: java.util.ArrayList[AnyRef]): Unit = {
+    if (t.isEmpty) return
+    if (isAllLetters(t)) {
+      val parts = wordSplits.get(t)
+      if (parts == null) emit(t, dropStops, out)
+      else {
+        var i = 0
+        while (i < parts.length) { emit(parts(i), dropStops, out); i += 1 }
+      }
+    } else {
+      // any 'tis/'twas match necessarily contains the literal apostrophe
+      // form, so the cheap substring gate skips both regexes otherwise
+      if (t.indexOf('\'') >= 0) {
+        if (t.contains("'tis") && tisM.get().reset(t).find()) {
+          emit("is", dropStops, out); return
+        }
+        if (t.contains("'twas") && twasM.get().reset(t).find()) {
+          emit("was", dropStops, out); return
+        }
+      }
+      val s2 = scrubM.get().reset(t).replaceAll("")
+      val parts = wordSplits.get(s2)
+      if (parts != null) {
+        var i = 0
+        while (i < parts.length) { emit(parts(i), dropStops, out); i += 1 }
+      } else if (isAllLetters(s2)) emit(s2, dropStops, out)
+    }
+  }
+
+  /** Full chain from a raw text column: `lower` via `UTF8String
+    * .toLowerCase` — the same method Spark's own `Lower` calls, so case
+    * folding is bit-identical to the declarative twin — then a literal
+    * single-space split (what `split(_, " ")` compiles to; empty cells
+    * are dropped by the alpha filter in both formulations). */
+  def tokenize(input: UTF8String, dropStops: Boolean): ArrayData = {
+    val s = input.toLowerCase.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) processToken(s.substring(start, i), dropStops, out)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Chain over an ALREADY lower+space-split array (the shared-split
+    * pipelines). Null cells — impossible from `split`, but the
+    * declarative twin drops them via three-valued logic — are skipped. */
+  def tokenizeArr(arr: ArrayData, dropStops: Boolean): ArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      if (u != null) processToken(u.toString, dropStops, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** dict-then-suffix-rule lemmatization + stopword drop over a token
+    * array — the `filter(lemmatizeArray(raw), ¬stopword)` composition at
+    * both lemma call sites, natively. [[Lemmatizer.suffixLemma]] is the
+    * plain-Scala member of the pinned three-implementation contract
+    * (TextSpec: ≡ Column form ≡ SQL form), so this path computes the
+    * documented function by construction. */
+  def lemmaStop(arr: ArrayData): ArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      if (u != null) {
+        val t = u.toString
+        val d = lemmaDict.get(t)
+        val lemma = if (d != null) d else Lemmatizer.suffixLemma(t)
+        if (!stops.contains(lemma)) {
+          out.add(UTF8String.fromString(lemma)): Unit
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** `size(filter(arr, _.isInCollection(words)))` natively: membership
+    * hits in a pinned word set (stop-ratio and lang-id signals). Null
+    * cells contribute nothing (the 3VL filter drops them). */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var i = 0
+    var hits = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      if (u != null && set.contains(u)) hits += 1
+      i += 1
+    }
+    hits
+  }
+}
+
+/** Native tokenizer expression over a string column (full chain incl.
+  * lower+split) or an array<string> column of already lower+split cells.
+  * `dropStops = false` → T1+T2 only ([[Text.rawAlphaTokens]]);
+  * `true` → the full T1-T4 chain ([[Text.tokens]]). */
+case class GraftTokens(child: Expression, dropStops: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string or array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private def fromText: Boolean = child.dataType == StringType
+
+  override def nullSafeEval(v: Any): Any =
+    if (fromText) GraftTokenizer.tokenize(v.asInstanceOf[UTF8String], dropStops)
+    else GraftTokenizer.tokenizeArr(v.asInstanceOf[ArrayData], dropStops)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (fromText) "tokenize" else "tokenizeArr"
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftTokenizer.$method($c, $dropStops)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String =
+    if (dropStops) "graft_tokens" else "graft_raw_tokens"
+}
+
+/** Native lemmatize+stopword-drop over a (raw-alpha) token array. */
+case class GraftLemmaStop(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftTokenizer.lemmaStop(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftTokenizer.lemmaStop($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lemma_stop"
+}
+
+/** Native membership-hit counter over an array<string> column against a
+  * pinned literal word set. */
+case class GraftCountIn(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GraftTokenizer.countIn(v.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftWordSet", set, "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftTokenizer.countIn($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_count_in"
+}

@@ -1,0 +1,439 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.GraftSqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native twins of the remaining interpreted per-element chains the r15
+  * PlanAudit CodegenFallback detector inventoried (r14 verdict #6): the
+  * `aggregate`/`zip_with` vector folds on the ANN probe paths, the
+  * k-shingle builder, the minhash agreement count, the char-ngram
+  * explode, and the polynomial rolling hash. Each computes the IDENTICAL
+  * function as its declarative formulation (same element order, same
+  * double/long arithmetic, left-to-right accumulation), pinned
+  * element-exact in VectorExprsSpec; the DuckDB twins are untouched.
+  *
+  * Why not UDFs: a codegen'd `Expression` calling one static JVM method
+  * per ROW stays inside WholeStageCodegen and reads Unsafe array data in
+  * place — no per-ELEMENT Catalyst dispatch (the measured ~25 µs/element
+  * CodegenFallback cliff), no serialization in and out of the row format.
+  */
+object GraftVec {
+
+  private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Σ aᵢ·bᵢ in double, left-to-right — the `aggregate(zip_with(a, b,
+    * (x, y) => x.cast(double) * y.cast(double)), 0.0, _+_)` fold.
+    * Ragged lengths FAIL LOUDLY (CosineSim's r10 convention; the
+    * declarative twin nulls instead, but a ragged pair is data
+    * corruption for every caller — all vectors share one dim). */
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: vector lengths differ ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(a, i, aF) * get(b, i, bF); i += 1 }
+    acc
+  }
+
+  /** Σ (aᵢ−bᵢ)² in double, left-to-right — the squared-L2 fold of every
+    * KNN/centroid probe. */
+  def l2sq(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_l2sq: vector lengths differ ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, i, aF) - get(b, i, bF)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ aᵢ in double, left-to-right — the `aggregate(a, 0.0, (acc, x) =>
+    * acc + x.cast(double))` fold (vector stats, waveform means). */
+  def vsum(a: ArrayData, aF: Boolean): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(a, i, aF); i += 1 }
+    acc
+  }
+
+  /** Σ aᵢ over an integral array as LONG (wrapping exactly like the
+    * declarative `aggregate(a, 0L, _+_)` fold — block sums). */
+  def vsumLong(a: ArrayData, aInt: Boolean): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += (if (aInt) a.getInt(i).toLong else a.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  /** Code points of a string as array<int> — the `transform(split(s, ''),
+    * ascii)` chain (Spark 4: split('') yields code-point clusters, ascii
+    * the cluster's code point; probed + spec-pinned). */
+  def codepoints(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      out.add(Integer.valueOf(cp)): Unit
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** aᵢ−bᵢ as array<double>, the residual-vector builder
+    * (`zip_with(a, b, (x, y) => x - y)`). Ragged lengths fail loudly. */
+  def vsub(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): ArrayData = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_vsub: vector lengths differ ($n vs ${b.numElements()})")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = get(a, i, aF) - get(b, i, bF); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** aᵢ/d as array<double> with the zero-divisor guard — the L2
+    * normalize (`transform(a, x => when(d === 0.0, 0.0).otherwise(
+    * x.cast(double) / d))`): a zero vector has no direction and
+    * normalizes to the zero vector. */
+  def vnormDiv(a: ArrayData, d: Double, aF: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (d == 0.0) 0.0 else get(a, i, aF) / d
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of positions with EQUAL string cells — the minhash signature
+    * agreement numerator (`aggregate(zip_with(a, b, when(x === y, 1)
+    * .otherwise(0)), 0, _+_)`). zip_with pads the shorter side with
+    * nulls, which the when() counts 0, so only the overlap can agree —
+    * min-length iteration is the same sum. */
+  def eqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) &&
+        a.getUTF8String(i) == b.getUTF8String(i)) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** k-shingles joined by single spaces (duplicate_detector.py:7-13 —
+    * the i-th shingle is toks[i..i+k-1]; fewer than k tokens → empty
+    * array). Token cells are alpha-filtered upstream and never null. */
+  def shingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        val c = toks.getUTF8String(i + j)
+        sb.append(if (c == null) "" else c.toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sliding char n-grams — `transform(sequence(1, len-(n-1)), i =>
+    * substr(i, n))` natively. Spark string ops count CODE POINTS
+    * (`substr` via substringSQL, `length` via numChars), so the loop
+    * walks code-point boundaries, not UTF-16 units. Shorter than n
+    * chars → empty array (the declarative sequence is empty). */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val total = s.numChars()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](total - n + 1)
+    var i = 0
+    while (i + n <= total) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Polynomial rolling hash ((acc·31 + codepoint) mod 1e9+7, left fold)
+    * — the `aggregate(transform(split(clean, ''), ascii), 0L, fold)`
+    * chain. Spark 4's `split(_, '')` yields code-POINT clusters and
+    * `ascii` returns the cluster's code point (probed empirically, spec-
+    * pinned), so the fold walks code points. */
+  def polyHash(s: UTF8String, mod: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+private[functions] trait VecBinary extends BinaryExpression {
+  protected def opName: String
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$opName expects (array<float|double>, array<float|double>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+  protected def isF(e: Expression): Boolean =
+    e.dataType == ArrayType(FloatType, containsNull = false) ||
+      e.dataType == ArrayType(FloatType, containsNull = true)
+}
+
+/** Σ aᵢ·bᵢ — see [[GraftVec.dot]]. */
+case class GraftDot(left: Expression, right: Expression) extends VecBinary {
+  override protected def opName: String = "graft_dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isF(left), isF(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftVec.dot($a, $b, ${isF(left)}, ${isF(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** Σ (aᵢ−bᵢ)² — see [[GraftVec.l2sq]]. */
+case class GraftL2Sq(left: Expression, right: Expression) extends VecBinary {
+  override protected def opName: String = "graft_l2sq"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isF(left), isF(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftVec.l2sq($a, $b, ${isF(left)}, ${isF(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_l2sq"
+}
+
+/** Σ aᵢ — double result for float/double cells (see [[GraftVec.vsum]]),
+  * long result for int/long cells (see [[GraftVec.vsumLong]] — exact
+  * integer fold, wrapping identically to the declarative 0L fold). */
+case class GraftVSum(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+        ArrayType(IntegerType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_vsum expects array<float|double|int|long>, got $t")
+  }
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = elem match {
+    case IntegerType | LongType => LongType
+    case _ => DoubleType
+  }
+  override def nullSafeEval(v: Any): Any = elem match {
+    case IntegerType => GraftVec.vsumLong(v.asInstanceOf[ArrayData], aInt = true)
+    case LongType => GraftVec.vsumLong(v.asInstanceOf[ArrayData], aInt = false)
+    case FloatType => GraftVec.vsum(v.asInstanceOf[ArrayData], aF = true)
+    case _ => GraftVec.vsum(v.asInstanceOf[ArrayData], aF = false)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => elem match {
+      case IntegerType => s"graft.functions.GraftVec.vsumLong($c, true)"
+      case LongType => s"graft.functions.GraftVec.vsumLong($c, false)"
+      case FloatType => s"graft.functions.GraftVec.vsum($c, true)"
+      case _ => s"graft.functions.GraftVec.vsum($c, false)"
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_vsum"
+}
+
+/** Code points of a string as array<int> — see [[GraftVec.codepoints]]. */
+case class GraftCodepoints(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_codepoints expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.codepoints(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.codepoints($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_codepoints"
+}
+
+/** Elementwise difference as array<double> — see [[GraftVec.vsub]]. */
+case class GraftVSub(left: Expression, right: Expression) extends VecBinary {
+  override protected def opName: String = "graft_vsub"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.vsub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isF(left), isF(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftVec.vsub($a, $b, ${isF(left)}, ${isF(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_vsub"
+}
+
+/** Scalar divide with zero-guard as array<double> — see
+  * [[GraftVec.vnormDiv]]. */
+case class GraftVNormDiv(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_vnorm_div expects (array<float|double>, double), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def isF: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(a: Any, d: Any): Any =
+    GraftVec.vnormDiv(a.asInstanceOf[ArrayData], d.asInstanceOf[Double], isF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, d) =>
+      s"graft.functions.GraftVec.vnormDiv($a, $d, $isF)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_vnorm_div"
+}
+
+/** Agreeing-position count over two array<string> signatures. */
+case class GraftEqCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_eq_count expects (array<string>, array<string>), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.eqCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_eq_count"
+}
+
+/** k-shingles of a token array (k pinned at construction). */
+case class GraftShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.shingles(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingles"
+}
+
+/** Sliding char n-grams of a string (n pinned at construction). */
+case class GraftCharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_ngrams expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.charNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.charNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_ngrams"
+}
+
+/** Polynomial rolling hash of a string (modulus pinned at construction). */
+case class GraftPolyHash(child: Expression, mod: Long) extends UnaryExpression {
+  require(mod > 1, "modulus must be > 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_hash expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.polyHash(v.asInstanceOf[UTF8String], mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.polyHash($c, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_poly_hash"
+}
+
+/** Column-API builders. */
+object VectorExprs {
+  def graft_dot(a: Column, b: Column): Column =
+    GraftSqlShim.column(GraftDot(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+  def graft_l2sq(a: Column, b: Column): Column =
+    GraftSqlShim.column(GraftL2Sq(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+  def graft_eq_count(a: Column, b: Column): Column =
+    GraftSqlShim.column(GraftEqCount(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+  def graft_vsum(a: Column): Column =
+    GraftSqlShim.column(GraftVSum(GraftSqlShim.expression(a)))
+  def graft_codepoints(s: Column): Column =
+    GraftSqlShim.column(GraftCodepoints(GraftSqlShim.expression(s)))
+  def graft_vsub(a: Column, b: Column): Column =
+    GraftSqlShim.column(GraftVSub(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+  def graft_vnorm_div(a: Column, d: Column): Column =
+    GraftSqlShim.column(GraftVNormDiv(GraftSqlShim.expression(a), GraftSqlShim.expression(d)))
+  def graft_shingles(toks: Column, k: Int): Column =
+    GraftSqlShim.column(GraftShingles(GraftSqlShim.expression(toks), k))
+  def graft_char_ngrams(s: Column, n: Int): Column =
+    GraftSqlShim.column(GraftCharNgrams(GraftSqlShim.expression(s), n))
+  def graft_poly_hash(s: Column, mod: Long): Column =
+    GraftSqlShim.column(GraftPolyHash(GraftSqlShim.expression(s), mod))
+}

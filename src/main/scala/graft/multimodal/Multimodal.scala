@@ -214,14 +214,22 @@ object Multimodal {
     * peak) — the shape of an audio feature pass, done portably on the
     * byte values so it oracles exactly (explicit left folds + round). */
   private def waveformStats(s: SparkSession, d: String): DataFrame = {
-    val samples = transform(split(col("text"), ""), c => ascii(c).cast("double"))
+    // native code-point array + folds (r15): the per-char transform/
+    // aggregate chain was interpreted CodegenFallback per character.
+    // Same arithmetic: Σcp and Σcp² are exact integers < 2^53, so the
+    // double fold and the long fold agree bit-for-bit after division.
+    val cp = graft.functions.VectorExprs.graft_codepoints(col("text"))
     T.documents(s, d)
-      .withColumn("n", size(samples))
+      .withColumn("cp", cp)
+      .withColumn("n", size(col("cp")))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n").as("n_samples"),
-        round(aggregate(samples, lit(0.0), (a, x) => a + x) / col("n"), 4).as("mean_amp"),
-        round(sqrt(aggregate(samples, lit(0.0), (a, x) => a + x * x) / col("n")), 4).as("rms"),
-        array_max(transform(split(col("text"), ""), c => ascii(c))).as("peak"))
+        round(graft.functions.VectorExprs.graft_vsum(col("cp").cast("array<double>"))
+          / col("n"), 4).as("mean_amp"),
+        round(sqrt(graft.functions.VectorExprs.graft_dot(
+          col("cp").cast("array<double>"), col("cp").cast("array<double>"))
+          / col("n")), 4).as("rms"),
+        array_max(col("cp")).as("peak"))
       .orderBy(col("doc_id"))
   }
 
@@ -243,9 +251,11 @@ object Multimodal {
     * hash is exact integer arithmetic — bit-exact oracle. Equal hashes →
     * near-dup media candidates (bucket_size). */
   private def hashedFrame(s: SparkSession, d: String): DataFrame = {
-    val codes = transform(split(col("text"), ""), c => ascii(c).cast("long"))
-    val blockSum = (i: Int) =>
-      aggregate(slice(col("codes"), col("blk") * i + 1, col("blk")), lit(0L), (a, x) => a + x)
+    // native code points + exact long block sums (r15, see waveformStats)
+    val codes = graft.functions.VectorExprs
+      .graft_codepoints(col("text")).cast("array<bigint>")
+    val blockSum = (i: Int) => graft.functions.VectorExprs.graft_vsum(
+      slice(col("codes"), col("blk") * i + 1, col("blk")))
     val base = T.documents(s, d)
       .filter(length(col("text")) >= 16)
       .withColumn("codes", codes)

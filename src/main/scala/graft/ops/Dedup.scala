@@ -113,8 +113,7 @@ object Dedup {
   /** Fraction of agreeing minhash positions, rounded — the LSH Jaccard
     * estimate used as the verify stage everywhere. */
   private def sigAgreement(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / P, 4)
+    round(graft.functions.VectorExprs.graft_eq_count(a, b).cast("double") / P, 4)
 
   /** MinHash + LSH near-duplicate pairs: signatures → 4 band keys → bucket
     * join on (band, key) → signature-agreement estimate ≥ 0.5. The band join

@@ -96,9 +96,7 @@ object MllibOps {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val d2 = aggregate(zip_with(col("qe"), col("ce"),
-      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    val d2 = graft.functions.VectorExprs.graft_l2sq(col("qe"), col("ce"))
     val exactMin = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .withColumn("dist", sqrt(d2))
       .groupBy(col("query_id"))

@@ -27,9 +27,10 @@ object Similarity {
   private val NQ = 10      // query vectors: vec_id < 10
   private val LSH_BITS = 8 // sign bits → 256 buckets
 
+  // native codegen'd fold (r15 — the declarative aggregate/zip_with pair
+  // is CodegenFallback, interpreted per element; PlanAudit flags it now)
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.graft_dot(a, b)
 
   /** Empty result frame from a DDL schema string — the shared empty-
     * corpus early-return shape (KMeans.fit rejects empty input; the ANN
@@ -51,8 +52,7 @@ object Similarity {
     * that don't read `features` lose it to column pruning. */
   private def withNormalized(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val nrm = sqrt(aggregate(transform(col("embedding"),
-      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    val nrm = sqrt(graft.functions.VectorExprs.graft_dot(col("embedding"), col("embedding")))
     // zero-norm guard: Spark's non-ANSI Divide yields NULL on a zero
     // divisor, and array_to_vector over an all-null array THROWS — one
     // all-zero embedding would crash every normalized consumer (r10
@@ -60,8 +60,8 @@ object Similarity {
     // the zero vector (same convention CosineSim uses: cos = 0 on a zero
     // denominator) and lands in whatever cell the quantizer assigns it.
     T.embeddings(s, d)
-      .withColumn("nvec", transform(col("embedding"),
-        x => when(nrm === 0.0, lit(0.0)).otherwise(x.cast("double") / nrm)))
+      .withColumn("nvec",
+        graft.functions.VectorExprs.graft_vnorm_div(col("embedding"), nrm))
       .withColumn("features", array_to_vector(col("nvec")))
   }
 
@@ -331,9 +331,7 @@ object Similarity {
     import s.implicits._
     val cents = km.clusterCenters.zipWithIndex.toSeq
       .map { case (ctr, i) => (i, ctr.toArray) }.toDF("cell", "centroid")
-    val d2 = aggregate(zip_with(col("qn"), col("centroid"),
-      (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    val d2 = graft.functions.VectorExprs.graft_l2sq(col("qn"), col("centroid"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
     val probes = cells.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -365,7 +363,7 @@ object Similarity {
         col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
         round(col("norm"), 4).as("norm"),
-        round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double"))
+        round(graft.functions.VectorExprs.graft_vsum(col("embedding"))
           / size(col("embedding")), 4).as("mean"),
         round(array_min(col("embedding")).cast("double"), 4).as("mn"),
         round(array_max(col("embedding")).cast("double"), 4).as("mx"))
@@ -617,8 +615,8 @@ object Similarity {
     // subvector to every (subspace, centroid) — NQ×PQ_M×PQ_KC rows
     val lut = queries.crossJoin(broadcast(cents))
       .withColumn("pdist",
-        aggregate(zip_with(slice(col("qn"), col("m") * subDim + 1, lit(subDim)), col("ctr"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+        graft.functions.VectorExprs.graft_l2sq(
+          slice(col("qn"), col("m") * subDim + 1, lit(subDim)), col("ctr")))
       .select(col("query_id"), col("m"), col("code"), col("pdist"))
     // ADC scan: codes only on the corpus side
     val candCodes = codes.select(col("vec_id").as("cand_id"),
@@ -699,7 +697,8 @@ object Similarity {
     // residual in the normalized space, against the assigned cell centroid
     val resid = coarse.transform(e)
       .join(broadcast(cents), "cell")
-      .withColumn("rvec", zip_with(col("nvec"), col("centroid"), (x, y) => x - y))
+      .withColumn("rvec",
+        graft.functions.VectorExprs.graft_vsub(col("nvec"), col("centroid")))
     val withSubs = (0 until PQ_M).foldLeft(resid)((df, m) =>
       df.withColumn(s"rf$m", array_to_vector(slice(col("rvec"), m * subDim + 1, subDim))))
     val models = ivfpqModels.getOrElseUpdate(ivfKey(d),
@@ -714,9 +713,7 @@ object Similarity {
           (0 until PQ_M).map(m => col(s"code$m")): _*))
     // probe list: NPROBE nearest cells per query by centroid distance in
     // the normalized space (identical probe rule to knnIvf)
-    val d2 = aggregate(zip_with(col("qn"), col("centroid"),
-      (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    val d2 = graft.functions.VectorExprs.graft_l2sq(col("qn"), col("centroid"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
     val queries = codes.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -728,7 +725,8 @@ object Similarity {
       .filter(col("pr") <= NPROBE)
       // query residual against EACH probed cell's centroid — ADC distances
       // are computed in that cell's residual frame
-      .withColumn("qr", zip_with(col("qn"), col("centroid"), (x, y) => x - y))
+      .withColumn("qr",
+        graft.functions.VectorExprs.graft_vsub(col("qn"), col("centroid")))
       .select(col("query_id"), col("cell"), col("qr"))
     // residual codebooks: PQ_M×PQ_KC rows of subDim doubles
     val codebooks = models.zipWithIndex.flatMap { case (km, m) =>
@@ -736,8 +734,8 @@ object Similarity {
     }.toDF("m", "code", "ctr")
     val lut = probes.crossJoin(broadcast(codebooks))
       .withColumn("pdist",
-        aggregate(zip_with(slice(col("qr"), col("m") * subDim + 1, lit(subDim)), col("ctr"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+        graft.functions.VectorExprs.graft_l2sq(
+          slice(col("qr"), col("m") * subDim + 1, lit(subDim)), col("ctr")))
       .select(col("query_id"), col("cell"), col("m"), col("code"), col("pdist"))
     // ADC scan: code rows of probed cells only; the (cell) key in the join
     // restricts candidates to the query's probe list with no extra filter
@@ -841,8 +839,7 @@ object Similarity {
     val q = prj.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("pca").as("qp"))
     val cand = prj.select(col("vec_id").as("cand_id"), col("pca").as("cp"))
-    val d2 = aggregate(zip_with(col("qp"), col("cp"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    val d2 = graft.functions.VectorExprs.graft_l2sq(col("qp"), col("cp"))
     val wShort = Window.partitionBy(col("query_id")).orderBy(col("pca_d2"), col("cand_id"))
     val shortlist = broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
       .withColumn("pca_d2", d2)
@@ -977,8 +974,7 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cluster_id", "ctr")
     def sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorExprs.graft_l2sq(a, b)
     val sums = asg.join(broadcast(cents), "cluster_id")
       .select(sq(col("nvec"), col("ctr")).as("d2c"),
         sq(col("nvec"), meanCol).as("d2m"))

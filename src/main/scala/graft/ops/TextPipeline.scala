@@ -57,9 +57,7 @@ object TextPipeline {
     T.documents(s, d)
       .select(col("doc_id"), Text.rawAlphaTokens(col("text")).as("raw"))
       .select(col("doc_id"),
-        array_join(
-          filter(graft.functions.Lemmatizer.lemmatizeArray(col("raw")),
-            t => !t.isInCollection(Text.STOPWORDS)), " ")
+        array_join(graft.functions.Text.lemmaStopTokens(col("raw")), " ")
           .as("clean_lemma"))
       .orderBy(col("doc_id"))
 

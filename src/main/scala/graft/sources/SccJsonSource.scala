@@ -90,8 +90,7 @@ object SccJsonSource {
     // retains it; the stream iterator is what drops falsy bodies)
     scrubbedMessages(s, dir, allMessages).withColumn("body",          // T1–T5
       array_join(
-        filter(Lemmatizer.lemmatizeArray(Text.rawAlphaTokens(col("body"))),
-          t => !t.isInCollection(Text.STOPWORDS)), " "))
+        Text.lemmaStopTokens(Text.rawAlphaTokens(col("body"))), " "))
 
   /** S1+F1–F5 without the T-stage: the scrubbed message frame — the
     * reference's state right after `remove_file_description`

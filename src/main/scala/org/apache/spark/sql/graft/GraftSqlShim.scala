@@ -23,4 +23,45 @@ object GraftSqlShim {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Every interpreted-fallback (CodegenFallback) expression in a physical
+    * plan, by prettyName — PlanAudit's r15 detector. The traversal must
+    * live here because the plan tree HIDES subtrees from a plain
+    * `foreach`: `AdaptiveSparkPlanExec` holds its current physical plan
+    * as a field, not a child (the audit's first cut silently saw only
+    * the AQE root and reported every shuffling query clean), query
+    * stages wrap their subtree the same way, and subquery expressions
+    * carry whole plans inside expression trees. */
+  def interpretedFallbacks(plan: org.apache.spark.sql.execution.SparkPlan): Set[String] = {
+    val fb = scala.collection.mutable.SortedSet[String]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach { node =>
+      node match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+      node.expressions.foreach(_.foreach { e =>
+        e match {
+          case s: org.apache.spark.sql.execution.ExecSubqueryExpression => walk(s.plan)
+          case _ => ()
+        }
+        e match {
+          case _: org.apache.spark.sql.execution.ExecSubqueryExpression => ()
+          // lambda plumbing inside a HOF is CodegenFallback by
+          // inheritance but carries no work of its own — the HOF node
+          // itself is the signal
+          case _: org.apache.spark.sql.catalyst.expressions.LambdaFunction |
+              _: org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable => ()
+          case c: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
+            fb += (if (c.prettyName.nonEmpty) c.prettyName
+                   else c.getClass.getSimpleName)
+          case _ => ()
+        }
+      })
+    }
+    walk(plan)
+    fb.toSet
+  }
 }

@@ -560,8 +560,10 @@ class TextSpec extends SparkSpec {
     import graft.functions.Text
     // The closed MacIntyre list, each form wearing edge punctuation so the
     // scrub→word-list ordering is exercised; 'tis/'twas enter with their
-    // leading apostrophe (edge-stripped before the list check). A word
-    // that merely CONTAINS a list form must not split ("cannothing").
+    // leading apostrophe and split via the PRE-scrub rules (r15 — the
+    // apostrophe is what licenses NLTK's CONTRACTIONS2 split, so bare
+    // "tis"/"twas" stay whole; see TokenizerExprSpec). A word that
+    // merely CONTAINS a list form must not split ("cannothing").
     val got = Seq("You cannot, gimme; (gonna) gotta! lemme wanna " +
         "d'ye more'n 'tis 'twas cannothing scannot")
       .toDF("text").select(Text.rawAlphaTokens(col("text")).as("t"))
