@@ -89,7 +89,29 @@ object ModelStore {
             }
           } finally stream.close()
         } else {
-          md.update(Files.readAllBytes(loc))
+          // jar launch (SPARK_GRAFT_JARS / spark-submit): digest the
+          // .class ENTRIES (name + content, sorted, harness excluded) —
+          // NOT the raw jar bytes, whose manifest/entry timestamps change
+          // on every `sbt package` — so a dir-launched driver and a
+          // jar-launched driver of the SAME build derive the SAME key
+          // (the r15 local-cluster bench went needlessly cold on exactly
+          // this: identical classes, two fingerprints)
+          val zf = new java.util.zip.ZipFile(loc.toFile)
+          try {
+            val names = new java.util.ArrayList[String]()
+            val en = zf.entries()
+            while (en.hasMoreElements) {
+              val e = en.nextElement()
+              if (e.getName.endsWith(".class") && !e.getName.matches(HarnessClasses))
+                names.add(e.getName): Unit
+            }
+            java.util.Collections.sort(names)
+            names.forEach { n =>
+              md.update(n.getBytes("UTF-8"))
+              val in = zf.getInputStream(zf.getEntry(n))
+              try md.update(in.readAllBytes()) finally in.close()
+            }
+          } finally zf.close()
         }
         md.digest().map("%02x".format(_)).mkString.take(12)
       }
