@@ -256,12 +256,10 @@ object Text {
   /** k=3 shingles joined by spaces (duplicate_detector.py:7-13): the i-th
     * shingle is tokens[i..i+2]; fewer than 3 tokens → no shingles.
     *
-    * PERFORMANCE: pass a PROJECTED column (`.select(tokens(col("text"))
-    * .as("toks"))` first, then `shingles3(col("toks"))`), never the nested
-    * `shingles3(tokens(col("text")))`. The `toks` expression appears inside
-    * the transform lambda, where codegen re-evaluates it per array element —
-    * nesting the tokenizer (a per-token regex) there turns an O(n) row into
-    * O(n²) regex calls (measured 12× slower at sf0.1). */
+    * Projecting `toks` first is still the house style, but the old O(n²)
+    * hazard is gone: the native [[GraftShingles]] evaluates its child
+    * ONCE per row (the pre-r15 transform-over-sequence form re-evaluated
+    * a nested child per array element — measured 12× at sf0.1). */
   def shingles3(toks: Column): Column =
     graft.functions.VectorExprs.graft_shingles(toks, 3)
 
