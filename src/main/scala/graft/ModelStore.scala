@@ -211,7 +211,18 @@ object ModelStore {
   }
 
   /** [[getOrFit]] for Java-serializable values (RefCms sketches, collected
-    * Row arrays): one `value.bin` file in the artifact dir. */
+    * Row arrays): one `value.bin` file in the artifact dir.
+    *
+    * Deserialization allowlist (r16, r15 ADVICE #4): the store defaults to
+    * a world-readable tmpdir, so `value.bin` sits at a predictable path —
+    * an ObjectInputFilter pins the object graph to the packages these
+    * artifacts actually contain, turning a planted gadget payload into an
+    * InvalidClassException. A rejected load falls back to refit-and-replace
+    * (the existing torn-file path), never to a query failure. */
+  private val serFilter = java.io.ObjectInputFilter.Config.createFilter(
+    "graft.**;scala.**;java.lang.**;java.util.**;java.math.**;" +
+      "org.apache.spark.**;!*")
+
   def getOrFitSer[T <: AnyRef](key: String, tag: String)(fit: => T): T =
     getOrFit[T](key, tag)(fit)(
       (v, dir) => {
@@ -222,6 +233,7 @@ object ModelStore {
       dir => {
         val ois = new java.io.ObjectInputStream(
           Files.newInputStream(dir.resolve("value.bin")))
+        ois.setObjectInputFilter(serFilter)
         try ois.readObject().asInstanceOf[T] finally ois.close()
       })
 

@@ -46,18 +46,19 @@ object PlanAudit {
     "text_final_summary")
   private val FaithfulUdf = Set.empty[String]
 
-  /** Inventoried interpreted-fallback exemptions (r15). Two classes:
-    *
-    * ENGINE-MODEL fallbacks — Spark's own evaluation model for these
-    * operators, with no codegen path anywhere in Spark: buffer-based
-    * aggregate functions (percentile / approx_percentile /
-    * approx_count_distinct / collect_list / pivotfirst are
-    * (Typed)ImperativeAggregates updating per-ROW aggregation buffers,
-    * replicaterows is the multiset generator), the JSON row parser
-    * behind `from_json`, and the comparator-lambda `array_sort` (used
-    * only on bounded demo arrays in the rel_* surface). These are
-    * per-row buffer updates / bounded parses, not per-element
-    * interpreted lambdas on a hot array path — nothing to rewrite.
+  /** Max measured build-side rows for an allowlisted BNLJ (r15 verdict
+    * #5). The allowlisted frames are 1-row summaries, probe/centroid
+    * frames (tens of rows), and n_sources/interval tables — all orders of
+    * magnitude below this; the cap exists to catch an entry whose frame
+    * starts growing with the data, not to be tight. */
+  private val BnljCap = sys.env.get("SPARK_GRAFT_BNLJ_CAP")
+    .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ > 0))
+    .getOrElse(10000)
+
+  /** Inventoried interpreted-fallback exemptions — ALL per-query since
+    * r16 (r15 verdict #3: the engine-model names used to be exempt
+    * globally, so a future hot-path consumer would pass silently; the
+    * global set is now empty and every exemption names its query).
     *
     * PER-QUERY exemptions — measured-bounded sites:
     *  - scc_loader_* `exists`: the conversation-medium probe over the
@@ -70,10 +71,7 @@ object PlanAudit {
     *    ≤ 2+11·#snapshot rank rows — driver-bounded by construction.
     *
     * Anything else fails the audit loudly. */
-  private val EngineModelFallbacks = Set(
-    "percentile", "approx_percentile", "approx_count_distinct",
-    "collect_list", "pivotfirst", "replicaterows", "from_json",
-    "array_sort")
+  private val EngineModelFallbacks = Set.empty[String]
   private val PerQueryFallbacks: Map[String, Set[String]] = Map(
     "scc_loader_report" -> Set("exists"),
     "scc_loader_sample" -> Set("exists"),
@@ -82,7 +80,26 @@ object PlanAudit {
     "scc_loader_stream" -> Set("exists"),
     "sketch_bloom_stats" -> Set("ComplexTypedAggregateExpression"),
     "sketch_bloom_stats_contract" -> Set("ComplexTypedAggregateExpression"),
-    "text_bump_chart_svg" -> Set("transform"))
+    "text_bump_chart_svg" -> Set("transform", "collect_list"),
+    // Engine-model fallbacks, scoped to their enumerated consumers (r16,
+    // r15 verdict #3): these are Spark's OWN evaluation model — buffer-
+    // based (Typed)ImperativeAggregates, the replicaterows generator,
+    // from_json's row parser, the comparator-lambda array_sort — with no
+    // codegen path anywhere in Spark, but exempting them GLOBALLY meant a
+    // future hot-path from_json over megabyte strings would pass the audit
+    // silently. Enumerated with the exemption disabled (11 queries); every
+    // site is a bounded demo/contract shape, not a per-row hot path. A new
+    // consumer now flags loudly and earns its row here explicitly.
+    "rel_array_agg" -> Set("array_sort", "collect_list"),
+    "rel_array_funcs" -> Set("array_sort"),
+    "rel_from_json_struct" -> Set("from_json"),
+    "rel_multiset_ops" -> Set("replicaterows"),
+    "rel_pivot" -> Set("pivotfirst"),
+    "rel_quantiles" -> Set("percentile"),
+    "rel_stats_agg" -> Set("percentile"),
+    "sketch_hll_contract" -> Set("approx_count_distinct"),
+    "sketch_hll_distinct" -> Set("approx_count_distinct"),
+    "sketch_quantile_contract" -> Set("approx_percentile", "percentile"))
   private val AllowedFallbacks: String => Set[String] =
     q => EngineModelFallbacks ++ PerQueryFallbacks.getOrElse(q, Set.empty)
 
@@ -117,10 +134,25 @@ object PlanAudit {
         val fallbacks =
           org.apache.spark.sql.graft.GraftSqlShim.interpretedFallbacks(physical)
         val fbBad = fallbacks.diff(AllowedFallbacks(q.name))
+        // Allowlisted BNLJs must also MEASURE bounded (r16, r15 verdict
+        // #5): execute just each build-side subtree, take BnljCap+1 rows
+        // (bounded work even against an unbounded frame), and fail any
+        // entry whose "bounded by construction" frame outgrew the cap.
+        // The measured counts print per query so the bound is a recorded
+        // number, not an asserted adjective.
+        val bnljRows: Seq[Long] =
+          if (bnlj && BoundedBnlj(q.name))
+            org.apache.spark.sql.graft.GraftSqlShim.bnljBuildRows(spark, physical, BnljCap)
+          else Seq.empty
+        if (bnljRows.nonEmpty)
+          println(s"[audit] bnlj ${q.name}: build-side rows ${bnljRows.mkString("[", ",", "]")} (cap $BnljCap)")
         val issues = Seq(
           if (udf && !FaithfulUdf(q.name)) Some("ScalaUDF") else None,
           if (cart) Some("CartesianProduct") else None,
           if (bnlj && !BoundedBnlj(q.name)) Some("BNLJ") else None,
+          if (bnljRows.exists(_ > BnljCap))
+            Some(s"BNLJ-build-side-over-cap[${bnljRows.filter(_ > BnljCap).mkString(" ")}]")
+          else None,
           if (emptyWin) Some("empty-window") else None,
           if (fbBad.nonEmpty) Some(s"CodegenFallback[${fbBad.mkString(" ")}]") else None).flatten
         if (issues.nonEmpty) {

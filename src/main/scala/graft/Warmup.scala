@@ -64,8 +64,9 @@ object Warmup {
     // r11 ADVICE: the _ > 0 filter silently treated 0 as malformed and
     // re-enabled the full 150 s budget for automation that set 0 to
     // disable warmup). Negative or unparseable values fall back loudly.
-    val budgetSec = sys.env.get("SPARK_GRAFT_WARMUP_BUDGET")
+    val explicitBudget = sys.env.get("SPARK_GRAFT_WARMUP_BUDGET")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption.filter(_ >= 0))
+    val budgetSec = explicitBudget
       .getOrElse {
         sys.env.get("SPARK_GRAFT_WARMUP_BUDGET").foreach(v =>
           System.err.println(s"[warmup] bad SPARK_GRAFT_WARMUP_BUDGET '$v', using 150"))
@@ -86,7 +87,14 @@ object Warmup {
     // daemon thread and its non-interruptible driver-side work may keep
     // running UNDER the subsequent timed queries. Below the floor, SKIP:
     // bounded, attributable, no stray thread.
-    val phaseFloorSec = 10
+    // The floor applies only to DERIVED budgets (r15 ADVICE #2): an
+    // explicit SPARK_GRAFT_WARMUP_BUDGET of 1-9 s used to be silently
+    // turned into skip-all by the 10 s floor, contradicting the documented
+    // "an explicit budget always wins" contract (0 stays the explicit
+    // skip-all knob). An explicit sub-floor budget now runs phases until
+    // the budget is exhausted, accepting the mid-flight-cut risk the
+    // caller asked for.
+    val phaseFloorSec = if (explicitBudget.isDefined) 1 else 10
     def phase(name: String)(body: => Unit): Unit =
       if (budgetSec - elapsed < phaseFloorSec) {
         notWarmed += 1

@@ -64,6 +64,71 @@ object GraftTokenizer {
     m
   }
 
+  // UTF8String-keyed twins of the three lookup tables (r16, r15 verdict
+  // #4): the allocation profile of the bench loop showed the native
+  // tokenizer still paying one String decode + one UTF8String re-encode
+  // per token per row — pure-ASCII-letter tokens (the overwhelming
+  // majority) now probe and emit zero-copy byte VIEWS into the lowercased
+  // row buffer, the same reference-emitting convention Spark's own array
+  // HOFs use. The String-keyed tables stay for the slow path.
+  private val stopsU: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    Text.STOPWORDS.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  private val wordSplitsU: java.util.HashMap[UTF8String, Array[UTF8String]] = {
+    val m = new java.util.HashMap[UTF8String, Array[UTF8String]]()
+    Text.WordSplits.foreach { case (w, parts) =>
+      m.put(UTF8String.fromString(w), parts.map(UTF8String.fromString).toArray)
+    }
+    m
+  }
+  private val lemmaDictU: java.util.HashMap[UTF8String, UTF8String] = {
+    val m = new java.util.HashMap[UTF8String, UTF8String]()
+    Lemmatizer.DICT.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), UTF8String.fromString(v))
+    }
+    m
+  }
+
+  /** All bytes in 'a'..'z' — the zero-copy fast-path gate. A token passing
+    * this is necessarily all-letters (the isAllLetters superset) and needs
+    * no regex, no decode, and no re-encode. UTF-8 continuation bytes are
+    * negative as signed bytes, so a multi-byte character can never pass. */
+  private def isAsciiLowerAlpha(t: UTF8String): Boolean = {
+    val n = t.numBytes()
+    if (n == 0) return false
+    var i = 0
+    while (i < n) {
+      val b = t.getByte(i)
+      if (b < 'a' || b > 'z') return false
+      i += 1
+    }
+    true
+  }
+
+  private def emitU(tok: UTF8String, dropStops: Boolean,
+                    out: java.util.ArrayList[AnyRef]): Unit =
+    if (!(dropStops && stopsU.contains(tok))) {
+      out.add(tok): Unit
+    }
+
+  /** Fast path for a pure-ASCII-letter token view: word-list probe and
+    * stopword probe directly on the bytes, emitting the view itself.
+    * Everything else (punctuation, clitics, non-ASCII letters) takes the
+    * existing String-based slow path — identical semantics, pinned by
+    * TokenizerExprSpec's native≡declarative net. */
+  private def processTokenU(t: UTF8String, dropStops: Boolean,
+                            out: java.util.ArrayList[AnyRef]): Unit =
+    if (isAsciiLowerAlpha(t)) {
+      val parts = wordSplitsU.get(t)
+      if (parts == null) emitU(t, dropStops, out)
+      else {
+        var i = 0
+        while (i < parts.length) { emitU(parts(i), dropStops, out); i += 1 }
+      }
+    } else processToken(t.toString, dropStops, out)
+
   /** Python `str.isalpha` / `\p{L}+` twin: non-empty and every code point
     * in Unicode categories Lu/Ll/Lt/Lm/Lo — exactly
     * `Character.isLetter`'s definition, exactly Java/RE2 `\p{L}`.
@@ -128,14 +193,20 @@ object GraftTokenizer {
     * single-space split (what `split(_, " ")` compiles to; empty cells
     * are dropped by the alpha filter in both formulations). */
   def tokenize(input: UTF8String, dropStops: Boolean): ArrayData = {
-    val s = input.toLowerCase.toString
-    val out = new java.util.ArrayList[AnyRef]()
-    val n = s.length
+    // byte-level split on 0x20 over the lowercased UTF8String: no full-row
+    // String decode, and each token is a zero-copy view (r16). Equivalent
+    // to the char split: no UTF-8 continuation byte equals the space byte.
+    val lower = input.toLowerCase
+    val nb = lower.numBytes()
+    val out = new java.util.ArrayList[AnyRef](
+      math.max(8, math.min(128, nb / 6)))
     var start = 0
     var i = 0
-    while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
-        if (i > start) processToken(s.substring(start, i), dropStops, out)
+    while (i <= nb) {
+      if (i == nb || lower.getByte(i) == ' ') {
+        if (i > start)
+          processTokenU(UTF8String.fromAddress(lower.getBaseObject,
+            lower.getBaseOffset + start, i - start), dropStops, out)
         start = i + 1
       }
       i += 1
@@ -147,12 +218,12 @@ object GraftTokenizer {
     * pipelines). Null cells — impossible from `split`, but the
     * declarative twin drops them via three-valued logic — are skipped. */
   def tokenizeArr(arr: ArrayData, dropStops: Boolean): ArrayData = {
-    val out = new java.util.ArrayList[AnyRef]()
     val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](math.max(8, n))
     var i = 0
     while (i < n) {
       val u = arr.getUTF8String(i)
-      if (u != null) processToken(u.toString, dropStops, out)
+      if (u != null) processTokenU(u, dropStops, out)
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -165,17 +236,29 @@ object GraftTokenizer {
     * (TextSpec: ≡ Column form ≡ SQL form), so this path computes the
     * documented function by construction. */
   def lemmaStop(arr: ArrayData): ArrayData = {
-    val out = new java.util.ArrayList[AnyRef]()
     val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](math.max(8, n))
     var i = 0
     while (i < n) {
       val u = arr.getUTF8String(i)
       if (u != null) {
-        val t = u.toString
-        val d = lemmaDict.get(t)
-        val lemma = if (d != null) d else Lemmatizer.suffixLemma(t)
-        if (!stops.contains(lemma)) {
-          out.add(UTF8String.fromString(lemma)): Unit
+        val d = lemmaDictU.get(u)
+        if (d != null) {
+          if (!stopsU.contains(d)) { out.add(d): Unit }
+        } else {
+          val nb = u.numBytes()
+          // every suffix rule strips a trailing 's' — a dict-miss token
+          // not ending in the 's' BYTE is its own lemma, zero decode
+          // (non-ASCII tokens ending in the 's' byte still route through
+          // suffixLemma, whose [a-z]+ guard returns them unchanged)
+          if (nb == 0 || u.getByte(nb - 1) != 's') {
+            if (!stopsU.contains(u)) { out.add(u): Unit }
+          } else {
+            val t = u.toString
+            val lemma = Lemmatizer.suffixLemma(t)
+            val lu = if (lemma eq t) u else UTF8String.fromString(lemma)
+            if (!stopsU.contains(lu)) { out.add(lu): Unit }
+          }
         }
       }
       i += 1

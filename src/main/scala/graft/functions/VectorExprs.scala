@@ -25,8 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftVec {
 
-  private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+  /** Null elements FAIL LOUDLY (r16, r15 ADVICE #1): parquet-sourced
+    * embedding arrays are containsNull=true by format default, so the
+    * type check can't reject them — but getDouble/getFloat over a null
+    * cell reads garbage/0 silently where the declarative folds these
+    * expressions replace would propagate null. A null vector cell is data
+    * corruption for every caller (same convention as ragged lengths);
+    * the isNullAt bit-test is ~free and perfectly predicted on the
+    * null-free hot path. */
+  private def get(a: ArrayData, i: Int, isFloat: Boolean): Double = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"graft vector op: null element at index $i (null-free vectors required)")
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  }
 
   /** Σ aᵢ·bᵢ in double, left-to-right — the `aggregate(zip_with(a, b,
     * (x, y) => x.cast(double) * y.cast(double)), 0.0, _+_)` fold.
@@ -78,6 +90,9 @@ object GraftVec {
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_vsum: null element at index $i (null-free vectors required)")
       acc += (if (aInt) a.getInt(i).toLong else a.getLong(i))
       i += 1
     }

@@ -270,11 +270,19 @@ object Multimodal {
       .select(col("doc_id"), hash.as("avg_hash"))
   }
 
-  private def avgHash(s: SparkSession, d: String): DataFrame =
-    hashedFrame(s, d)
-      .withColumn("bucket_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("avg_hash"))))
+  private def avgHash(s: SparkSession, d: String): DataFrame = {
+    // bucket_size via per-hash agg + broadcast join, not a doc-level
+    // window: Window.partitionBy(avg_hash) buffers every row of a bucket
+    // in one task's sort, so a hot bucket (near-constant media) degrades
+    // on a single core — same skew fix as [[dedupCluster]] (r16). The agg
+    // side collapses map-side to ≤2¹⁶ rows regardless of occupancy.
+    val hashed = hashedFrame(s, d).persist()
+    val buckets = hashed.groupBy(col("avg_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+    hashed.join(broadcast(buckets), "avg_hash")
+      .select(col("doc_id"), col("avg_hash"), col("bucket_size"))
       .orderBy(col("doc_id"))
+  }
 
   /** Shared aHash CTE chain (base → sums → hashed) — the DuckDB twin of
     * [[hashedFrame]], hoisted so the three mm_* oracles can never drift
@@ -399,14 +407,33 @@ object Multimodal {
     * variant, whose hash space is NOT enumerable, is what that fixpoint
     * is for). Worst case 65,536 × 696 hash-set probes is sub-second and
     * corpus-size-invariant. The tiny hash→cluster map then
-    * broadcast-joins back to the corpus, and one window per hash-cluster
-    * yields min-id label, size, and survivor; singleton docs
-    * (cluster_size 1 = no neighbor anywhere) drop out exactly as the
-    * doc-level node set did. */
+    * broadcast-joins back to the corpus; singleton docs (cluster_size 1 =
+    * no neighbor anywhere) drop out exactly as the doc-level node set did.
+    *
+    * Skew shape (r16, r15 verdict #2): cluster stats are aggregated at the
+    * HASH level (`groupBy(avg_hash)` — map-side partial agg over ≤2¹⁶
+    * groups, then a driver fold over the tiny per-hash table), never via a
+    * doc-level window per cluster. The previous `Window.partitionBy(hc)`
+    * buffered every doc row of a cluster in ONE task's sort, so an
+    * adversarial corpus (near-constant images → one hot cluster) degraded
+    * quadratically-in-occupancy on a single core — the 1000× sweep's 307 s
+    * tail. Per-hash aggregation collapses each scan partition to ≤2¹⁶ rows
+    * before any shuffle regardless of how hot a bucket is; the doc-level
+    * pass is then scan → broadcast-join → filter, all linear and
+    * skew-free. */
   private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    // persisted: consumed by the per-hash agg AND the doc-level join; the
+    // cached frame is two longs per doc, the aHash scan it avoids repeating
+    // is the query's dominant linear cost (Bench clears cache per query)
     val hashed = hashedFrame(s, d).persist()
-    val present: Array[Long] = hashed.select(col("avg_hash")).distinct()
-      .collect().map(_.getLong(0))
+    // one pass: per-hash doc count + min doc id (the cluster-stat inputs);
+    // ≤65,536 rows by construction, so the collect is a model fit, not a
+    // corpus-scale pull — same contract as the distinct() it replaces
+    val perHash: Array[(Long, Long, Long)] = hashed
+      .groupBy(col("avg_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val present = perHash.map(_._1)
     val idx: Map[Long, Int] = present.zipWithIndex.toMap
     val parent = Array.tabulate(present.length)(identity)
     def find(x: Int): Int = {
@@ -425,14 +452,25 @@ object Multimodal {
       }
       i += 1
     }
+    // fold the per-hash stats up to cluster level on the driver (≤2¹⁶
+    // entries): cluster_id = min doc id across member hashes, cluster_size
+    // = sum of member-hash doc counts
+    val clusterMin = new scala.collection.mutable.HashMap[Int, Long]
+    val clusterCnt = new scala.collection.mutable.HashMap[Int, Long]
+    perHash.indices.foreach { k =>
+      val r = find(k)
+      val (_, cnt, minId) = perHash(k)
+      clusterMin.updateWith(r)(v => Some(v.fold(minId)(math.min(_, minId))))
+      clusterCnt.updateWith(r)(v => Some(v.fold(cnt)(_ + cnt)))
+    }
     val hashCluster = s.createDataFrame(
-      present.indices.map(k => (present(k), present(find(k))))
-    ).toDF("avg_hash", "hc")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hc"))
-    hashed.join(broadcast(hashCluster), "avg_hash")
-      .withColumn("cluster_id", min(col("doc_id")).over(w))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+      present.indices.map { k =>
+        val r = find(k)
+        (present(k), clusterMin(r), clusterCnt(r))
+      }
+    ).toDF("avg_hash", "cluster_id", "cluster_size")
       .filter(col("cluster_size") >= 2)
+    hashed.join(broadcast(hashCluster), "avg_hash")
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("is_survivor"))

@@ -1468,21 +1468,37 @@ object TextAnalysis {
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     val key = T.datasetKey(d, "documents")
     val (path, merges) = bpeFits.getOrElseUpdate(key, {
+      // merges persist as a plain TSV (r16, r15 ADVICE #4): the store
+      // defaults to a world-readable tmpdir, and ObjectInputStream over a
+      // predictable path is a deserialization gadget surface — a text
+      // table has no object graph to attack. Symbols are substrings of
+      // \p{L}+ tokens (no tab/newline possible); asserted at write time
+      // so a future symbol alphabet change fails loudly, not torn.
       val dir = graft.ModelStore.ensureTree(key, "bpe_fit") { build =>
         val (fin, ms) = bpeLoop(s, bpeWordFreq(s, d), BpeRounds)
         fin.coalesce(1).write.mode("overwrite")
           .parquet(build.resolve("syms").toString)
         fin.unpersist()
-        val oos = new java.io.ObjectOutputStream(
-          java.nio.file.Files.newOutputStream(build.resolve("merges.bin")))
-        try oos.writeObject(ms) finally oos.close()
+        val lines = ms.map { case (round, l, r, merged, cnt) =>
+          Seq(l, r, merged).foreach(f => require(
+            !f.exists(c => c == '\t' || c == '\n' || c == '\r'),
+            s"BPE symbol not TSV-safe: '$f'"))
+          s"$round\t$l\t$r\t$merged\t$cnt"
+        }
+        java.nio.file.Files.write(build.resolve("merges.tsv"),
+          java.util.Arrays.asList(lines: _*))
       }
-      val ois = new java.io.ObjectInputStream(
-        java.nio.file.Files.newInputStream(
-          java.nio.file.Paths.get(dir).resolve("merges.bin")))
-      val ms =
-        try ois.readObject().asInstanceOf[Seq[(Long, String, String, String, Long)]]
-        finally ois.close()
+      val ms: Seq[(Long, String, String, String, Long)] =
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(dir).resolve("merges.tsv"))).asScala
+          .toSeq.filter(_.nonEmpty).map { line =>
+            line.split("\t", -1) match {
+              case Array(round, l, r, merged, cnt) =>
+                (round.toLong, l, r, merged, cnt.toLong)
+              case _ => sys.error(s"torn merges.tsv line: '$line'")
+            }
+          }
       (s"$dir/syms", ms)
     })
     (s.read.schema("word STRING, freq BIGINT, pos BIGINT, sym STRING")

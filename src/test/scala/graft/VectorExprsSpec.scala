@@ -60,6 +60,27 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("null vector elements fail loudly, never read as garbage (r15 ADVICE #1)") {
+    // parquet-sourced embeddings are containsNull=true by format default,
+    // so the type check can't reject them — the element read must throw
+    val df = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    def fails(c: org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Exception](df.select(c).collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).map(x => x +: chain(x.getCause)).getOrElse(Nil)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => Option(t.getMessage).exists(_.contains("null element"))),
+        s"expected loud null-element failure, got $e")
+    }
+    fails(V.graft_dot(col("a"), col("b")))
+    fails(V.graft_dot(col("b"), col("a")))
+    fails(V.graft_l2sq(col("a"), col("b")))
+    fails(V.graft_vsum(col("a")))
+    fails(V.graft_vsub(col("a"), col("b")))
+    fails(V.graft_vnorm_div(col("a"), lit(2.0)))
+  }
+
   test("graft_eq_count ≡ declarative agreement fold on string signatures") {
     val alphabet = Seq("aa", "bb", "cc", "dd")
     val rows = (1 to 300).map { _ =>
