@@ -200,6 +200,56 @@ object GraftVec {
     new GenericArrayData(out)
   }
 
+  /** 16-bit perceptual average-hash over a string's code points in ONE
+    * zero-allocation pass (r16): blk = numChars/16 code points per block,
+    * block sums over the first 16·blk code points as exact longs, bit i
+    * set iff 16·bᵢ > Σbⱼ — bit-identical to the declarative chain it
+    * replaces (`graft_codepoints` → cast bigint → 16 × vsum(slice) →
+    * cross-multiplied compare), which materialized a boxed per-CHAR array
+    * plus 16 slice copies per row and dominated the 1000× sweep's
+    * mm_dedup_cluster wall (303 s, ~linear in that garbage). ASCII rows
+    * (the pinned corpus invariant) walk raw bytes; any non-ASCII byte
+    * falls back to a full codePointAt walk — same values either way.
+    * Fewer than 16 code points → 0L (callers filter length ≥ 16; the
+    * declarative twin never sees such rows). */
+  def avgHash16(s: UTF8String): Long = {
+    val nb = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (i < nb && ascii) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    val sums = new Array[Long](16)
+    if (ascii) {
+      val blk = nb / 16
+      if (blk == 0) return 0L
+      val limit = 16 * blk
+      var p = 0
+      while (p < limit) { sums(p / blk) += s.getByte(p); p += 1 }
+    } else {
+      val str = s.toString
+      var nChars = 0
+      var j = 0
+      while (j < str.length) { nChars += 1; j += Character.charCount(str.codePointAt(j)) }
+      val blk = nChars / 16
+      if (blk == 0) return 0L
+      val limit = 16 * blk
+      var p = 0
+      j = 0
+      while (p < limit) {
+        val cp = str.codePointAt(j)
+        sums(p / blk) += cp
+        p += 1
+        j += Character.charCount(cp)
+      }
+    }
+    var total = 0L
+    var k = 0
+    while (k < 16) { total += sums(k); k += 1 }
+    var hash = 0L
+    k = 0
+    while (k < 16) { if (sums(k) * 16 > total) hash |= (1L << k); k += 1 }
+    hash
+  }
+
   /** Polynomial rolling hash ((acc·31 + codepoint) mod 1e9+7, left fold)
     * — the `aggregate(transform(split(clean, ''), ascii), 0L, fold)`
     * chain. Spark 4's `split(_, '')` yields code-POINT clusters and
@@ -412,6 +462,24 @@ case class GraftCharNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** Polynomial rolling hash of a string (modulus pinned at construction). */
+/** 16-bit perceptual average-hash of a string's code points — see
+  * [[GraftVec.avgHash16]]. */
+case class GraftAvgHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_avg_hash expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.avgHash16(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.avgHash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_avg_hash"
+}
+
 case class GraftPolyHash(child: Expression, mod: Long) extends UnaryExpression {
   require(mod > 1, "modulus must be > 1")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -451,4 +519,6 @@ object VectorExprs {
     GraftSqlShim.column(GraftCharNgrams(GraftSqlShim.expression(s), n))
   def graft_poly_hash(s: Column, mod: Long): Column =
     GraftSqlShim.column(GraftPolyHash(GraftSqlShim.expression(s), mod))
+  def graft_avg_hash(s: Column): Column =
+    GraftSqlShim.column(GraftAvgHash(GraftSqlShim.expression(s)))
 }

@@ -250,25 +250,18 @@ object Multimodal {
     * cross-multiplied integer sums (16·blockSum > totalSum), so the whole
     * hash is exact integer arithmetic — bit-exact oracle. Equal hashes →
     * near-dup media candidates (bucket_size). */
-  private def hashedFrame(s: SparkSession, d: String): DataFrame = {
-    // native code points + exact long block sums (r15, see waveformStats)
-    val codes = graft.functions.VectorExprs
-      .graft_codepoints(col("text")).cast("array<bigint>")
-    val blockSum = (i: Int) => graft.functions.VectorExprs.graft_vsum(
-      slice(col("codes"), col("blk") * i + 1, col("blk")))
-    val base = T.documents(s, d)
+  private def hashedFrame(s: SparkSession, d: String): DataFrame =
+    // ONE native zero-allocation pass per row (r16): the previous
+    // declarative chain (graft_codepoints → cast bigint → 16 ×
+    // vsum(slice)) materialized a boxed per-CHAR array plus 16 slice
+    // copies per row — that garbage, not any join or window, was the real
+    // 1000×-sweep mm_dedup_cluster wall (303 s). GraftAvgHash computes the
+    // bit-identical hash (MultimodalSpec pins native ≡ declarative);
+    // the shared DuckDB CTE twin is unchanged.
+    T.documents(s, d)
       .filter(length(col("text")) >= 16)
-      .withColumn("codes", codes)
-      .withColumn("blk", (length(col("text")) / 16).cast("int"))
-    val withSums = (0 until 16).foldLeft(base) { (df, i) =>
-      df.withColumn(s"b$i", blockSum(i))
-    }
-    val total = (0 until 16).map(i => col(s"b$i")).reduce(_ + _)
-    val hash = (0 until 16).map(i =>
-      when(col(s"b$i") * 16 > col("total"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    withSums.withColumn("total", total)
-      .select(col("doc_id"), hash.as("avg_hash"))
-  }
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.graft_avg_hash(col("text")).as("avg_hash"))
 
   private def avgHash(s: SparkSession, d: String): DataFrame = {
     // bucket_size via per-hash agg + broadcast join, not a doc-level

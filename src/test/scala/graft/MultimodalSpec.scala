@@ -160,6 +160,44 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("graft_avg_hash ≡ the declarative codepoints/slice/vsum chain (bit-exact, r16)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{VectorExprs => V}
+    val rnd = new scala.util.Random(11)
+    // ASCII, unicode (incl. supplementary plane), boundary lengths around
+    // multiples of 16, and the shortest admissible strings
+    val strs = (1 to 300).map { i =>
+      val n = 16 + rnd.nextInt(80) + (if (i % 7 == 0) (i % 16) else 0)
+      val sb = new StringBuilder
+      (1 to n).foreach { _ =>
+        sb.append(rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 1 => (' ' + rnd.nextInt(94)).toChar.toString
+          case 2 => "é"
+          case _ => new String(Character.toChars(0x10400 + rnd.nextInt(16)))
+        })
+      }
+      sb.toString
+    } :+ "a" * 16 :+ "z" * 31 :+ ("é" * 16)
+    val df = strs.toDF("text").filter(length(col("text")) >= 16)
+      .withColumn("codes", V.graft_codepoints(col("text")).cast("array<bigint>"))
+      .withColumn("blk", (length(col("text")) / 16).cast("int"))
+    val withSums = (0 until 16).foldLeft(df) { (d, i) =>
+      d.withColumn(s"b$i", V.graft_vsum(
+        slice(col("codes"), col("blk") * i + 1, col("blk"))))
+    }
+    val total = (0 until 16).map(i => col(s"b$i")).reduce(_ + _)
+    val decl = (0 until 16).map(i =>
+      when(col(s"b$i") * 16 > col("total"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val rows = withSums.withColumn("total", total)
+      .select(V.graft_avg_hash(col("text")).as("native"), decl.as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"avg_hash diverges: native ${r.getLong(0)} vs declarative ${r.getLong(1)}"))
+  }
+
   test("banded hamming pairs equal the brute-force pair set") {
     import org.apache.spark.sql.functions._
     val banded = SparkEntry.queries("mm_hash_hamming")(spark, sf001)
