@@ -250,6 +250,83 @@ object GraftVec {
     hash
   }
 
+  /** Code-point stream stats in one zero-allocation pass (r16, the
+    * [[avgHash16]] lesson applied to the waveform chain): returns
+    * [n_chars, Σcp, Σcp², max cp] as array<bigint>. Bit-identical to the
+    * declarative `graft_codepoints` → cast(array<double>) → vsum/dot/
+    * array_max chain it replaces: every partial sum is an exact integer
+    * far below 2⁵³, so the double left-fold and the long accumulation
+    * agree exactly after the final cast (spec-pinned). Empty string →
+    * [0,0,0,0] (callers filter n > 0). */
+  def cpStats(s: UTF8String): ArrayData = {
+    val nb = s.numBytes()
+    var ascii = true
+    var i = 0
+    while (i < nb && ascii) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    var n = 0L
+    var sum = 0L
+    var sumsq = 0L
+    var max = 0L
+    if (ascii) {
+      n = nb
+      i = 0
+      while (i < nb) {
+        val c = s.getByte(i).toLong
+        sum += c
+        sumsq += c * c
+        if (c > max) max = c
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        n += 1
+        sum += cp
+        sumsq += cp.toLong * cp
+        if (cp > max) max = cp
+        j += Character.charCount(cp)
+      }
+    }
+    new GenericArrayData(Array[Any](n, sum, sumsq, max))
+  }
+
+  /** Distinct code points in one pass — the `size(array_distinct(
+    * split(s, '')))` chain (which allocated one 1-char string per
+    * character per row) natively. ASCII rows use a 128-bit bitset; any
+    * non-ASCII byte falls back to a code-point HashSet. Spark 4 parity
+    * pin: `split('', '')` yields [""] — one distinct cluster — so the
+    * empty string returns 1 (spec-pinned). */
+  def distinctCpCount(s: UTF8String): Int = {
+    val nb = s.numBytes()
+    if (nb == 0) return 1
+    var ascii = true
+    var i = 0
+    while (i < nb && ascii) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      var lo = 0L
+      var hi = 0L
+      i = 0
+      while (i < nb) {
+        val b = s.getByte(i)
+        if (b < 64) lo |= 1L << b else hi |= 1L << (b - 64)
+        i += 1
+      }
+      java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi)
+    } else {
+      val set = new java.util.HashSet[Integer]()
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        set.add(Integer.valueOf(cp)): Unit
+        j += Character.charCount(cp)
+      }
+      set.size
+    }
+  }
+
   /** Polynomial rolling hash ((acc·31 + codepoint) mod 1e9+7, left fold)
     * — the `aggregate(transform(split(clean, ''), ascii), 0L, fold)`
     * chain. Spark 4's `split(_, '')` yields code-POINT clusters and
@@ -462,6 +539,40 @@ case class GraftCharNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** Polynomial rolling hash of a string (modulus pinned at construction). */
+/** Code-point stream stats [n, Σcp, Σcp², max] — see [[GraftVec.cpStats]]. */
+case class GraftCpStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_cp_stats expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.cpStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.cpStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cp_stats"
+}
+
+/** Distinct code-point count — see [[GraftVec.distinctCpCount]]. */
+case class GraftDistinctCpCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_distinct_cp_count expects string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.distinctCpCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.distinctCpCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_distinct_cp_count"
+}
+
 /** 16-bit perceptual average-hash of a string's code points — see
   * [[GraftVec.avgHash16]]. */
 case class GraftAvgHash(child: Expression) extends UnaryExpression {
@@ -521,4 +632,8 @@ object VectorExprs {
     GraftSqlShim.column(GraftPolyHash(GraftSqlShim.expression(s), mod))
   def graft_avg_hash(s: Column): Column =
     GraftSqlShim.column(GraftAvgHash(GraftSqlShim.expression(s)))
+  def graft_cp_stats(s: Column): Column =
+    GraftSqlShim.column(GraftCpStats(GraftSqlShim.expression(s)))
+  def graft_distinct_cp_count(s: Column): Column =
+    GraftSqlShim.column(GraftDistinctCpCount(GraftSqlShim.expression(s)))
 }

@@ -101,7 +101,12 @@ object Multimodal {
       .select(col("doc_id"),
         length(col("text").cast("binary")).as("n_bytes"),
         ceil(length(col("text").cast("binary")).cast("double") / 256).as("n_frames"),
-        size(array_distinct(split(col("text"), ""))).as("n_distinct_bytes"))
+        // native single pass (r16): split(text, '') allocated one 1-char
+        // string per character per row before the distinct; the bitset/
+        // HashSet walk allocates nothing on ASCII rows. Empty-string
+        // parity pin: split('','') yields [""] → 1 (spec-pinned).
+        graft.functions.VectorExprs.graft_distinct_cp_count(col("text"))
+          .as("n_distinct_bytes"))
       .orderBy(col("doc_id"))
 
   private val binaryStatsSql =
@@ -214,22 +219,21 @@ object Multimodal {
     * peak) — the shape of an audio feature pass, done portably on the
     * byte values so it oracles exactly (explicit left folds + round). */
   private def waveformStats(s: SparkSession, d: String): DataFrame = {
-    // native code-point array + folds (r15): the per-char transform/
-    // aggregate chain was interpreted CodegenFallback per character.
-    // Same arithmetic: Σcp and Σcp² are exact integers < 2^53, so the
-    // double fold and the long fold agree bit-for-bit after division.
-    val cp = graft.functions.VectorExprs.graft_codepoints(col("text"))
+    // ONE native zero-allocation pass (r16, the GraftAvgHash lesson): the
+    // r15 form still materialized the boxed code-point array per row plus
+    // two array<double> cast copies. graft_cp_stats emits [n, Σcp, Σcp²,
+    // max] as four longs; every partial sum is an exact integer < 2⁵³, so
+    // dividing the long-sum cast to double equals the old double fold
+    // bit-for-bit (MultimodalSpec pins it). Oracle twin unchanged.
+    val st = graft.functions.VectorExprs.graft_cp_stats(col("text"))
     T.documents(s, d)
-      .withColumn("cp", cp)
-      .withColumn("n", size(col("cp")))
+      .withColumn("st", st)
+      .withColumn("n", element_at(col("st"), 1))
       .filter(col("n") > 0)
-      .select(col("doc_id"), col("n").as("n_samples"),
-        round(graft.functions.VectorExprs.graft_vsum(col("cp").cast("array<double>"))
-          / col("n"), 4).as("mean_amp"),
-        round(sqrt(graft.functions.VectorExprs.graft_dot(
-          col("cp").cast("array<double>"), col("cp").cast("array<double>"))
-          / col("n")), 4).as("rms"),
-        array_max(col("cp")).as("peak"))
+      .select(col("doc_id"), col("n").cast("int").as("n_samples"),
+        round(element_at(col("st"), 2).cast("double") / col("n"), 4).as("mean_amp"),
+        round(sqrt(element_at(col("st"), 3).cast("double") / col("n")), 4).as("rms"),
+        element_at(col("st"), 4).cast("int").as("peak"))
       .orderBy(col("doc_id"))
   }
 

@@ -198,6 +198,47 @@ class MultimodalSpec extends SparkSpec {
       s"avg_hash diverges: native ${r.getLong(0)} vs declarative ${r.getLong(1)}"))
   }
 
+  test("graft_cp_stats / graft_distinct_cp_count ≡ declarative chains (bit-exact, r16)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{VectorExprs => V}
+    val rnd = new scala.util.Random(13)
+    val strs = (1 to 300).map { i =>
+      val n = rnd.nextInt(60)
+      val sb = new StringBuilder
+      (1 to n).foreach { _ =>
+        sb.append(rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 1 => (' ' + rnd.nextInt(94)).toChar.toString
+          case 2 => "é"
+          case _ => new String(Character.toChars(0x10400 + rnd.nextInt(16)))
+        })
+      }
+      sb.toString
+    } :+ "" :+ "a" :+ "aaa" // empty-string split('','')=[""] pin included
+    val cp = V.graft_codepoints(col("text"))
+    val rows = strs.toDF("text")
+      .withColumn("cp", cp)
+      .select(
+        V.graft_cp_stats(col("text")).as("st"),
+        size(col("cp")).cast("long").as("dn"),
+        coalesce(V.graft_vsum(col("cp").cast("array<double>")), lit(0.0)).as("dsum"),
+        coalesce(V.graft_dot(col("cp").cast("array<double>"),
+          col("cp").cast("array<double>")), lit(0.0)).as("dsumsq"),
+        coalesce(array_max(col("cp")).cast("long"), lit(0L)).as("dmax"),
+        V.graft_distinct_cp_count(col("text")).as("nd"),
+        size(array_distinct(split(col("text"), ""))).as("dd"))
+      .collect()
+    rows.foreach { r =>
+      val st = r.getSeq[Long](0)
+      assert(st(0) == r.getLong(1), "n diverges")
+      assert(st(1).toDouble == r.getDouble(2), "sum diverges")
+      assert(st(2).toDouble == r.getDouble(3), "sumsq diverges")
+      assert(st(3) == r.getLong(4), "max diverges")
+      assert(r.getInt(5) == r.getInt(6), s"distinct count diverges: ${r.getInt(5)} vs ${r.getInt(6)}")
+    }
+  }
+
   test("banded hamming pairs equal the brute-force pair set") {
     import org.apache.spark.sql.functions._
     val banded = SparkEntry.queries("mm_hash_hamming")(spark, sf001)
