@@ -344,6 +344,109 @@ object GraftVec {
     }
     acc
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-bit SimHash over a token array in one pass — the
+    * `explode(toks) → md5 → 16 × sum(when(substring(h,i,1) IN
+    * ('8'..'f'), 1, -1)) → groupBy(doc_id)` chain (Dedup.simhash)
+    * without the 1M-row explode or the doc_id re-shuffle. Bit i-1 of
+    * the result is set iff the majority of the doc's tokens have the
+    * high bit of hex digit i of md5(token) set; hex digit i (1-indexed)
+    * of the digest is the high nibble of byte (i-1)/2 when i is odd,
+    * the low nibble when even, so the vote tests bit 0x80 / 0x08 of
+    * the byte — identical to the lowercase-hex membership test in
+    * ('8','9','a'..'f'). md5 runs over the token's UTF-8 bytes, exactly
+    * what Spark's `md5(string)` hashes. Empty arrays return 0L; the
+    * caller filters them out first (the declarative explode dropped
+    * token-less docs from the output entirely). Null elements throw,
+    * the GraftVec ragged-input convention. */
+  def simhash16(toks: ArrayData): Long = {
+    val md = md5Local.get()
+    val votes = new Array[Int](16)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (toks.isNullAt(t))
+        throw new IllegalArgumentException(
+          "graft_simhash16: null token at index " + t)
+      val d = md.digest(toks.getUTF8String(t).getBytes)
+      var b = 0
+      while (b < 8) {
+        if ((d(b) & 0x80) != 0) votes(2 * b) += 1 else votes(2 * b) -= 1
+        if ((d(b) & 0x08) != 0) votes(2 * b + 1) += 1 else votes(2 * b + 1) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 16) { if (votes(i) > 0) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  /** Winnowing fingerprint set in one pass — the char-position explode +
+    * unrolled 8-step rolling hash + `min over (doc ORDER BY pos ROWS W-1
+    * FOLLOWING)` + distinct chain (TextAnalysis.winnowingCore) without
+    * materializing one row per character or sorting per doc. Gram
+    * hash(pos) = left fold over the k code points at pos..pos+k-1 of
+    * (acc*31 + cp) mod 1e9+7 (identical per-step modulo as the unrolled
+    * `ascii(substr)` fold — Spark's ascii/substr are code-point exact,
+    * probed and spec-pinned via polyHash); window minima over w
+    * consecutive grams come from a monotonic deque; distinct minima are
+    * emitted in first-seen order (set semantics — every consumer
+    * aggregates or joins). Strings shorter than k+w-1 code points
+    * return an empty array (callers filter on length first). */
+  def winnowFps(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    // code-point walk (length() and substr() count code points)
+    var n = 0
+    var j = 0
+    while (j < str.length) { n += 1; j += Character.charCount(str.codePointAt(j)) }
+    val nGrams = n - (k - 1)
+    val nWins = nGrams - (w - 1)
+    if (nWins <= 0) return new GenericArrayData(Array.empty[Any])
+    val cps = new Array[Int](n)
+    var i = 0
+    j = 0
+    while (j < str.length) {
+      val cp = str.codePointAt(j)
+      cps(i) = cp
+      i += 1
+      j += Character.charCount(cp)
+    }
+    val hs = new Array[Long](nGrams)
+    var p = 0
+    while (p < nGrams) {
+      var acc = 0L
+      var q = 0
+      while (q < k) { acc = (acc * 31 + cps(p + q)) % 1000000007L; q += 1 }
+      hs(p) = acc
+      p += 1
+    }
+    // sliding min via monotonic deque over windows [p, p+w-1]
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // [head, tail) holds indices with increasing hash
+    p = 0
+    while (p < nGrams) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(p)) tail -= 1
+      deque(tail) = p
+      tail += 1
+      if (deque(head) <= p - w) head += 1
+      if (p >= w - 1) seen.add(hs(deque(head)))
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 private[functions] trait VecBinary extends BinaryExpression {
@@ -608,6 +711,42 @@ case class GraftPolyHash(child: Expression, mod: Long) extends UnaryExpression {
   override def prettyName: String = "graft_poly_hash"
 }
 
+/** See [[GraftVec.simhash16]]. */
+case class GraftSimhash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash16 expects array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.simhash16(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.simhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash16"
+}
+
+/** See [[GraftVec.winnowFps]]. */
+case class GraftWinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_fps expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.winnowFps(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.winnowFps($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_fps"
+}
+
 /** Column-API builders. */
 object VectorExprs {
   def graft_dot(a: Column, b: Column): Column =
@@ -636,4 +775,8 @@ object VectorExprs {
     GraftSqlShim.column(GraftCpStats(GraftSqlShim.expression(s)))
   def graft_distinct_cp_count(s: Column): Column =
     GraftSqlShim.column(GraftDistinctCpCount(GraftSqlShim.expression(s)))
+  def graft_simhash16(toks: Column): Column =
+    GraftSqlShim.column(GraftSimhash16(GraftSqlShim.expression(toks)))
+  def graft_winnow_fps(s: Column, k: Int, w: Int): Column =
+    GraftSqlShim.column(GraftWinnowFps(GraftSqlShim.expression(s), k, w))
 }

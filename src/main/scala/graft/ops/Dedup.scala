@@ -44,13 +44,38 @@ object Dedup {
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup via content fingerprint of the normalized (preprocessed)
-    * text: one hash-groupBy, the 100 TB-scale baseline dedup pass. */
-  private def exact(s: SparkSession, d: String): DataFrame = {
-    val fp = withToks(s, d)
+    * text: one hash-groupBy, the 100 TB-scale baseline dedup pass.
+    *
+    * Group stats come from a partial-agg `groupBy(fp)` joined back, NOT a
+    * `Window.partitionBy(fp)`: a window buffers every row of a
+    * fingerprint in one un-splittable task, so a degenerate corpus that
+    * is 50% one duplicated document puts n/2 rows in a single straggler
+    * (the r16 mm_dedup_cluster failure class). The groupBy collapses the
+    * hot key map-side, and only the DUPLICATED fingerprints (group_size
+    * >= 2 — few on benign data, so the join-back broadcasts; large only
+    * when duplication is rampant, where AQE skew-splits it) join back: a
+    * fingerprint with no match is its own singleton group (group_size 1,
+    * keep true), so the n-row mostly-unique stats table never feeds a
+    * sort-merge join. fp persists (doc_id + 32-char digest per doc) so
+    * the tokenize chain runs once across the agg and probe sides. */
+  private def exact(s: SparkSession, d: String): DataFrame =
+    exactCore(s, T.documents(s, d))
+
+  /** Core of [[exact]] over any (doc_id, text) frame — separate so
+    * SkewSpec can pin the group math on a degenerate-duplication corpus. */
+  private[graft] def exactCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    val fp = withToks(docs)
       .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("fp"))
-    val w = Window.partitionBy(col("fp"))
-    fp.withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .persist()
+    fp.count() // materialization barrier: the broadcast-build job and the
+    // probe job run concurrently, and a LAZY cache lets both recompute
+    // the tokenize chain in parallel (cache fills don't lock across jobs)
+    val dups = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("gs"), min(col("doc_id")).as("min_id"))
+      .filter(col("gs") >= 2)
+    fp.join(dups, Seq("fp"), "left")
+      .withColumn("group_size", coalesce(col("gs"), lit(1L)))
+      .withColumn("keep", col("min_id").isNull || col("doc_id") === col("min_id"))
       .select(col("doc_id"), col("fp"), col("group_size"), col("keep"))
       .orderBy(col("doc_id"))
   }
@@ -225,12 +250,25 @@ object Dedup {
     * DedupSpec can pin the df-cap semantics on a synthetic hot-shingle
     * corpus. */
   private[graft] def ngramJaccardCore(docs: DataFrame): DataFrame = {
-    // three consumers (sizes + both self-join sides): one materialization
-    val sh = shingleSets(docs)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("df") <= NgramDfCap)
+    // df via partial-agg groupBy + anti-join against the (small by
+    // construction: every member has >NgramDfCap rows) hot-shingle list,
+    // not count-over-Window(sh): the window routes every row of a hot
+    // shingle into ONE un-splittable task BEFORE the cap filter can drop
+    // it — the exact adversarial-skew straggler the cap exists to
+    // prevent. The groupBy collapses hot keys map-side; the anti-join
+    // broadcasts under AQE (and is skew-splittable if the hot list ever
+    // outgrows broadcast). One materialization: sh0 persists and feeds
+    // the df agg plus every anti-join probe (the hot-list exchange is
+    // reused across the final plan's three sh subtrees; the broadcast
+    // anti-join itself is a map-side pass over the cache). Post-filter,
+    // every shingle entering the self-join has df <= NgramDfCap, so that
+    // shuffle is skew-free.
+    val sh0 = shingleSets(docs).persist()
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap)
+      .select(col("sh"))
+    val sh = sh0.join(hot, Seq("sh"), "left_anti")
       .select(col("doc_id"), col("sh"))
-      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -271,8 +309,43 @@ object Dedup {
     * of the high bit of hex digit i of md5(token). One explode + one
     * groupBy; hamming-near docs land in equal or 1-off fingerprints. */
   private def simhash(s: SparkSession, d: String): DataFrame = {
+    // ONE native map-only pass per doc (r16, the GraftAvgHash lesson):
+    // the previous declarative chain exploded every token to a row,
+    // md5'd it as a hex STRING, voted via 16 substring-IN sums and
+    // re-aggregated by doc_id — a ~200×-the-doc-count intermediate plus
+    // a full shuffle, all to produce one long per doc. GraftSimhash16
+    // computes the bit-identical fingerprint from the token array in
+    // place (DedupSpec pins native ≡ declarative, unicode included);
+    // the DuckDB twin is unchanged. The size filter mirrors the
+    // explode, which dropped token-less docs from the output.
+    val fp = withToks(s, d)
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.graft_simhash16(col("toks")).as("simhash"))
+      .persist()
+    fp.count() // materialization barrier (see exact): without it the
+    // broadcast-build and probe jobs race to fill the lazy cache and
+    // both recompute the tokenize chain
+    // bucket_size via groupBy + broadcast join-back, not
+    // Window.partitionBy(simhash): the fingerprint space is 2^16, so a
+    // near-duplicate-heavy corpus concentrates rows in few fingerprints
+    // and a window buffers each whole bucket in one task (the r16
+    // mm_dedup_cluster failure class). The groupBy partial-aggs map-side
+    // to <= 65536 rows — broadcastable at ANY corpus size — making the
+    // join-back map-only.
+    val buckets = fp.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("bucket_size"))
+    fp.join(broadcast(buckets), "simhash")
+      .select(col("doc_id"), col("simhash"), col("bucket_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declarative twin of the [[graft.functions.GraftVec.simhash16]]
+    * fingerprint — the exact pre-r16 chain, kept for DedupSpec to pin
+    * the native expression element-exact against. */
+  private[graft] def simhashDeclarative(docs: DataFrame): DataFrame = {
     val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val tok = withToks(s, d)
+    val tok = withToks(docs)
       .select(col("doc_id"), explode(col("toks")).as("t"))
       .withColumn("h", md5(col("t")))
     val sums = (1 to 16).map(i =>
@@ -280,10 +353,7 @@ object Dedup {
     val agg = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
     val fingerprint = (1 to 16).map(i =>
       when(col(s"s$i") > 0, lit(1L << (i - 1))).otherwise(0L)).reduce(_ + _)
-    val fp = agg.select(col("doc_id"), fingerprint.as("simhash"))
-    val w = Window.partitionBy(col("simhash"))
-    fp.withColumn("bucket_size", count(lit(1)).over(w))
-      .orderBy(col("doc_id"))
+    agg.select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   private val simhashSql = {
@@ -979,12 +1049,36 @@ object Dedup {
     electRep(labelsOf(docs), docs)
 
   private def electRep(labels: DataFrame, docs: DataFrame): DataFrame = {
+    // two consumers (clustered argmax + final probe): one quality pass
     val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality"))
-    val member = q.join(labels, Seq("doc_id"), "left")
+      .persist()
+    q.count() // materialization barrier (see exact): the best-side
+    // broadcast build races the probe job on a lazy cache
+    // representative = argmax by (quality DESC nulls-last, doc_id ASC),
+    // computed as a lexicographic struct max over the LABELED docs only
+    // (null quality -> -Inf, and -doc_id so the struct MAX picks the MIN
+    // doc_id on quality ties) and left-joined back — not first() over
+    // Window.partitionBy(cluster_id): a window buffers a whole cluster
+    // per task, and near-dup clusters are exactly where adversarial
+    // corpora go degenerate (one boilerplate cluster holding half the
+    // corpus — the r16 mm_dedup_cluster failure class). The agg collapses
+    // hot clusters map-side; an unlabeled doc is its own singleton
+    // cluster (rep = itself, and its doc_id can never equal a real
+    // cluster_id, which is the min doc_id of LABELED members), so the
+    // join-back carries one row per real cluster — few on benign data
+    // (broadcasts), AQE-skew-splittable when duplication is rampant.
+    // max_by is avoided: its tie-break is non-deterministic, the struct
+    // ordering is total.
+    val best = q.join(labels, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(
+        coalesce(col("quality"), lit(Double.NegativeInfinity)).as("q"),
+        (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("best_id"))
+    q.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
-    member.withColumn("rep_id", first(col("doc_id")).over(w))
+      .join(best, Seq("cluster_id"), "left")
+      .withColumn("rep_id", coalesce(col("best_id"), col("doc_id")))
       .withColumn("keep", col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("cluster_id"), col("quality"),
         col("rep_id"), col("keep"))
@@ -1047,19 +1141,36 @@ object Dedup {
     // oracle groups on the span text itself and agrees as long as the
     // hash is collision-free on the data (~n²/2⁶⁵; a 100 TB run would
     // add a confirm pass over raw spans per colliding bucket)
+    // doc_len stays OUT of the anchor rows (it re-attaches from the
+    // doc-count-sized base at the end) — a per-position frame carries
+    // only what the shuffle and cache need: (doc_id, pos, h)
     val anchors = base
       .select(col("doc_id"), col("doc_len"), col("text"),
         explode(sequence(lit(0L), col("doc_len") - SpanL)).as("pos"))
-      .select(col("doc_id"), col("doc_len"), col("pos"),
+      .select(col("doc_id"), col("pos"),
         xxhash64(col("text").substr(col("pos").cast("int") + 1, lit(SpanL))).as("h"))
-    // one shuffle total: count-over-hash window instead of a
-    // groupBy+semi-join pair, which would recompute the anchor pass on
-    // the probe side and shuffle it twice
-    val hits = anchors
-      .withColumn("n_h", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .persist()
+    // two consumers (dup agg + semi-join probe): one materialization of
+    // the per-position explode+hash pass — the dup-agg stage fills the
+    // cache, the broadcast-dependent probe stage then reads it (stages
+    // of one query run in dependency order, so no double-compute race)
+    // duplicated-span detection via partial-agg groupBy + semi-join, not
+    // count-over-Window(h). The window version (r9-r15) was one shuffle
+    // to the semi-join's two, but it routes every anchor of a hot span
+    // into ONE un-splittable task BEFORE the >=2 filter — a boilerplate
+    // span repeated across the corpus becomes a straggler holding all
+    // its occurrences (the r16 mm_dedup_cluster failure class). The
+    // groupBy collapses hot hashes map-side and the semi-join is
+    // AQE-skew-splittable. The anchor pass above is persisted here (one
+    // compute, both consumers); at the 100 TB tier you would drop that
+    // persist and pay a map-only recompute of the probe side instead —
+    // a second parallel scan beats caching ~corpus-sized state, and both
+    // shapes stay skew-safe.
+    val dup = anchors.groupBy(col("h")).agg(count(lit(1)).as("n_h"))
       .filter(col("n_h") >= 2)
-      .select(col("doc_id"), col("doc_len"), col("pos"),
-        (col("pos") + SpanL).as("end_pos"))
+      .select(col("h"))
+    val hits = anchors.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + SpanL).as("end_pos"))
     // interval union per doc: a window is a new island iff it starts
     // past every earlier window's end (positions are unique per doc)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1069,13 +1180,14 @@ object Dedup {
       .withColumn("new_island",
         when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
       .withColumn("island", sum(col("new_island")).over(w))
-      .groupBy(col("doc_id"), col("doc_len"), col("island"))
+      .groupBy(col("doc_id"), col("island"))
       .agg(count(lit(1)).as("n_anchors"),
         (max(col("end_pos")) - min(col("pos"))).as("cov"))
-    islands.groupBy(col("doc_id"), col("doc_len"))
+    islands.groupBy(col("doc_id"))
       .agg(sum(col("n_anchors")).as("dup_anchors"),
         count(lit(1)).as("dup_islands"),
         sum(col("cov")).as("dup_chars"))
+      .join(base.select(col("doc_id"), col("doc_len")), "doc_id")
       .select(col("doc_id"), col("dup_anchors"), col("dup_islands"),
         col("dup_chars"), col("doc_len"),
         round(col("dup_chars").cast("double") / col("doc_len"), 4).as("dup_ratio"))
@@ -1180,19 +1292,25 @@ object Dedup {
   }
 
   /** Per-test-doc aggregation stage: match count + best train match
-    * (count and argmax share ONE test_id window exchange), left-joined
-    * back to every auditable test doc. */
+    * (argmax by est_jaccard DESC, train_id ASC), left-joined back to
+    * every auditable test doc. One partial-agg groupBy — the output is
+    * one row per test_id, so the former test_id window (count +
+    * row_number, r9-r15) was a full exchange+sort+buffer of the
+    * candidate table to produce what an aggregate yields map-side. A
+    * test doc matching a huge slice of the train corpus (the adversarial
+    * contamination case this query exists to catch) made that window
+    * partition a straggler; the agg collapses it. The struct max
+    * encodes the tie-break totally (-train_id: MAX struct picks MIN
+    * train_id at equal est_jaccard); max_by is avoided as its tie-break
+    * is non-deterministic. */
   private def contaminationReport(ver: DataFrame, testDocs: DataFrame): DataFrame = {
-    val wOrd = Window.partitionBy(col("test_id"))
-      .orderBy(col("est_jaccard").desc, col("train_id"))
     val best = ver
-      .withColumn("n_matches",
-        count(lit(1)).over(Window.partitionBy(col("test_id"))))
-      .withColumn("rn", row_number().over(wOrd))
-      .filter(col("rn") === 1)
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("est_jaccard").as("e"), (-col("train_id")).as("nt"))).as("b"))
       .select(col("test_id").as("doc_id"), col("n_matches"),
-        col("train_id").as("best_train_id"),
-        col("est_jaccard").as("best_est"))
+        (-col("b.nt")).as("best_train_id"),
+        col("b.e").as("best_est"))
     testDocs
       .join(best, Seq("doc_id"), "left")
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))

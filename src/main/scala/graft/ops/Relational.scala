@@ -1082,13 +1082,20 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Z-score outlier detection per event_type (windowed mean/std so the
-    * stats and the scoring happen in one pass — no self-join). */
+  /** Z-score outlier detection per event_type. Stats come from a
+    * partial-agg groupBy broadcast-joined back, NOT a
+    * Window.partitionBy(event_type): event_type is LOW-cardinality, so
+    * the window shape degrades to one task per type holding that type's
+    * entire slice of the table even on benign data — at 100 TB that is a
+    * handful of tasks buffering terabytes. The groupBy partial-aggs
+    * map-side to n_types rows (always broadcastable), and the scoring
+    * pass is map-only over the scan. */
   private def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
+    val stats = T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
     T.events(s, d)
-      .withColumn("mu", avg(col("value")).over(w))
-      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .join(broadcast(stats), "event_type")
       .withColumn("z", round((col("value") - col("mu")) / col("sd"), 2))
       .filter(abs(col("z")) >= 2.5)
       .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"),

@@ -282,15 +282,31 @@ object TextAnalysis {
     winnowingCore(T.documents(s, d))
 
   private[graft] def winnowingCore(docs: DataFrame): DataFrame = {
+    // ONE native map-only pass per doc (r16, the GraftAvgHash lesson):
+    // the previous chain exploded one row per CHARACTER position, hashed
+    // each gram with an unrolled 8-step ascii/substr fold, took window
+    // minima with a per-doc sort (behind a repartition(doc_id) shuffle)
+    // and de-duplicated with a full distinct. GraftWinnowFps computes
+    // the identical fingerprint set in place — same per-step modulo,
+    // same code-point semantics, monotonic-deque minima — pinned
+    // element-exact against the declarative twin in TextSpec (unicode
+    // included); the DuckDB twin is unchanged.
+    // two consumers (shared-fp agg + join probe): one materialization
+    val fpRows = winnowFpsNative(docs).persist()
+    winnowingTail(fpRows)
+  }
+
+  /** Declarative twin of [[graft.functions.GraftVec.winnowFps]] — the
+    * exact pre-r16 per-character chain, kept for TextSpec to pin the
+    * native expression element-exact against. Returns the distinct
+    * (doc_id, n_grams, fp) rows. */
+  private[graft] def winnowFpsDeclarative(docs: DataFrame): DataFrame = {
     val base = docs
       .withColumn("clean", array_join(Text.tokens(col("text")), " "))
       .filter(length(col("clean")) >= WinK + WinW - 1)
       .select(col("doc_id"), col("clean"),
         (length(col("clean")) - (WinK - 1)).as("n_grams"))
       .repartition(col("doc_id"))
-    // h(pos) = fold over chars pos..pos+K-1 of (acc*31 + code) mod 1e9+7,
-    // unrolled to K builtin calls so the whole projection stays inside
-    // whole-stage codegen (ascii/substr are codegen'd; HOF lambdas are not)
     val gramHash = (0 until WinK).foldLeft(lit(0L): Column) { (acc, i) =>
       (acc * 31 + ascii(col("clean").substr(col("pos") + i, lit(1))).cast("long")) % 1000000007L
     }
@@ -298,17 +314,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"),
         explode(sequence(lit(1), col("n_grams"))).as("pos"), col("clean"))
       .select(col("doc_id"), col("n_grams"), col("pos"), gramHash.as("h"))
-    // min of each w-gram window = min over rows [pos, pos+W-1]; positions
-    // past n_grams-W+1 have no full window
     val wNext = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinW - 1)
-    val fpRows = grams
+    grams
       .withColumn("m", min(col("h")).over(wNext))
       .filter(col("pos") <= col("n_grams") - (WinW - 1))
       .select(col("doc_id"), col("n_grams"), col("m").as("fp"))
       .distinct()
+  }
+
+  /** Native entry used by [[winnowingCore]]: the winnow fingerprint rows
+    * via [[graft.functions.GraftVec.winnowFps]], exposed for TextSpec's
+    * native ≡ declarative pin. */
+  private[graft] def winnowFpsNative(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("clean", array_join(Text.tokens(col("text")), " "))
+      .filter(length(col("clean")) >= WinK + WinW - 1)
+      .select(col("doc_id"),
+        (length(col("clean")) - (WinK - 1)).as("n_grams"),
+        explode(graft.functions.VectorExprs.graft_winnow_fps(
+          col("clean"), WinK, WinW)).as("fp"))
+
+  private def winnowingTail(fpRows: DataFrame): DataFrame = {
+    // document frequency via partial-agg groupBy + join-back of the
+    // SHARED fingerprints only, not count-over-Window(fp): fingerprints
+    // are content-derived, so a boilerplate-heavy corpus concentrates
+    // rows in few fps and the window buffers each whole fp group in one
+    // un-splittable task (the r16 mm_dedup_cluster failure class). The
+    // groupBy collapses hot fps map-side; a fingerprint that is not
+    // shared has df = 1 by definition, so only df >= 2 rows (few on
+    // benign data — the join-back broadcasts; AQE skew-splits it when
+    // duplication is rampant) come back, never the n-row mostly-unique
+    // stats table.
+    val shared = fpRows.groupBy(col("fp")).agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") >= 2)
     fpRows
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .join(shared, Seq("fp"), "left")
+      .withColumn("df", coalesce(col("sdf"), lit(1L)))
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).cast("int").as("n_fps"),
         sum(col("fp")).as("fp_checksum"),

@@ -476,4 +476,52 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((200L, 201L, 1.0)),
       s"only the low-df identical pair may survive the cap: ${out.toSeq}")
   }
+
+  test("native simhash16 ≡ declarative md5-vote chain, bit-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, size}
+    // real corpus rows + adversarial synthetics: unicode letters (the
+    // tokenizer keeps them, md5 runs over multi-byte UTF-8), a
+    // single-token doc (all votes from one hash), and a vote-tie-heavy
+    // doc (repeated token pairs — ties resolve to bit 0 via votes > 0)
+    val synth = Seq(
+      (9001L, "héllo wörld ünïcode tokens éé"),
+      (9002L, "solo"),
+      (9003L, "tie tie breaker breaker tie breaker"),
+      (9004L, "𝕊upplementary 𝕡lane 𝕤ymbols here"),
+      (9005L, "the the the the a a a a")).toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).union(synth)
+    val native = docs
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.graft_simhash16(col("toks")).as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val decl = graft.ops.Dedup.simhashDeclarative(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native.keySet == decl.keySet,
+      "native and declarative must keep the same (token-bearing) docs")
+    val diff = native.collect { case (id, h) if decl(id) != h => id }
+    assert(diff.isEmpty, s"fingerprint mismatch for docs: ${diff.take(5)}")
+    assert(native.nonEmpty && native.values.toSet.size > 1)
+  }
+
+  test("simhash16 interpreted eval matches codegen path and rejects null tokens") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = new GenericArrayData(
+      Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("béta")))
+    val expr = graft.functions.GraftSimhash16(
+      Literal(toks, ArrayType(StringType)))
+    val interp = expr.eval(null).asInstanceOf[Long]
+    assert(interp == graft.functions.GraftVec.simhash16(toks))
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("alpha"), null))
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftVec.simhash16(withNull)
+    }
+  }
 }

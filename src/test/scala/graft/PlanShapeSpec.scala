@@ -192,28 +192,50 @@ class PlanShapeSpec extends SparkSpec {
       s"lang is a partition column and must not be in ReadSchema: $readSchema")
   }
 
-  test("ta_winnowing: gram hash is codegen'd builtins, no array HOFs, no global window") {
+  test("ta_winnowing: native one-pass fps, no array HOFs, no Window at all") {
     // r9's DNF shape was a nested-HOF array chain evaluated interpreted in
-    // one scan task. The rewrite must stay that way: no ArrayTransform /
-    // ArrayAggregate in the physical plan (the unrolled 31-poly fold is
-    // plain ascii/substr arithmetic inside WholeStageCodegen), and every
-    // Window node carries a partition spec.
+    // one scan task; r10 unrolled it into per-character rows + two doc
+    // windows; r16 collapsed the whole winnow into the native
+    // GraftWinnowFps expression. The plan must stay that way: no
+    // ArrayTransform / ArrayAggregate fold chain, the fps projection
+    // inside WholeStageCodegen, and NO Window operator anywhere — the old
+    // per-doc minima sort and the fp-keyed df count (an un-splittable
+    // hot-key buffer under adversarial duplication) are both gone,
+    // replaced by the expression and a partial-agg groupBy + join-back.
     val df = SparkEntry.queries("ta_winnowing")(spark, sf001)
     df.collect() // finalize AQE so codegen spans are visible
     val p = df.queryExecution.executedPlan.toString
-    // the tokenizer's own single-level filter/transform lambdas are fine
-    // (bounded, per-row); the DNF shape was the chained array FOLD —
-    // aggregate() over slices of a computed array — which must not return
     assert(!p.contains("aggregate(") && !p.contains("array_min(") &&
       !p.contains("slice("),
       s"winnowing must not re-grow the array-fold chain:\n$p")
+    assert(p.contains("graft_winnow_fps"),
+      s"native winnow expression must drive the fps rows:\n$p")
     // codegen shows as "*(n)" stage markers in a finalized AQE plan
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
-      s"hash stage must codegen:\n$p")
-    // every Window node is doc- or fp-partitioned: the spec list between
-    // the frame and the order columns is never empty
-    assert(!p.contains("windowspecdefinition(specifiedwindowframe") &&
-      p.contains("Window"), s"expected partitioned windows:\n$p")
+      s"fps stage must codegen:\n$p")
+    assert(!p.contains("Window"),
+      s"no window may remain (skew-unsplittable buffering):\n$p")
+  }
+
+  test("content-keyed stats never window: hot-key buffering is structurally gone (r16)") {
+    // The r16 mm_dedup_cluster lesson applied engine-wide: a
+    // Window.partitionBy over a CONTENT-DERIVED key (fingerprint,
+    // shingle, simhash, cluster id) or a LOW-CARDINALITY key
+    // (event_type) buffers every row of a hot key in one un-splittable
+    // task — a corpus that is 50% one duplicated document puts half the
+    // rows in a single straggler no matter how many executors exist.
+    // Each of these queries now computes its per-key stats with a
+    // partial-agg groupBy joined back (map-side collapse + AQE-skew-
+    // splittable probe), so their plans must carry NO Window operator.
+    // (dedup_substring and ta_winnowing keep doc_id-bounded windows /
+    // none and are pinned in their own tests; rel_* rank queries keyed
+    // on bounded-per-user event streams legitimately window.)
+    for (q <- Seq("dedup_exact", "dedup_simhash", "dedup_cluster_rep",
+        "dedup_contamination", "dedup_ngram_jaccard", "rel_zscore_outliers")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not window on a content-derived/low-cardinality key:\n$p")
+    }
   }
 
   test("mm_dedup_cluster: no doc-level self-join, broadcast map-back") {

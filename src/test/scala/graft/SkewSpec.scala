@@ -50,4 +50,35 @@ class SkewSpec extends SparkSpec {
 
     assert(saltedJoin == plain, "salted join must not change results")
   }
+
+  test("dedup stats survive a 50%-duplicate corpus with correct group math (r16)") {
+    // The adversarial shape the r16 de-windowing targets: half the corpus
+    // is ONE document. The partial-agg groupBy + join-back forms must
+    // still produce exact group stats — and, structurally, no operator in
+    // these plans buffers the hot key in one task (pinned in
+    // PlanShapeSpec; here we pin the MATH on the degenerate corpus).
+    val hot = (1L to 400L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    // uniqueness must be in LETTERS: the alpha-only tokenizer drops digits
+    def word(i: Long) = "uniq" + ('a' + (i / 26 % 26)).toChar + ('a' + (i % 26)).toChar
+    val rest = (401L to 800L).map(i => (i, s"unique document body ${word(i)} extra words"))
+    val docs = (hot ++ rest).toDF("doc_id", "text")
+
+    // exact dedup: the hot fingerprint forms one 400-strong group keeping
+    // only its min doc_id; every unique doc is a singleton keeper
+    val ex = graft.ops.Dedup.exactCore(spark, docs).collect()
+    val hotRows = ex.filter(_.getAs[Long]("group_size") == 400L)
+    assert(hotRows.length == 400, "one 400-doc group expected")
+    assert(hotRows.count(_.getAs[Boolean]("keep")) == 1)
+    assert(hotRows.filter(_.getAs[Boolean]("keep")).head.getAs[Long]("doc_id") == 1L)
+    assert(ex.count(r => r.getAs[Long]("group_size") == 1L &&
+      r.getAs[Boolean]("keep")) == 400)
+
+    // cluster rep: every hot doc lands in one cluster with one keeper
+    val rep = graft.ops.Dedup.clusterRepCore(spark, docs).collect()
+    val hotCluster = rep.filter(r => r.getAs[Long]("doc_id") <= 400L)
+      .map(_.getAs[Long]("cluster_id")).toSet
+    assert(hotCluster.size == 1, s"hot docs must share one cluster: $hotCluster")
+    assert(rep.filter(_.getAs[Long]("doc_id") <= 400L)
+      .count(_.getAs[Boolean]("keep")) == 1)
+  }
 }

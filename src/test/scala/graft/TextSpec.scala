@@ -579,4 +579,28 @@ class TextSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(full == Seq("gim", "gon", "na"))
   }
+
+  test("native winnow fps ≡ declarative char-explode chain, element-exact") {
+    import spark.implicits._
+    // real corpus rows + adversarial synthetics: unicode (code-point
+    // walk vs ascii(substr)), exact k+w-1 boundary length, repeated text
+    // (duplicate window minima collapse identically), and a long
+    // repetitive doc (deque tie-handling under equal hashes)
+    val synth = Seq(
+      (9101L, "héllo wörld ünïcode fingerprint test zone"),
+      (9102L, "abcdefghijk"), // 11 chars = k+w-1 exactly, one window
+      (9103L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (9104L, "𝕊upplementary 𝕡lane walk stays aligned"),
+      (9105L, "ab ab ab ab ab ab ab ab ab ab")).toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).union(synth)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val native = rows(graft.ops.TextAnalysis.winnowFpsNative(docs))
+    val decl = rows(graft.ops.TextAnalysis.winnowFpsDeclarative(docs))
+    assert(native == decl,
+      s"fp row sets diverge: native-only=${(native -- decl).take(3)}, " +
+        s"decl-only=${(decl -- native).take(3)}")
+    assert(native.nonEmpty)
+  }
 }
