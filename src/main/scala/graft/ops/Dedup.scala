@@ -73,6 +73,12 @@ object Dedup {
     val dups = fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("gs"), min(col("doc_id")).as("min_id"))
       .filter(col("gs") >= 2)
+      .persist()
+    dups.count() // materialize so the planner sees TRUE stats: the
+    // optimizer cannot see through the gs >= 2 filter and would plan a
+    // sort-merge join (re-sorting the whole probe side); with real
+    // cached stats it broadcasts when dups is genuinely small and falls
+    // back to SMJ + AQE skew-split only when duplication is rampant
     fp.join(dups, Seq("fp"), "left")
       .withColumn("group_size", coalesce(col("gs"), lit(1L)))
       .withColumn("keep", col("min_id").isNull || col("doc_id") === col("min_id"))
@@ -267,6 +273,9 @@ object Dedup {
     val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > NgramDfCap)
       .select(col("sh"))
+      .persist()
+    hot.count() // true stats for the anti-join (see exactCore): the
+    // optimizer cannot see through the df cap filter
     val sh = sh0.join(hot, Seq("sh"), "left_anti")
       .select(col("doc_id"), col("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -1075,6 +1084,8 @@ object Dedup {
         coalesce(col("quality"), lit(Double.NegativeInfinity)).as("q"),
         (-col("doc_id")).as("neg_id"))).as("b"))
       .select(col("cluster_id"), (-col("b.neg_id")).as("best_id"))
+      .persist()
+    best.count() // true stats for the join-back (see exactCore)
     q.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .join(best, Seq("cluster_id"), "left")
@@ -1169,6 +1180,10 @@ object Dedup {
     val dup = anchors.groupBy(col("h")).agg(count(lit(1)).as("n_h"))
       .filter(col("n_h") >= 2)
       .select(col("h"))
+      .persist()
+    dup.count() // true stats for the semi-join (see exactCore): few
+    // duplicated spans -> broadcast semi; rampant duplication -> SMJ +
+    // AQE skew-split
     val hits = anchors.join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + SpanL).as("end_pos"))
     // interval union per doc: a window is a new island iff it starts
@@ -1311,6 +1326,9 @@ object Dedup {
       .select(col("test_id").as("doc_id"), col("n_matches"),
         (-col("b.nt")).as("best_train_id"),
         col("b.e").as("best_est"))
+      .persist()
+    best.count() // true stats for the left join-back (see exactCore):
+    // one row per CONTAMINATED test doc, normally a small minority
     testDocs
       .join(best, Seq("doc_id"), "left")
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))

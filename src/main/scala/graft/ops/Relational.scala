@@ -392,7 +392,14 @@ object Relational {
 
   /** Value-RANGE frame (vs the row frames above): peers within 1000
     * price units backward — frame membership depends on values, not
-    * positions. */
+    * positions.
+    *
+    * Deliberate low-cardinality window (r16 de-windowing triage): the
+    * DECLARED semantics is a per-status value-range frame over a total
+    * order — an order-dependent window no groupBy can express, unlike
+    * the per-key count/argmax stats that were de-windowed. The
+    * per-status partition (3 values) is the semantics' own parallelism
+    * bound; same rationale for [[relativeRanks]]. */
   private def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
       .rangeBetween(-1000L, Window.currentRow)

@@ -348,6 +348,10 @@ object TextAnalysis {
     // stats table.
     val shared = fpRows.groupBy(col("fp")).agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") >= 2)
+      .persist()
+    shared.count() // true stats for the join-back (see Dedup.exactCore):
+    // the optimizer cannot see through the sdf >= 2 filter and would
+    // sort-merge the whole probe side
     fpRows
       .join(shared, Seq("fp"), "left")
       .withColumn("df", coalesce(col("sdf"), lit(1L)))

@@ -228,7 +228,13 @@ object TextPipeline {
   // ------------------------------------------------------------ snapshots
 
   /** ST4/O6/W1 twin — per-100-doc snapshot top-10 tokens, ranked by count
-    * with first-occurrence (row_number) tie-break (bump_chart.py:16-19). */
+    * with first-occurrence (row_number) tie-break (bump_chart.py:16-19).
+    *
+    * Deliberate window (r16 de-windowing triage): the input is already
+    * aggregated to (snapshot, token, cnt) — one row per distinct token
+    * of a 100-doc slice, vocabulary-bounded regardless of corpus size —
+    * and the rank<=10 filter plans as WindowGroupLimit, which prunes
+    * each partition to its top 10 map-side before the exchange. */
   private def snapshotTopk(s: SparkSession, d: String): DataFrame = {
     val counts = withToks(s, d)
       .select(expr("doc_id div 100").as("snapshot"), explode(col("toks")).as("token"))

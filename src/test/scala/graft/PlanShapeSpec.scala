@@ -217,6 +217,15 @@ class PlanShapeSpec extends SparkSpec {
       s"no window may remain (skew-unsplittable buffering):\n$p")
   }
 
+  test("text_snapshot_topk: rank filter plans as map-side WindowGroupLimit") {
+    // the one snapshot-keyed window kept in the r16 de-windowing triage:
+    // vocabulary-bounded input, and the rank<=10 filter must keep pruning
+    // each partition to its top 10 BEFORE the exchange
+    val p = plan("text_snapshot_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=10 must plan as a group limit:\n$p")
+  }
+
   test("content-keyed stats never window: hot-key buffering is structurally gone (r16)") {
     // The r16 mm_dedup_cluster lesson applied engine-wide: a
     // Window.partitionBy over a CONTENT-DERIVED key (fingerprint,
