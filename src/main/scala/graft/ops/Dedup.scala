@@ -269,7 +269,14 @@ object Dedup {
     // anti-join itself is a map-side pass over the cache). Post-filter,
     // every shingle entering the self-join has df <= NgramDfCap, so that
     // shuffle is skew-free.
-    val sh0 = shingleSets(docs).persist()
+    // DISK_ONLY: this frame is CORPUS-sized, and a default
+    // MEMORY_AND_DISK cache permanently occupies the protected half of
+    // the unified pool — at the 1000x sweep that starved the hot-list
+    // hash aggregate of execution memory (UNABLE_TO_ACQUIRE_MEMORY).
+    // Disk blocks ride the OS page cache at small scale and never
+    // compete with shuffles/aggregates at large scale.
+    val sh0 = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > NgramDfCap)
       .select(col("sh"))
@@ -278,6 +285,10 @@ object Dedup {
     // optimizer cannot see through the df cap filter
     val sh = sh0.join(hot, Seq("sh"), "left_anti")
       .select(col("doc_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    sh.count() // materialize once: three consumers below would otherwise
+    // each replay the anti-join over the corpus-sized sh0 cache (3x the
+    // disk reads at high duplication, where sh itself is near-empty)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -1084,8 +1095,6 @@ object Dedup {
         coalesce(col("quality"), lit(Double.NegativeInfinity)).as("q"),
         (-col("doc_id")).as("neg_id"))).as("b"))
       .select(col("cluster_id"), (-col("b.neg_id")).as("best_id"))
-      .persist()
-    best.count() // true stats for the join-back (see exactCore)
     q.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .join(best, Seq("cluster_id"), "left")
@@ -1160,7 +1169,10 @@ object Dedup {
         explode(sequence(lit(0L), col("doc_len") - SpanL)).as("pos"))
       .select(col("doc_id"), col("pos"),
         xxhash64(col("text").substr(col("pos").cast("int") + 1, lit(SpanL))).as("h"))
-      .persist()
+      // DISK_ONLY: one row per CHARACTER position — corpus-sized; see
+      // ngramJaccardCore for why such frames must not hold storage-pool
+      // memory away from execution
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // two consumers (dup agg + semi-join probe): one materialization of
     // the per-position explode+hash pass — the dup-agg stage fills the
     // cache, the broadcast-dependent probe stage then reads it (stages
@@ -1326,9 +1338,6 @@ object Dedup {
       .select(col("test_id").as("doc_id"), col("n_matches"),
         (-col("b.nt")).as("best_train_id"),
         col("b.e").as("best_est"))
-      .persist()
-    best.count() // true stats for the left join-back (see exactCore):
-    // one row per CONTAMINATED test doc, normally a small minority
     testDocs
       .join(best, Seq("doc_id"), "left")
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))

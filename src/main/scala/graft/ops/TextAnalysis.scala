@@ -291,9 +291,11 @@ object TextAnalysis {
     // same code-point semantics, monotonic-deque minima — pinned
     // element-exact against the declarative twin in TextSpec (unicode
     // included); the DuckDB twin is unchanged.
-    // two consumers (shared-fp agg + join probe): one materialization
-    val fpRows = winnowFpsNative(docs).persist()
-    winnowingTail(fpRows)
+    // two consumers (shared-fp agg + join probe), NO materialization:
+    // the native expression makes the fp pass a cheap map-only scan, so
+    // recomputing it per consumer beats writing a corpus-sized cache to
+    // disk and reading it back twice (measured at the 1000x sweep)
+    winnowingTail(winnowFpsNative(docs))
   }
 
   /** Declarative twin of [[graft.functions.GraftVec.winnowFps]] — the
@@ -1061,12 +1063,21 @@ object TextAnalysis {
     * so TextSpec can replay the LM arithmetic on synthetic corpora. */
   private[graft] def bigramLogprobCore(docs: DataFrame): DataFrame = {
     val lam = 0.75
-    val tok = docs
+    // persist AFTER the lag window, not before it: seq feeds the two LM
+    // builds and the scoring pass, so caching tok alone re-ran the
+    // doc-keyed window (shuffle + per-doc sort of the full token stream)
+    // once per consumer
+    val seq = docs
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "token")))
-      .persist() // feeds the two LM builds and the scoring pass
-    val seq = tok.withColumn("prev",
-      lag(col("token"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    val lm1 = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("prev",
+        lag(col("token"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      // default columnar cache, NOT DISK_ONLY: token-stream-sized, but
+      // this path has no 1000x exposure and the compressed columnar
+      // cache evicts gracefully under the 4 GiB spill gate — measured:
+      // disk-only tripled the 1x wall (serialize + 4 re-reads)
+      .persist()
+    seq.count() // materialization barrier (see Dedup.exactCore)
+    val lm1 = seq.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = lm1.agg(sum(col("cnt")).as("tot"))
     val lm2 = seq.filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("c2"))

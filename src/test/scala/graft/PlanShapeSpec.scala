@@ -247,6 +247,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("de-windowed stats join-backs broadcast from true cached sizes (r16)") {
+    // the stats frames persist+count before the join is built, so the
+    // planner reads REAL sizes instead of assuming the corpus-sized
+    // estimate behind the count>=2 / df-cap filters (which planned SMJ
+    // and re-sorted the whole probe side). At fixture scale every stats
+    // frame is small, so each plan must carry a BroadcastHashJoin and no
+    // SortMergeJoin against the probe.
+    for (q <- Seq("dedup_exact", "ta_winnowing")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q stats join-back must broadcast at fixture scale:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not re-sort the probe side:\n$p")
+    }
+  }
+
   test("mm_dedup_cluster: no doc-level self-join, broadcast map-back") {
     // The r9 101.8s shape banded doc rows (equal-hash cliques O(m²)); the
     // fix clusters the enumerable hash space driver-side and broadcasts
