@@ -345,6 +345,111 @@ object GraftVec {
     acc
   }
 
+  /** Sliding n-character windows PACKED as code-point longs (21 bits per
+    * code point, first code point in the highest bits; n·21 must fit 63
+    * bits, so n ≤ 3) — the allocation-free twin of [[charNgrams]]: the
+    * aggregation path groups 8-byte longs instead of one freshly-built
+    * n-char string per character position; [[unpackNgram]] restores the
+    * exact string for the few surviving rows. Packing is bijective on
+    * code-point sequences, so groupBy(packed) ≡ groupBy(string). */
+  def charNgramsPacked(s: UTF8String, n: Int): ArrayData = {
+    require(n >= 1 && n * 21 <= 63, "packed ngram needs n*21 <= 63 bits")
+    val str = s.toString
+    var count = 0
+    var j = 0
+    while (j < str.length) { count += 1; j += Character.charCount(str.codePointAt(j)) }
+    val nOut = count - n + 1
+    if (nOut <= 0) return new GenericArrayData(Array.empty[Any])
+    val cps = new Array[Int](count)
+    var i = 0
+    j = 0
+    while (j < str.length) {
+      val cp = str.codePointAt(j)
+      cps(i) = cp
+      i += 1
+      j += Character.charCount(cp)
+    }
+    val out = new Array[Any](nOut)
+    var p = 0
+    while (p < nOut) {
+      var packed = 0L
+      var q = 0
+      while (q < n) { packed = (packed << 21) | cps(p + q).toLong; q += 1 }
+      out(p) = packed
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Inverse of [[charNgramsPacked]] for one value. */
+  def unpackNgram(packed: Long, n: Int): UTF8String = {
+    val sb = new java.lang.StringBuilder(n * 2)
+    var q = n - 1
+    while (q >= 0) {
+      sb.appendCodePoint(((packed >> (21 * q)) & 0x1FFFFF).toInt)
+      q -= 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** All sliding spanChars-character span hashes of s in one pass — the
+    * `posexplode(sequence) → xxhash64(substr(text, pos+1, L))` chain
+    * (Dedup.substringCoverage) without one UTF8String copy per span:
+    * each hash is Spark's own XXH64 (seed 42) over the span's byte
+    * range IN PLACE, so element i equals xxhash64(substr(s, i+1, L))
+    * bit-for-bit (substr counts code points; the non-ASCII path walks a
+    * code-point→byte offset table). Shorter-than-span strings return an
+    * empty array (callers filter on length first). */
+  def spanHashes(s: UTF8String, spanChars: Int): ArrayData = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var ascii = true
+    var i = 0
+    while (i < nb && ascii) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      val nPos = nb - spanChars + 1
+      if (nPos <= 0) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](nPos)
+      var p = 0
+      while (p < nPos) {
+        out(p) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + p, spanChars, 42L)
+        p += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // code-point walk: offs(c) = byte offset of code point c
+      val str = s.toString
+      var n = 0
+      var j = 0
+      while (j < str.length) { n += 1; j += Character.charCount(str.codePointAt(j)) }
+      val nPos = n - spanChars + 1
+      if (nPos <= 0) return new GenericArrayData(Array.empty[Any])
+      val offs = new Array[Int](n + 1)
+      var c = 0
+      var b = 0
+      while (c < n) {
+        offs(c) = b
+        val first = s.getByte(b)
+        b += (if (first >= 0) 1
+          else if ((first & 0xE0) == 0xC0) 2
+          else if ((first & 0xF0) == 0xE0) 3
+          else 4)
+        c += 1
+      }
+      offs(n) = nb
+      val out = new Array[Any](nPos)
+      var p = 0
+      while (p < nPos) {
+        out(p) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + offs(p), offs(p + spanChars) - offs(p), 42L)
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -728,6 +833,62 @@ case class GraftSimhash16(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash16"
 }
 
+/** See [[GraftVec.charNgramsPacked]]. */
+case class GraftCharNgramsPacked(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n * 21 <= 63, "packed ngram needs n*21 <= 63 bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_ngrams_packed expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.charNgramsPacked(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.charNgramsPacked($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_ngrams_packed"
+}
+
+/** See [[GraftVec.unpackNgram]]. */
+case class GraftUnpackNgram(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n * 21 <= 63, "packed ngram needs n*21 <= 63 bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_unpack_ngram expects bigint, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.unpackNgram(v.asInstanceOf[Long], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.unpackNgram($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_unpack_ngram"
+}
+
+/** See [[GraftVec.spanHashes]]. */
+case class GraftSpanHashes(child: Expression, span: Int)
+    extends UnaryExpression {
+  require(span >= 1, "span must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_span_hashes expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.spanHashes(v.asInstanceOf[UTF8String], span)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.spanHashes($c, $span)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_span_hashes"
+}
+
 /** See [[GraftVec.winnowFps]]. */
 case class GraftWinnowFps(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -779,4 +940,10 @@ object VectorExprs {
     GraftSqlShim.column(GraftSimhash16(GraftSqlShim.expression(toks)))
   def graft_winnow_fps(s: Column, k: Int, w: Int): Column =
     GraftSqlShim.column(GraftWinnowFps(GraftSqlShim.expression(s), k, w))
+  def graft_span_hashes(s: Column, span: Int): Column =
+    GraftSqlShim.column(GraftSpanHashes(GraftSqlShim.expression(s), span))
+  def graft_char_ngrams_packed(s: Column, n: Int): Column =
+    GraftSqlShim.column(GraftCharNgramsPacked(GraftSqlShim.expression(s), n))
+  def graft_unpack_ngram(p: Column, n: Int): Column =
+    GraftSqlShim.column(GraftUnpackNgram(GraftSqlShim.expression(p), n))
 }

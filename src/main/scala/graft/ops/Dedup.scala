@@ -1163,12 +1163,16 @@ object Dedup {
     // add a confirm pass over raw spans per colliding bucket)
     // doc_len stays OUT of the anchor rows (it re-attaches from the
     // doc-count-sized base at the end) — a per-position frame carries
-    // only what the shuffle and cache need: (doc_id, pos, h)
+    // only what the shuffle and cache need: (doc_id, pos, h). The span
+    // hashes come from ONE native pass per doc (graft_span_hashes:
+    // Spark's own XXH64 over each span's byte range in place — element
+    // pos ≡ xxhash64(substr(text, pos+1, SpanL)) bit-for-bit,
+    // DedupSpec-pinned), not a per-position substr COPY + hash.
     val anchors = base
-      .select(col("doc_id"), col("doc_len"), col("text"),
-        explode(sequence(lit(0L), col("doc_len") - SpanL)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(col("text").substr(col("pos").cast("int") + 1, lit(SpanL))).as("h"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExprs.graft_span_hashes(
+          col("text"), SpanL)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
       // DISK_ONLY: one row per CHARACTER position — corpus-sized; see
       // ngramJaccardCore for why such frames must not hold storage-pool
       // memory away from execution

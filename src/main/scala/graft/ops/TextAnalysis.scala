@@ -640,11 +640,19 @@ object TextAnalysis {
   /** Character trigram profile — the substrate of n-gram language ID and
     * OCR-noise detection: top 20 char-3grams of the raw text. */
   private def charNgrams(s: SparkSession, d: String): DataFrame =
+    // the aggregation path carries PACKED trigram longs (3 × 21-bit code
+    // points — bijective, so groupBy(packed) ≡ groupBy(string)): no
+    // 3-char string allocation per character position, 8-byte shuffle
+    // rows instead of ~20-byte strings. Decoding back to the exact tri
+    // string happens on the post-agg DISTINCT rows (trigram-vocab-sized)
+    // before the tie-breaking sort, so output and order are unchanged.
     T.documents(s, d)
       .filter(length(col("text")) >= 3)
       .select(explode(
-        graft.functions.VectorExprs.graft_char_ngrams(col("text"), 3)).as("tri"))
-      .groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+        graft.functions.VectorExprs.graft_char_ngrams_packed(col("text"), 3)).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      .select(graft.functions.VectorExprs.graft_unpack_ngram(col("pk"), 3).as("tri"),
+        col("cnt"))
       .orderBy(col("cnt").desc, col("tri"))
       .limit(20)
 

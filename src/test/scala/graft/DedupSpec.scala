@@ -507,6 +507,35 @@ class DedupSpec extends SparkSpec {
     assert(native.nonEmpty && native.values.toSet.size > 1)
   }
 
+  test("native span hashes ≡ xxhash64(substr) chain, bit-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val L = 7 // small span so short synthetics exercise boundaries
+    val synth = Seq(
+      (9301L, "abcdefg"),                      // exactly one span
+      (9302L, "abcdef"),                       // shorter than span -> empty
+      (9303L, "héllo wörld ünïcode span walk"), // 2-byte chars
+      (9304L, "𝕊upp𝕃ement𝔸ry plane bytes"),     // 4-byte chars
+      (9305L, "plain ascii text with several spans here")).toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).union(synth)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val native = rows(docs.select(col("doc_id"),
+      posexplode(graft.functions.VectorExprs.graft_span_hashes(col("text"), L))
+        .as(Seq("pos", "h"))))
+    val decl = rows(docs
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), length(col("text")) - L)).as(Seq("pos", "i")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("text").substr(col("i") + 1, lit(L))).as("h")))
+    assert(native == decl,
+      s"span hash rows diverge: native-only=${(native -- decl).take(3)}, " +
+        s"decl-only=${(decl -- native).take(3)}")
+    assert(native.nonEmpty)
+  }
+
   test("simhash16 interpreted eval matches codegen path and rejects null tokens") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -197,6 +197,25 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("packed char ngrams: pack→unpack round-trips the string ngram exactly") {
+    import spark.implicits._
+    // pack(21-bit cps) must be bijective with the string trigrams from
+    // graft_char_ngrams — including multi-byte and supplementary-plane
+    // code points — so groupBy(packed) ≡ groupBy(string) in ta_char_ngrams
+    val docs = (Tables.documents(spark, sf001).select(col("text"))
+      union Seq("héllo wörld", "𝕊up𝕡ort", "abc", "ab", "ααβγδ").toDF("text"))
+      .filter(length(col("text")) >= 3)
+    val rows = docs.select(
+      V.graft_char_ngrams(col("text"), 3).as("s"),
+      transform(V.graft_char_ngrams_packed(col("text"), 3),
+        p => V.graft_unpack_ngram(p, 3)).as("u")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"packed ngrams diverge: ${r.getSeq[String](0).take(3)} vs ${r.getSeq[String](1).take(3)}")
+    }
+  }
+
   test("embeddings table: native norms match the declarative fold end-to-end") {
     val df = Tables.embeddings(spark, sf001)
       .select(
