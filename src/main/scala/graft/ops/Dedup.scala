@@ -269,13 +269,25 @@ object Dedup {
     // anti-join itself is a map-side pass over the cache). Post-filter,
     // every shingle entering the self-join has df <= NgramDfCap, so that
     // shuffle is skew-free.
+    // Shingle identity travels as a codegen'd 8-byte xxhash64 from the
+    // explode on: the distinct, the df agg, the anti-join and the
+    // self-join all key on longs instead of ~25-char shingle strings
+    // (4x less shuffle payload, long compares). The hash is internal
+    // only — output columns carry counts and jaccard, never the shingle
+    // — so the oracle groups the raw shingle text and agrees as long as
+    // the hash is collision-free on the data (~n²/2⁶⁵, the
+    // substringCoverage convention; a 100 TB run would add a confirm
+    // pass per colliding bucket).
     // DISK_ONLY: this frame is CORPUS-sized, and a default
     // MEMORY_AND_DISK cache permanently occupies the protected half of
     // the unified pool — at the 1000x sweep that starved the hot-list
     // hash aggregate of execution memory (UNABLE_TO_ACQUIRE_MEMORY).
     // Disk blocks ride the OS page cache at small scale and never
     // compete with shuffles/aggregates at large scale.
-    val sh0 = shingleSets(docs)
+    val sh0 = withToks(docs)
+      .select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > NgramDfCap)
