@@ -106,7 +106,8 @@ object SkewDemo {
     println(f"""{"metric":"skew_demo","rows":${2 * n},"hot_rows":$n,""" +
       f""""window_wall":$wWall%.3f,"window_max_task":$wMaxTask%.3f,""" +
       f""""agg_wall":$aWall%.3f,"agg_max_task":$aMaxTask%.3f,""" +
-      f""""max_task_ratio":${wMaxTask / aMaxTask}%.1f,"checksum_equal":true}""")
+      f""""max_task_ratio":${wMaxTask / math.max(aMaxTask, 0.001)}%.1f,""" +
+      f""""checksum_equal":true}""")
     spark.stop()
   }
 }

@@ -429,14 +429,39 @@ object GraftVec {
       val offs = new Array[Int](n + 1)
       var c = 0
       var b = 0
-      while (c < n) {
+      // The byte walk trusts lead-byte widths while n came from
+      // s.toString (which substitutes replacement chars for malformed
+      // UTF-8) — on malformed input the two walks desync and an
+      // unclamped offset could send hashUnsafeBytes past the buffer
+      // (r16 ADVICE). Clamp every advance to nb, and if the walk didn't
+      // land exactly on nb after n code points the input is malformed:
+      // fall back to the bounds-checked substring path (the pre-r16
+      // shape — substr counts code points inside UTF8String), whose
+      // behavior on such degenerate input is the defined one.
+      var desync = false
+      while (c < n && !desync) {
         offs(c) = b
-        val first = s.getByte(b)
-        b += (if (first >= 0) 1
-          else if ((first & 0xE0) == 0xC0) 2
-          else if ((first & 0xF0) == 0xE0) 3
-          else 4)
-        c += 1
+        if (b >= nb) desync = true
+        else {
+          val first = s.getByte(b)
+          b += (if (first >= 0) 1
+            else if ((first & 0xE0) == 0xC0) 2
+            else if ((first & 0xF0) == 0xE0) 3
+            else 4)
+          if (b > nb) { b = nb; desync = true }
+          c += 1
+        }
+      }
+      if (desync || b != nb) {
+        val out = new Array[Any](nPos)
+        var p = 0
+        while (p < nPos) {
+          val sub = s.substringSQL(p + 1, spanChars)
+          out(p) = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(sub.getBaseObject, sub.getBaseOffset, sub.numBytes(), 42L)
+          p += 1
+        }
+        return new GenericArrayData(out)
       }
       offs(n) = nb
       val out = new Array[Any](nPos)

@@ -64,17 +64,18 @@ object Dedup {
   /** Core of [[exact]] over any (doc_id, text) frame — separate so
     * SkewSpec can pin the group math on a degenerate-duplication corpus. */
   private[graft] def exactCore(s: SparkSession, docs: DataFrame): DataFrame = {
-    val fp = withToks(docs)
-      .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("fp"))
-      .persist()
-    fp.count() // materialization barrier: the broadcast-build job and the
-    // probe job run concurrently, and a LAZY cache lets both recompute
-    // the tokenize chain in parallel (cache fills don't lock across jobs)
-    val dups = fp.groupBy(col("fp"))
+    // FrameCache.eager = memoized persist + count: the count is a
+    // materialization barrier (the broadcast-build job and the probe job
+    // run concurrently, and a LAZY cache lets both recompute the
+    // tokenize chain in parallel — cache fills don't lock across jobs),
+    // and the memoization stops repeated programmatic calls from
+    // accumulating one cached copy per invocation (r16 ADVICE)
+    val fp = FrameCache.eager(withToks(docs)
+      .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("fp")))
+    val dups = FrameCache.eager(fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("gs"), min(col("doc_id")).as("min_id"))
-      .filter(col("gs") >= 2)
-      .persist()
-    dups.count() // materialize so the planner sees TRUE stats: the
+      .filter(col("gs") >= 2))
+    // the eager count also materializes so the planner sees TRUE stats: the
     // optimizer cannot see through the gs >= 2 filter and would plan a
     // sort-merge join (re-sorting the whole probe side); with real
     // cached stats it broadcasts when dups is genuinely small and falls
@@ -152,7 +153,8 @@ object Dedup {
   private def minhashPairs(docs: DataFrame): DataFrame = {
     // three consumers (band explosion + both signature-fetch join sides):
     // persist or the 16-md5-per-shingle signature pass runs three times
-    val sigArr = sigWithArray(docs).persist()
+    // (memoized — see FrameCache)
+    val sigArr = FrameCache.cached(sigWithArray(docs))
     val bands = bandsOf(sigArr)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -284,21 +286,20 @@ object Dedup {
     // hash aggregate of execution memory (UNABLE_TO_ACQUIRE_MEMORY).
     // Disk blocks ride the OS page cache at small scale and never
     // compete with shuffles/aggregates at large scale.
-    val sh0 = withToks(docs)
+    val sh0 = FrameCache.cached(withToks(docs)
       .select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > NgramDfCap)
-      .select(col("sh"))
-      .persist()
-    hot.count() // true stats for the anti-join (see exactCore): the
+      .distinct(),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // eager count = true stats for the anti-join (see exactCore): the
     // optimizer cannot see through the df cap filter
-    val sh = sh0.join(hot, Seq("sh"), "left_anti")
-      .select(col("doc_id"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    sh.count() // materialize once: three consumers below would otherwise
+    val hot = FrameCache.eager(sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap)
+      .select(col("sh")))
+    val sh = FrameCache.cached(sh0.join(hot, Seq("sh"), "left_anti")
+      .select(col("doc_id"), col("sh")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY, eager = true)
+    // the eager count materializes once: three consumers below would otherwise
     // each replay the anti-join over the corpus-sized sh0 cache (3x the
     // disk reads at high duplication, where sh itself is near-empty)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -350,14 +351,13 @@ object Dedup {
     // place (DedupSpec pins native ≡ declarative, unicode included);
     // the DuckDB twin is unchanged. The size filter mirrors the
     // explode, which dropped token-less docs from the output.
-    val fp = withToks(s, d)
+    // FrameCache.eager = memoized persist + materialization barrier (see
+    // exact): without the count the broadcast-build and probe jobs race
+    // to fill the lazy cache and both recompute the tokenize chain
+    val fp = FrameCache.eager(withToks(s, d)
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"),
-        graft.functions.VectorExprs.graft_simhash16(col("toks")).as("simhash"))
-      .persist()
-    fp.count() // materialization barrier (see exact): without it the
-    // broadcast-build and probe jobs race to fill the lazy cache and
-    // both recompute the tokenize chain
+        graft.functions.VectorExprs.graft_simhash16(col("toks")).as("simhash")))
     // bucket_size via groupBy + broadcast join-back, not
     // Window.partitionBy(simhash): the fingerprint space is 2^16, so a
     // near-duplicate-heavy corpus concentrates rows in few fingerprints
@@ -444,8 +444,8 @@ object Dedup {
   private def embedPairs(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.CosineSim.register(s)
     // two consumers (both sides of the bucket self-join): without the
-    // persist the band-explosion scan runs twice
-    val bands = embedBands(emb).persist()
+    // persist the band-explosion scan runs twice (memoized — FrameCache)
+    val bands = FrameCache.cached(embedBands(emb))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -707,7 +707,8 @@ object Dedup {
   /** Spec path: pairs computed inline (persisted — components reads the
     * pair frame through both union branches of its edge set). */
   private def labelsOf(docs: DataFrame): DataFrame =
-    labelsFromPairs(minhashPairs(docs).select(col("id_a"), col("id_b")).persist())
+    labelsFromPairs(FrameCache.cached(
+      minhashPairs(docs).select(col("id_a"), col("id_b"))))
 
   /** Fit-once near-dup cluster labels for dataset `d`, materialized to
     * parquet (file-backed like the bucketed layout, so the artifact
@@ -982,8 +983,9 @@ object Dedup {
     // files don't exist yet. Per-ingest work is then proportional to
     // the BATCH, matching the production shape where the index build is
     // its own amortized job. The batch side feeds three consumers
-    // (probe bands, signature fetch) — persist for the query.
-    val batchSig = sigWithArray(docs.filter(col("doc_id") >= half)).persist()
+    // (probe bands, signature fetch) — persist for the query (memoized).
+    val batchSig = FrameCache.cached(
+      sigWithArray(docs.filter(col("doc_id") >= half)))
     val idx = corpusLshIndex(d, sigWithArray(docs.filter(col("doc_id") < half)))
     probeLshIndex(s, batchSig, idx)
       .orderBy(col("batch_id"), col("corpus_id"))
@@ -1081,11 +1083,12 @@ object Dedup {
     electRep(labelsOf(docs), docs)
 
   private def electRep(labels: DataFrame, docs: DataFrame): DataFrame = {
-    // two consumers (clustered argmax + final probe): one quality pass
-    val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality"))
-      .persist()
-    q.count() // materialization barrier (see exact): the best-side
-    // broadcast build races the probe job on a lazy cache
+    // two consumers (clustered argmax + final probe): one quality pass.
+    // FrameCache.eager = memoized persist + materialization barrier (see
+    // exact): the best-side broadcast build races the probe job on a
+    // lazy cache
+    val q = FrameCache.eager(
+      TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality")))
     // representative = argmax by (quality DESC nulls-last, doc_id ASC),
     // computed as a lexicographic struct max over the LABELED docs only
     // (null quality -> -Inf, and -doc_id so the struct MAX picks the MIN
@@ -1180,15 +1183,15 @@ object Dedup {
     // Spark's own XXH64 over each span's byte range in place — element
     // pos ≡ xxhash64(substr(text, pos+1, SpanL)) bit-for-bit,
     // DedupSpec-pinned), not a per-position substr COPY + hash.
-    val anchors = base
+    // DISK_ONLY: one row per CHARACTER position — corpus-sized; see
+    // ngramJaccardCore for why such frames must not hold storage-pool
+    // memory away from execution (memoized — FrameCache)
+    val anchors = FrameCache.cached(base
       .select(col("doc_id"),
         posexplode(graft.functions.VectorExprs.graft_span_hashes(
           col("text"), SpanL)).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
-      // DISK_ONLY: one row per CHARACTER position — corpus-sized; see
-      // ngramJaccardCore for why such frames must not hold storage-pool
-      // memory away from execution
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // two consumers (dup agg + semi-join probe): one materialization of
     // the per-position explode+hash pass — the dup-agg stage fills the
     // cache, the broadcast-dependent probe stage then reads it (stages
@@ -1205,13 +1208,12 @@ object Dedup {
     // persist and pay a map-only recompute of the probe side instead —
     // a second parallel scan beats caching ~corpus-sized state, and both
     // shapes stay skew-safe.
-    val dup = anchors.groupBy(col("h")).agg(count(lit(1)).as("n_h"))
-      .filter(col("n_h") >= 2)
-      .select(col("h"))
-      .persist()
-    dup.count() // true stats for the semi-join (see exactCore): few
+    // eager count = true stats for the semi-join (see exactCore): few
     // duplicated spans -> broadcast semi; rampant duplication -> SMJ +
     // AQE skew-split
+    val dup = FrameCache.eager(anchors.groupBy(col("h")).agg(count(lit(1)).as("n_h"))
+      .filter(col("n_h") >= 2)
+      .select(col("h")))
     val hits = anchors.join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + SpanL).as("end_pos"))
     // interval union per doc: a window is a new island iff it starts
@@ -1302,8 +1304,10 @@ object Dedup {
     // signatures come from the index files. probeLshIndex computes the
     // identical verified links (per-doc signature independence), with
     // (batch_id, corpus_id) as (test, train).
-    // three consumers (probe bands, probe signature fetch, report join)
-    val testSig = sigWithArray(docs.filter(col("doc_id") >= half)).persist()
+    // three consumers (probe bands, probe signature fetch, report join) —
+    // memoized persist (FrameCache)
+    val testSig = FrameCache.cached(
+      sigWithArray(docs.filter(col("doc_id") >= half)))
     val idx = corpusLshIndex(d, sigWithArray(docs.filter(col("doc_id") < half)))
     contaminationReport(
       probeLshIndex(s, testSig, idx)
@@ -1316,8 +1320,9 @@ object Dedup {
     * explicit split point — separate so DedupSpec can pin the semantics
     * on synthetic corpora (no index files, one shared signature pass). */
   private[graft] def fuzzyContaminationCore(docs: DataFrame, half: Long): DataFrame = {
-    // three consumers (both band sides + both signature-fetch sides)
-    val allSig = sigWithArray(docs).persist()
+    // three consumers (both band sides + both signature-fetch sides) —
+    // memoized persist (FrameCache)
+    val allSig = FrameCache.cached(sigWithArray(docs))
     val train = allSig.filter(col("doc_id") < half)
     val test = allSig.filter(col("doc_id") >= half)
     val cand = bandsOf(test).as("q")

@@ -1097,12 +1097,29 @@ object Relational {
     * handful of tasks buffering terabytes. The groupBy partial-aggs
     * map-side to n_types rows (always broadcastable), and the scoring
     * pass is map-only over the scan. */
-  private def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
-    val stats = T.events(s, d)
+  private def zscoreOutliers(s: SparkSession, d: String): DataFrame =
+    zscoreOutliersCore(T.events(s, d))
+
+  /** Core of [[zscoreOutliers]] over any (event_id, event_type, value)
+    * frame — separate so RelationalSpec can pin NULL-group retention on a
+    * synthetic frame (sf fixtures may carry no NULL event_type). */
+  private[graft] def zscoreOutliersCore(events: DataFrame): DataFrame = {
+    val stats = events
       .groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
-    T.events(s, d)
-      .join(broadcast(stats), "event_type")
+      .withColumnRenamed("event_type", "stat_event_type")
+    // NULL-SAFE (<=>) join key: groupBy keeps a NULL event_type group —
+    // matching the oracle's PARTITION BY, which scores NULL-typed rows
+    // in their own partition — but a plain equi-join silently drops
+    // those rows (NULL = NULL is never true). rel_null_profile audits
+    // null event_type as a contemplated data condition, so the join must
+    // carry the NULL group structurally, not by fixture luck (r16
+    // ADVICE). <=> keeps the join broadcastable (hash on the key's
+    // null-safe representation), unlike a coalesce-sentinel rewrite that
+    // risks colliding with a real type string.
+    events
+      .join(broadcast(stats), col("event_type") <=> col("stat_event_type"))
+      .drop("stat_event_type")
       .withColumn("z", round((col("value") - col("mu")) / col("sd"), 2))
       .filter(abs(col("z")) >= 2.5)
       .select(col("event_id"), col("event_type"), round(col("value"), 4).as("value"),

@@ -348,12 +348,12 @@ object TextAnalysis {
     // benign data — the join-back broadcasts; AQE skew-splits it when
     // duplication is rampant) come back, never the n-row mostly-unique
     // stats table.
-    val shared = fpRows.groupBy(col("fp")).agg(count(lit(1)).as("sdf"))
-      .filter(col("sdf") >= 2)
-      .persist()
-    shared.count() // true stats for the join-back (see Dedup.exactCore):
+    // eager count = true stats for the join-back (see Dedup.exactCore):
     // the optimizer cannot see through the sdf >= 2 filter and would
-    // sort-merge the whole probe side
+    // sort-merge the whole probe side; memoized persist (FrameCache)
+    val shared = FrameCache.eager(
+      fpRows.groupBy(col("fp")).agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") >= 2))
     fpRows
       .join(shared, Seq("fp"), "left")
       .withColumn("df", coalesce(col("sdf"), lit(1L)))

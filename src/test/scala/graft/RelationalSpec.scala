@@ -86,6 +86,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("zscore outliers keep NULL event_type rows in their own stats group") {
+    import spark.implicits._
+    // The NULL group is 40 zeros + one 100: a >2.5-sigma outlier iff the
+    // stats join carries the NULL event_type group (the oracle's
+    // PARTITION BY semantics). A null-unsafe equi-join silently drops
+    // the whole group instead (r16 ADVICE).
+    val nullRows = (1L to 40L).map(i => (i, None: Option[String], 0.0)) :+
+      ((41L, None: Option[String], 100.0))
+    val typed = (100L to 140L).map(i => (i, Option("view"), 0.0)) :+
+      ((141L, Option("view"), 100.0))
+    val events = (nullRows ++ typed).toDF("event_id", "event_type", "value")
+    val out = graft.ops.Relational.zscoreOutliersCore(events).collect()
+    assert(out.length == 2, s"expected exactly the two outliers, got ${out.toSeq}")
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids == Set(41L, 141L),
+      "the NULL event_type outlier must survive the stats join")
+    assert(out.find(_.getLong(0) == 41L).get.isNullAt(1))
+  }
+
   test("format roundtrip: csv/json/orc checksums agree and match the source count") {
     val out = SparkEntry.queries("rel_format_roundtrip")(spark, sf001).collect()
     assert(out.map(_.getAs[String]("format")).toSeq == Seq("csv", "json", "orc"))

@@ -227,4 +227,34 @@ class VectorExprsSpec extends SparkSpec {
     assert(df.nonEmpty)
     df.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("span hashes clamp the byte walk on malformed UTF-8 (no over-read)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Malformed sequences where toString's replacement-char code-point
+    // count desyncs from the lead-byte-width byte walk — the r16 ADVICE
+    // over-read shape: offsets past numBytes fed to hashUnsafeBytes.
+    val cases = Seq(
+      Array[Byte](0xE2.toByte, 0x82.toByte), // truncated 3-byte sequence
+      Array[Byte]('a', 0xC3.toByte, 'b', 'c', 0xF0.toByte, 0x9F.toByte), // stray leads
+      Array[Byte](0xFF.toByte, 0xFE.toByte, 'x', 'y', 'z'), // invalid lead bytes
+      Array[Byte]('x', 0xE2.toByte, 0x82.toByte, 0xAC.toByte, 0xE2.toByte)) // valid € then truncated
+    for (bytes <- cases; span <- 1 to 4) {
+      val s = UTF8String.fromBytes(bytes)
+      val str = s.toString
+      val n = str.codePointCount(0, str.length)
+      val out = graft.functions.GraftVec.spanHashes(s, span)
+      assert(out.numElements() == math.max(n - span + 1, 0),
+        s"span count wrong for ${bytes.toSeq} span=$span")
+      // deterministic: the clamped/fallback path must be a pure function
+      val again = graft.functions.GraftVec.spanHashes(s, span)
+      assert((0 until out.numElements()).forall(i =>
+        out.getLong(i) == again.getLong(i)))
+    }
+    // and a well-formed multi-byte string still takes the exact fast path
+    // (pinned vs the substring shape the fallback uses)
+    val good = UTF8String.fromString("héllo wörld €uro 𝕊pan")
+    val ng = good.toString.codePointCount(0, good.toString.length)
+    val fast = graft.functions.GraftVec.spanHashes(good, 3)
+    assert(fast.numElements() == ng - 2)
+  }
 }
