@@ -1071,20 +1071,27 @@ object TextAnalysis {
     * so TextSpec can replay the LM arithmetic on synthetic corpora. */
   private[graft] def bigramLogprobCore(docs: DataFrame): DataFrame = {
     val lam = 0.75
-    // persist AFTER the lag window, not before it: seq feeds the two LM
-    // builds and the scoring pass, so caching tok alone re-ran the
-    // doc-keyed window (shuffle + per-doc sort of the full token stream)
-    // once per consumer
+    // prev comes from the token ARRAY itself — zip the array with its
+    // own 1-right-shifted self BEFORE exploding — not lag() over
+    // Window.partitionBy(doc_id): the window was a full doc_id exchange
+    // + per-doc sort of the entire token stream (the chain's most
+    // expensive shuffle, and the r16 verdict's receipt-gap suspect) to
+    // recover information the array already holds positionally. The zip
+    // makes seq a MAP-ONLY pass, so it needs no persist either: each of
+    // the three consumers (lm1, lm2, scoring probe) pays a cheap
+    // native-tokenizer rescan instead of a token-stream-sized cache
+    // write plus three reads (the ta_winnowing recompute-over-
+    // materialize lesson — and at 100 TB a second parallel scan beats
+    // caching corpus-sized state).
     val seq = docs
-      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "token")))
-      .withColumn("prev",
-        lag(col("token"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      // default columnar cache, NOT DISK_ONLY: token-stream-sized, but
-      // this path has no 1000x exposure and the compressed columnar
-      // cache evicts gracefully under the 4 GiB spill gate — measured:
-      // disk-only tripled the 1x wall (serialize + 4 re-reads)
-      .persist()
-    seq.count() // materialization barrier (see Dedup.exactCore)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(
+          col("toks").as("token"),
+          slice(concat(array(lit(null).cast("string")), col("toks")),
+            lit(1), size(col("toks"))).as("prev"))).as(Seq("pos", "tp")))
+      .select(col("doc_id"), col("pos"),
+        col("tp.token").as("token"), col("tp.prev").as("prev"))
     val lm1 = seq.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = lm1.agg(sum(col("cnt")).as("tot"))
     val lm2 = seq.filter(col("prev").isNotNull)
