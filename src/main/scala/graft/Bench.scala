@@ -99,8 +99,16 @@ object Bench {
     // fixed alphabetical run order: Map iteration order shifts whenever the
     // registry grows, which confounds round-over-round per-query diffs with
     // "which query happened to run after which" (r7 verdict #7)
+    // Env-gated synthetic regression (remeasure-hardening demo, r16
+    // verdict #2): SPARK_GRAFT_DEMO_REGRESSION=<name> injects a 3 s sleep
+    // into that query's timed run AND its remeasure, so a genuine
+    // (persistent) regression can be demonstrated to surface as a
+    // confirmed_regression line instead of self-excusing via one lucky
+    // re-run. Never set in official runs.
+    val demoRegression = sys.env.get("SPARK_GRAFT_DEMO_REGRESSION")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      if (demoRegression.contains(name)) Thread.sleep(3000)
       // a failed query must be VISIBLE in bench output, not a suspiciously
       // fast wall-time: record the exception per query (r4 verdict)
       val err: Option[String] =
@@ -232,22 +240,39 @@ object Bench {
     // re-run each flagged suspect ONCE after the timed loop (bounded —
     // ≤14 queries even on that noisy run, all warm by now) and publish a
     // corrected wall alongside the raw one, so a contended record is
-    // self-CORRECTING, not merely self-attributing. The corrected total
-    // takes min(original, remeasure) per suspect: a remeasure under even
-    // worse contention must not inflate the record it exists to defend.
-    val remeasured: Map[String, Double] =
+    // self-CORRECTING, not merely self-attributing. Correction gating
+    // (r16 verdict #4 hardening): the remeasure replaces the original
+    // wall ONLY when it lands at receipt speed (≤1.5× the box-scaled
+    // receipt) — i.e. the in-loop flag was transient contention and the
+    // steady state is intact; the replacement is min(original, remeasure)
+    // so a remeasure under even worse contention can never inflate the
+    // record. A remeasure that ITSELF still exceeds the suspect
+    // threshold (>2× receipt) is a CONFIRMED regression: it gets its own
+    // confirmed_regression line and the ORIGINAL wall stays in the
+    // corrected total — a genuinely regressed but bimodal query must not
+    // self-excuse into the record via one lucky re-run. The 1.5×–2×
+    // middle zone also keeps the original wall (neither at-receipt nor
+    // confirmed — the flag stands via n_suspects).
+    val remeasured: Map[String, (Double, Boolean)] =
       results.collect { case (name, wall, None) if isSuspect(name, wall) =>
         val t0 = System.nanoTime()
+        if (demoRegression.contains(name)) Thread.sleep(3000)
         val err = HarnessGuard.run(spark, name, timeoutSec) {
           selected(name)(spark, sfDir).count()
         }.left.toOption
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        println(s"""{"metric":"suspect_remeasure","name":${jstr(name)},"wall":${jstr(f(wall))},"remeasure":${jstr(f(dt))}${err.map(m => s""","err":${jstr(m)}""").getOrElse("")}}""")
-        name -> (if (err.isDefined) wall else math.min(wall, dt))
+        val r = receipts(name) // isSuspect implies a receipt row exists
+        val atReceipt = err.isEmpty && dt <= 1.5 * r * parScale
+        val confirmed = err.isEmpty && dt > 2 * r * parScale
+        println(s"""{"metric":"suspect_remeasure","name":${jstr(name)},"wall":${jstr(f(wall))},"remeasure":${jstr(f(dt))},"receipt":${jstr(f(r))},"applied":${jstr(atReceipt.toString)}${err.map(m => s""","err":${jstr(m)}""").getOrElse("")}}""")
+        if (confirmed)
+          println(s"""{"metric":"confirmed_regression","name":${jstr(name)},"wall":${jstr(f(wall))},"remeasure":${jstr(f(dt))},"receipt":${jstr(f(r))}}""")
+        name -> ((if (atReceipt) math.min(wall, dt) else wall, confirmed))
       }.toMap
     val totalRemeasure = results.map { case (n, w, _) =>
-      remeasured.getOrElse(n, w) }.sum
+      remeasured.get(n).map(_._1).getOrElse(w) }.sum
+    val nConfirmed = remeasured.count(_._2._2)
     // canary drift across the timed loop: end/start > ~1.5 marks the run
     // as contended from the total line alone (r15's invalid record drifted
     // 6.9×; the judge's clean re-run 0.92×)
@@ -281,20 +306,23 @@ object Bench {
       val errsJson = results.collect { case (n, _, Some(m)) =>
         s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
       val remJson = remeasured.toSeq.sortBy(_._1)
-        .map { case (n, v) => s"${jstr(n)}:${f(v)}" }.mkString("{", ",", "}")
+        .map { case (n, (v, _)) => s"${jstr(n)}:${f(v)}" }.mkString("{", ",", "}")
+      val confJson = remeasured.toSeq.filter(_._2._2).map(e => jstr(e._1))
+        .sorted.mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(perQueryOut),
         s"""{"total":${f(total)},"total_remeasure":${f(totalRemeasure)},"n_queries":${results.size},"errors":$nErr,""" +
           s""""canary_start":${f(canaryStart)},"canary_end":${f(canaryEnd)},""" +
           s""""canary_drift":${f(canaryDrift)},""" +
           s""""parallel_canary":${f(parCanary)},"parallel_canary_ref":${f(refParCanary)},""" +
           s""""warmup_skipped":$warmupSkipped,"n_suspects":$nSuspects,""" +
+          s""""n_confirmed_regressions":$nConfirmed,"confirmed_regressions":$confJson,""" +
           s""""n_no_receipt":$nNoReceipt,"sf":${jstr(sfDir)},""" +
           s""""queries":$qs,"queries_remeasure":$remJson,"query_errors":$errsJson}""" + "\n")
       println(s"""{"metric":"perquery_artifact","path":${jstr(perQueryOut)}}""")
     } catch { case e: Throwable =>
       println(s"""{"metric":"perquery_artifact_error","err":${jstr(e.getClass.getName)}}""")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"wall_remeasure":${jstr(f(totalRemeasure))},"canary_drift":${jstr(f(canaryDrift))},"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"parallel_canary":${jstr(f(parCanary))},"parallel_canary_ref":${jstr(f(refParCanary))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"wall_remeasure":${jstr(f(totalRemeasure))},"canary_drift":${jstr(f(canaryDrift))},"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"parallel_canary":${jstr(f(parCanary))},"parallel_canary_ref":${jstr(f(refParCanary))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_confirmed_regressions":${jstr(nConfirmed.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
