@@ -18,7 +18,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object SkewDemo {
   /** The retired shape, verbatim from pre-r16 Dedup.exact. */
-  private def exactWindow(fp: DataFrame): DataFrame = {
+  private[graft] def exactWindow(fp: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("fp"))
     fp.withColumn("group_size", count(lit(1)).over(w))
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
@@ -27,7 +27,7 @@ object SkewDemo {
 
   /** The shipped shape (Dedup.exactCore's stats tail, minus the
     * presentation sort shared by both twins here). */
-  private def exactAgg(fp: DataFrame): DataFrame = {
+  private[graft] def exactAgg(fp: DataFrame): DataFrame = {
     val dups = fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("gs"), min(col("doc_id")).as("min_id"))
       .filter(col("gs") >= 2)
@@ -39,7 +39,7 @@ object SkewDemo {
       .select(col("doc_id"), col("fp"), col("group_size"), col("keep"))
   }
 
-  private def checksum(df: DataFrame): (Long, Long, Long) = {
+  private[graft] def checksum(df: DataFrame): (Long, Long, Long) = {
     val r = df.agg(count(lit(1)), sum(col("group_size")),
       sum(when(col("keep"), 1L).otherwise(0L))).head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -49,7 +49,7 @@ object SkewDemo {
     * metric: local[32] hides a straggler behind 31 busy siblings, but on
     * a real cluster the largest un-splittable task is the wall floor no
     * executor count can lower. */
-  private class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
+  private[graft] class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
     @volatile var maxMs: Long = 0L
     override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       if (e.taskInfo != null) {

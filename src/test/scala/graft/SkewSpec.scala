@@ -81,4 +81,49 @@ class SkewSpec extends SparkSpec {
     assert(rep.filter(_.getAs[Long]("doc_id") <= 400L)
       .count(_.getAs[Boolean]("keep")) == 1)
   }
+
+  test("de-windowed stats shape keeps the largest task splittable under a 50%-hot key") {
+    // The graft.SkewDemo measurement as a REGRESSION GATE (r16 verdict):
+    // on a corpus where half the rows share ONE fingerprint, the shipped
+    // partial-agg groupBy + join-back's largest task must stay well under
+    // the retired count-over-Window(fp) shape's — the window buffers the
+    // whole hot group in one un-splittable task (the wall floor no
+    // executor count can lower), the agg collapses it map-side. CI-sized
+    // here (0.4M hot rows vs the demo's 2M; min-of-3 per shape to shed
+    // scheduler noise); skew_demo_r16.json carries the full-size numbers
+    // (window 20.8 s vs agg 4.2 s largest task at 60M rows).
+    val n = 400000L
+    val fp = spark.range(2 * n).select(col("id").as("doc_id"),
+        when(col("id") < n, md5(lit("hot")))
+          .otherwise(md5(concat(lit("u"), col("id")))).as("fp"))
+      .persist()
+    fp.count()
+    val listener = new SkewDemo.MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def maxTask(mk: => org.apache.spark.sql.DataFrame): (Double, (Long, Long, Long)) = {
+        Thread.sleep(200) // drain straggler task-end events
+        listener.reset()
+        val cs = SkewDemo.checksum(mk)
+        Thread.sleep(200)
+        (listener.maxMs / 1e3, cs)
+      }
+      def best3(mk: => org.apache.spark.sql.DataFrame): (Double, (Long, Long, Long)) = {
+        maxTask(mk) // warm (JIT, codegen, broadcast build)
+        val runs = (1 to 3).map(_ => maxTask(mk))
+        assert(runs.map(_._2).distinct.size == 1, "non-deterministic checksum")
+        (runs.map(_._1).min, runs.head._2)
+      }
+      val (wTask, wCs) = best3(SkewDemo.exactWindow(fp))
+      val (aTask, aCs) = best3(SkewDemo.exactAgg(fp))
+      assert(wCs == aCs, s"shapes disagree: window=$wCs agg=$aCs")
+      assert(wCs == ((2 * n, n * n + n, n + 1)), s"unexpected stats: $wCs")
+      assert(aTask <= 0.5 * wTask,
+        f"de-windowing regression: agg largest task $aTask%.3f s vs window " +
+          f"$wTask%.3f s — a content-keyed stats window is back in the agg path")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      fp.unpersist()
+    }
+  }
 }
