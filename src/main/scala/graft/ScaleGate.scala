@@ -80,6 +80,7 @@ object ScaleGate {
     // copy); the df-caps and banding keep them bounded, but the honest
     // bound is output-proportional, not input-proportional
     "mm_hash_hamming" -> 10.0, "mm_dedup_cluster" -> 10.0,
+    "mm_phash64_cluster" -> 10.0,
     "dedup_exact" -> 3.0, "dedup_simhash" -> 3.0,
     "dedup_minhash_lsh" -> 3.0, "dedup_clusters" -> 3.0,
     "dedup_cluster_rep" -> 3.0, "dedup_semantic_clusters" -> 3.0,

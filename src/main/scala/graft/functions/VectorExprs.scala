@@ -212,16 +212,27 @@ object GraftVec {
     * falls back to a full codePointAt walk — same values either way.
     * Fewer than 16 code points → 0L (callers filter length ≥ 16; the
     * declarative twin never sees such rows). */
-  def avgHash16(s: UTF8String): Long = {
+  def avgHash16(s: UTF8String): Long = avgHashBlocks(s, 16)
+
+  /** 64-bit perceptual average-hash — the [[avgHash16]] scheme at 64
+    * blocks. Unlike the 16-bit hash, the value space is NOT enumerable
+    * (no 696-mask neighborhood closure); its cluster consumer therefore
+    * runs the distributed [[graft.ops.Dedup.components]] fixpoint. Bit 63
+    * rides the sign bit (1L << 63 == Long.MinValue): OR of distinct
+    * powers of two equals their arithmetic sum, which is how the DuckDB
+    * twin reconstructs the same two's-complement value. */
+  def avgHash64(s: UTF8String): Long = avgHashBlocks(s, 64)
+
+  private def avgHashBlocks(s: UTF8String, nBlocks: Int): Long = {
     val nb = s.numBytes()
     var ascii = true
     var i = 0
     while (i < nb && ascii) { if (s.getByte(i) < 0) ascii = false; i += 1 }
-    val sums = new Array[Long](16)
+    val sums = new Array[Long](nBlocks)
     if (ascii) {
-      val blk = nb / 16
+      val blk = nb / nBlocks
       if (blk == 0) return 0L
-      val limit = 16 * blk
+      val limit = nBlocks * blk
       var p = 0
       while (p < limit) { sums(p / blk) += s.getByte(p); p += 1 }
     } else {
@@ -229,9 +240,9 @@ object GraftVec {
       var nChars = 0
       var j = 0
       while (j < str.length) { nChars += 1; j += Character.charCount(str.codePointAt(j)) }
-      val blk = nChars / 16
+      val blk = nChars / nBlocks
       if (blk == 0) return 0L
-      val limit = 16 * blk
+      val limit = nBlocks * blk
       var p = 0
       j = 0
       while (p < limit) {
@@ -243,10 +254,10 @@ object GraftVec {
     }
     var total = 0L
     var k = 0
-    while (k < 16) { total += sums(k); k += 1 }
+    while (k < nBlocks) { total += sums(k); k += 1 }
     var hash = 0L
     k = 0
-    while (k < 16) { if (sums(k) * 16 > total) hash |= (1L << k); k += 1 }
+    while (k < nBlocks) { if (sums(k) * nBlocks > total) hash |= (1L << k); k += 1 }
     hash
   }
 
@@ -824,6 +835,24 @@ case class GraftAvgHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_avg_hash"
 }
 
+/** 64-bit perceptual average-hash of a string's code points — see
+  * [[GraftVec.avgHash64]]. */
+case class GraftAvgHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_avg_hash64 expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.avgHash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.avgHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_avg_hash64"
+}
+
 case class GraftPolyHash(child: Expression, mod: Long) extends UnaryExpression {
   require(mod > 1, "modulus must be > 1")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -957,6 +986,8 @@ object VectorExprs {
     GraftSqlShim.column(GraftPolyHash(GraftSqlShim.expression(s), mod))
   def graft_avg_hash(s: Column): Column =
     GraftSqlShim.column(GraftAvgHash(GraftSqlShim.expression(s)))
+  def graft_avg_hash64(s: Column): Column =
+    GraftSqlShim.column(GraftAvgHash64(GraftSqlShim.expression(s)))
   def graft_cp_stats(s: Column): Column =
     GraftSqlShim.column(GraftCpStats(GraftSqlShim.expression(s)))
   def graft_distinct_cp_count(s: Column): Column =

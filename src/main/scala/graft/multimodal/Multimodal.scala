@@ -498,6 +498,137 @@ object Multimodal {
        |  doc_id = cluster_id AS is_survivor
        |FROM labels ORDER BY doc_id""".stripMargin
 
+  /** 64-bit pHash frame: the [[hashedFrame]] scheme at 64 blocks (docs
+    * shorter than 64 chars carry no full block per bit and are excluded,
+    * mirroring the ≥16 gate of the 16-bit family). One native
+    * zero-allocation pass per row ([[graft.functions.GraftVec.avgHash64]],
+    * bit-parity-pinned in MultimodalSpec). */
+  private def phashedFrame(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.graft_avg_hash64(col("text")).as("phash"))
+
+  /** Perceptual near-dup clusters over the 64-BIT pHash — the
+    * [[dedupCluster]] semantics on a hash space that is NOT enumerable
+    * (r16 verdict #2: the general path the 16-bit query's driver
+    * union-find cannot cover). No 696-mask neighborhood walk and no
+    * driver fold are possible over 2⁶⁴ values, so everything stays
+    * distributed:
+    *
+    *  - candidate edges via banded LSH over the DISTINCT hash values
+    *    (four 16-bit bands; pigeonhole: any pair within Hamming distance
+    *    3 agrees on ≥1 full band), filtered to true distance ≤ 3 —
+    *    corpus-cardinality nodes, never doc×doc;
+    *  - transitive closure via the distributed
+    *    [[graft.ops.Dedup.components]] frontier fixpoint (pointer
+    *    jumping past round 8, checkpoint-bounded lineage) — the same CC
+    *    kernel the text dedup family runs, now exercised on image-like
+    *    hashes;
+    *  - per-hash stats as a partial-agg groupBy (hash cardinality ~
+    *    corpus cardinality here, exactly why the 16-bit ≤2¹⁶ collect
+    *    cannot apply), cluster stats a second groupBy over the labeled
+    *    hash table, and the doc join-back planned from true cached sizes
+    *    (FrameCache.eager).
+    *
+    * Docs sharing a hash are distance-0 neighbors, so hash-level closure
+    * equals doc-level closure; singleton docs (cluster_size 1) drop out,
+    * matching [[dedupCluster]]'s contract. */
+  private def phash64Cluster(s: SparkSession, d: String): DataFrame = {
+    // NO persist on the hashed frame: graft_avg_hash64 makes it a cheap
+    // map-only native scan, and its two consumers (the per-hash agg and
+    // the final doc join) each pay a rescan instead of a corpus-sized
+    // cache write + read (the ta_winnowing recompute-over-materialize
+    // lesson).
+    val hashed = phashedFrame(s, d)
+    val perHash = graft.ops.FrameCache.eager(
+      hashed.groupBy(col("phash"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id")))
+    val bands = perHash.select(col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftrightunsigned(col("phash"), 16 * b)
+            .bitwiseAND(0xFFFFL).as("band_val"))): _*)).as("band"))
+      .select(col("phash"), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+    val pairs = graft.ops.FrameCache.eager(
+      bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.phash") < col("b.phash"))
+        .select(col("a.phash").as("id_a"), col("b.phash").as("id_b"))
+        .distinct()
+        .filter(bit_count(col("id_a").bitwiseXOR(col("id_b"))) <= 3))
+    val labels = graft.ops.Dedup.components(
+      pairs, perHash.select(col("phash").as("id")))
+    val labeled = perHash.join(labels, col("phash") === col("node"))
+      .select(col("phash"), col("cnt"), col("min_id"), col("label"))
+    val clusterStats = labeled.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("cluster_size"), min(col("min_id")).as("cluster_id"))
+      .filter(col("cluster_size") >= 2)
+    val hashCluster = graft.ops.FrameCache.eager(
+      labeled.join(clusterStats, "label")
+        .select(col("phash"), col("cluster_id"), col("cluster_size")))
+    hashed.join(hashCluster, "phash")
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[phashedFrame]] — the [[hashedCteSql]] chain at 64
+    * blocks. Bit 63 is the sign bit: the CASE emits BIGINT's minimum
+    * value (as `-9223372036854775807 - 1`, parseable without HUGEINT
+    * promotion games) so the arithmetic sum of distinct powers of two
+    * reconstructs the native hash's two's-complement value exactly. */
+  private lazy val phashedCteSql: String = {
+    val sums = (0 until 64).map(i =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), codes[(blk*$i+1):(blk*$i+blk)]), (a,x) -> a+x) AS b$i")
+      .mkString(",\n    ")
+    val total = (0 until 64).map(i => s"b$i").mkString(" + ")
+    val hash = (0 until 64).map { i =>
+      val bit = if (i == 63) "(-9223372036854775807 - 1)" else s"${1L << i}"
+      s"CASE WHEN b$i * 64 > total THEN CAST($bit AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""pbase AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+       |    CAST(length(text) // 64 AS INT) AS blk
+       |  FROM documents WHERE length(text) >= 64),
+       |psums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM pbase),
+       |phashed AS (
+       |  SELECT doc_id, CAST($hash AS BIGINT) AS phash
+       |  FROM (SELECT doc_id, ${(0 until 64).map(i => s"b$i").mkString(", ")},
+       |          $total AS total FROM psums))""".stripMargin
+  }
+
+  /** Oracle: exact all-pairs distance-≤3 edges + WITH RECURSIVE closure —
+    * the [[dedupClusterSql]] pattern over the 64-bit hash. */
+  private val phash64ClusterSql =
+    s"""WITH RECURSIVE $phashedCteSql,
+       |ppairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM phashed a JOIN phashed b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |pedges AS (
+       |  SELECT id_a, id_b FROM ppairs
+       |  UNION SELECT id_b, id_a FROM ppairs
+       |  UNION SELECT id_a, id_a FROM ppairs
+       |  UNION SELECT id_b, id_b FROM ppairs),
+       |preach(node, r) AS (
+       |  SELECT id_a, id_b FROM pedges
+       |  UNION
+       |  SELECT e.id_a, w.r FROM pedges e JOIN preach w ON w.node = e.id_b),
+       |plabels AS (
+       |  SELECT node AS doc_id, min(r) AS cluster_id FROM preach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_survivor
+       |FROM plabels ORDER BY doc_id""".stripMargin
+
   /** Metadata-vs-payload integrity: declared size (n_chars) against actual
     * byte length — the validation pass a media pipeline runs before
     * spending decode cycles. `ascii_only` is the corpus guard behind every
@@ -536,5 +667,6 @@ object Multimodal {
     QuerySpec("mm_decode_features", decodeFeatures, Some(decodeFeaturesSql)),
     QuerySpec("mm_decode_integrity", decodeIntegrity, Some(decodeIntegritySql)),
     QuerySpec("mm_hash_hamming", hashHamming, Some(hashHammingSql)),
-    QuerySpec("mm_dedup_cluster", dedupCluster, Some(dedupClusterSql)))
+    QuerySpec("mm_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    QuerySpec("mm_phash64_cluster", phash64Cluster, Some(phash64ClusterSql)))
 }

@@ -324,4 +324,64 @@ class MultimodalSpec extends SparkSpec {
     assert(label == refLabel.toMap,
       "cluster assignment diverges from reference connected components")
   }
+
+  test("graft_avg_hash64 ≡ the declarative 64-block chain (bit-exact, sign bit included)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{VectorExprs => V}
+    val rnd = new scala.util.Random(17)
+    // ASCII, unicode (incl. supplementary plane), boundary lengths around
+    // multiples of 64, and the shortest admissible strings; the long 'z'
+    // runs push individual block sums above the mean so high bits —
+    // including bit 63, the sign bit — actually get exercised
+    val strs = (1 to 200).map { i =>
+      val n = 64 + rnd.nextInt(200) + (if (i % 7 == 0) (i % 64) else 0)
+      val sb = new StringBuilder
+      (1 to n).foreach { _ =>
+        sb.append(rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 1 => (' ' + rnd.nextInt(94)).toChar.toString
+          case 2 => "é"
+          case _ => new String(Character.toChars(0x10400 + rnd.nextInt(16)))
+        })
+      }
+      sb.toString
+    } :+ "a" * 64 :+ ("a" * 64 + "z" * 64) :+ ("é" * 64) :+ (" " * 126 + "zz")
+    val df = strs.toDF("text").filter(length(col("text")) >= 64)
+      .withColumn("codes", V.graft_codepoints(col("text")).cast("array<bigint>"))
+      .withColumn("blk", (length(col("text")) / 64).cast("int"))
+    val withSums = (0 until 64).foldLeft(df) { (d, i) =>
+      d.withColumn(s"b$i", V.graft_vsum(
+        slice(col("codes"), col("blk") * i + 1, col("blk"))))
+    }
+    val total = (0 until 64).map(i => col(s"b$i")).reduce(_ + _)
+    val decl = (0 until 64).map(i =>
+      when(col(s"b$i") * 64 > col("total"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val rows = withSums.withColumn("total", total)
+      .select(V.graft_avg_hash64(col("text")).as("native"), decl.as("decl"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"avg_hash64 diverges: native ${r.getLong(0)} vs declarative ${r.getLong(1)}"))
+    // the sign bit must be reachable: at least one fixture hash negative
+    assert(rows.exists(_.getLong(0) < 0L),
+      "no fixture exercised bit 63 — the sign-bit encoding is untested")
+  }
+
+  test("phash64 clusters: min-id survivor, consistent sizes, fixpoint labels") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("mm_phash64_cluster")(spark, sf001).collect()
+    assert(out.nonEmpty, "fixture corpus must contain 64-bit pHash clusters")
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("cluster_size")).distinct.length == 1)
+      assert(members.head.getAs[Long]("cluster_size") == members.length,
+        s"cluster $cid size ${members.head.getAs[Long]("cluster_size")} != ${members.length} members")
+      assert(members.map(_.getAs[Long]("doc_id")).min == cid,
+        s"cluster_id must be the min member doc_id")
+      assert(members.count(_.getAs[Boolean]("is_survivor")) == 1)
+      assert(members.find(_.getAs[Boolean]("is_survivor")).get.getAs[Long]("doc_id") == cid)
+      assert(members.length >= 2, "singleton docs must drop out")
+    }
+  }
 }
