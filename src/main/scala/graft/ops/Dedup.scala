@@ -185,8 +185,15 @@ object Dedup {
     // JVM reads the pair table a previous bench/verify run already built
     val path = pairDirs.getOrElseUpdate(T.datasetKey(d, "documents"),
       graft.ModelStore.ensureTree(T.datasetKey(d, "documents"), "lsh_pairs") { b =>
+        // repartition, NOT coalesce: coalesce(4) narrows the ENTIRE
+        // preceding join/distinct stage to 4 tasks (no shuffle boundary
+        // in between), and under corpus duplication the candidate-pair
+        // volume grows quadratically in the copy count — at the 100x
+        // full sweep those 4 tasks held the whole verify-join state and
+        // blew the heap. The exchange keeps the compute stage at full
+        // width; only the write runs on 4 tasks (few-files goal kept).
         minhashPairs(T.documents(s, d))
-          .coalesce(4).write.mode("overwrite").parquet(b.resolve("pairs").toString)
+          .repartition(4).write.mode("overwrite").parquet(b.resolve("pairs").toString)
       } + "/pairs")
     s.read.schema("id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE").parquet(path)
   }
@@ -470,8 +477,9 @@ object Dedup {
   private def embedPairsFor(s: SparkSession, d: String): DataFrame = {
     val path = embedPairDirs.getOrElseUpdate(T.datasetKey(d, "embeddings"),
       graft.ModelStore.ensureTree(T.datasetKey(d, "embeddings"), "embed_pairs") { b =>
+        // repartition, not coalesce — see minhashPairsFor (the 100x OOM)
         embedPairs(s, T.embeddings(s, d))
-          .coalesce(4).write.mode("overwrite").parquet(b.resolve("pairs").toString)
+          .repartition(4).write.mode("overwrite").parquet(b.resolve("pairs").toString)
       } + "/pairs")
     s.read.schema("id_a BIGINT, id_b BIGINT, cos DOUBLE").parquet(path)
   }
@@ -724,8 +732,9 @@ object Dedup {
     val path = labelDirs.getOrElseUpdate(T.datasetKey(d, "documents"),
       graft.ModelStore.ensureTree(T.datasetKey(d, "documents"), "cc_labels") { b =>
         // built over the fit-once pair table, not a fresh pair pipeline
+        // repartition, not coalesce — see minhashPairsFor (the 100x OOM)
         labelsFromPairs(minhashPairsFor(s, d).select(col("id_a"), col("id_b")))
-          .coalesce(4).write.mode("overwrite").parquet(b.resolve("labels").toString)
+          .repartition(4).write.mode("overwrite").parquet(b.resolve("labels").toString)
       } + "/labels")
     s.read.schema("doc_id BIGINT, cluster_id BIGINT").parquet(path)
   }
@@ -1004,7 +1013,9 @@ object Dedup {
     // twice per index build (r10 review finding)
     val sig = corpusSig.persist()
     try {
-      sig.select(col("doc_id"), col("sig")).coalesce(4).write.parquet(s"$idx/sigs")
+      // repartition, not coalesce: coalesce(4) would narrow the signature
+      // aggregation itself to 4 reduce tasks — see minhashPairsFor
+      sig.select(col("doc_id"), col("sig")).repartition(4).write.parquet(s"$idx/sigs")
       bandsOf(sig).repartition(B, col("band"))
         .write.partitionBy("band").parquet(s"$idx/bands")
     } finally sig.unpersist()
