@@ -214,6 +214,13 @@ object ScaleGate {
       SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // Shuffle files of completed queries linger on disk until the
+      // ContextCleaner's WEAK references are collected — over a
+      // full-registry sweep at 100x the stale files accumulated to tens
+      // of GB and ran /tmp out of space mid-sweep (r17). A GC after each
+      // query lets the cleaner drop dead shuffles before the next one;
+      // it runs OUTSIDE the timed window.
+      System.gc()
       org.apache.spark.graft.GraftCoreShim.drainListenerBus(spark.sparkContext)
       (wall, stateRows.get, spillMem.get + spillDisk.get)
     }

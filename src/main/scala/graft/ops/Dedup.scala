@@ -450,23 +450,59 @@ object Dedup {
     * banding prunes far harder; widen ER as n grows to keep buckets small. */
   private def embedPairs(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.CosineSim.register(s)
-    // two consumers (both sides of the bucket self-join): without the
-    // persist the band-explosion scan runs twice (memoized — FrameCache)
-    val bands = FrameCache.cached(embedBands(emb))
+    // DICTIONARY pass first (r17; the mm_dedup_cluster lesson applied to
+    // embeddings): band + cosine-verify work runs over the DISTINCT
+    // embedding vectors, then expands to vec-level pairs by joining the
+    // member map onto each side. Identical vectors — the duplicated-
+    // corpus case — collapse before any pairing, so candidate volume and
+    // the array-carrying verify join scale with the distinct-vector
+    // count, not quadratically in the duplication factor: the copy-pair
+    // shape made the pre-r17 verify join shuffle ~pair×dim bytes and
+    // exhausted the sweep box's disk at 100x. The groupBy keys on the
+    // embedding array itself (arrays are orderable group/join keys) —
+    // exact identity, no hash-collision caveat. Within-group pairs are
+    // emitted directly with cos 1.0: cosine(x, x) = Σx²/(√Σx²·√Σx²)
+    // differs from 1 by ≤2 ulp in both engines, so round(·, 4) is
+    // exactly 1.0 — the oracle's own computed value.
+    val groups = FrameCache.cached(emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("grp")))
+    val reps = groups.select(col("rep_id").as("vec_id"), col("embedding"))
+    // member map (rep_id -> vec_id), corpus-sized but two-long rows
+    val members = FrameCache.cached(
+      emb.join(groups.select(col("embedding"), col("rep_id")), "embedding")
+        .select(col("rep_id"), col("vec_id")))
+    // banded candidates + exact-cosine verify over representatives only
+    val bands = FrameCache.cached(embedBands(reps))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val e = emb.select(col("vec_id"), col("embedding"))
-    cand
+    val e = reps.select(col("vec_id"), col("embedding"))
+    val repPairs = cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
       .withColumn("cos",
         round(graft.functions.CosineSim.cosine_sim(col("ea"), col("eb")), 4))
       .filter(col("cos") >= 0.45)
       .select(col("id_a"), col("id_b"), col("cos"))
+    // expand rep-level pairs to member-level pairs (groups are disjoint
+    // id sets, so each unordered pair arises exactly once); the joins
+    // carry only ids + cos, never arrays, and AQE skew-splits a hot
+    // group's probe side
+    val crossPairs = repPairs
+      .join(members.select(col("rep_id").as("id_a"), col("vec_id").as("va")), "id_a")
+      .join(members.select(col("rep_id").as("id_b"), col("vec_id").as("vb")), "id_b")
+      .select(least(col("va"), col("vb")).as("id_a"),
+        greatest(col("va"), col("vb")).as("id_b"), col("cos"))
+    // within-group pairs: identical vectors, cos exactly 1.0 (see above)
+    val dupPairs = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        lit(1.0).as("cos"))
+    crossPairs.unionAll(dupPairs)
   }
 
   /** Fit-once verified embedding near-dup pair table per dataset — the
