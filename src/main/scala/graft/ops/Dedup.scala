@@ -142,6 +142,14 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
+  /** Reconstruct the mh0..mhP-1 columns [[bandsOf]] reads from the sig
+    * ARRAY — for rep-level frames built by a groupBy(sig), which carry
+    * only (doc_id, sig). element_at is positional, so the round-trip is
+    * exact. */
+  private def withMhCols(f: DataFrame): DataFrame =
+    f.select(Seq(col("doc_id"), col("sig")) ++
+      (0 until P).map(p => element_at(col("sig"), p + 1).as(s"mh$p")): _*)
+
   /** Fraction of agreeing minhash positions, rounded — the LSH Jaccard
     * estimate used as the verify stage everywhere. */
   private def sigAgreement(a: Column, b: Column): Column =
@@ -1043,17 +1051,36 @@ object Dedup {
     * per `band=` partition dir: partition pruning on probe needs the
     * band dirs, not many tiny files per dir. */
   private[graft] def buildLshIndex(corpusSig: DataFrame, idx: String): Unit = {
-    // persist across the two writes: bands and sigs are separate jobs over
-    // the same lazy frame, and the 16-md5-per-shingle signature pass is
+    // persist across the writes: the 16-md5-per-shingle signature pass is
     // the most expensive stage in this file — without the cache it ran
-    // twice per index build (r10 review finding)
+    // once per output (r10 review finding)
     val sig = corpusSig.persist()
     try {
-      // repartition, not coalesce: coalesce(4) would narrow the signature
+      // DICTIONARY index (r17, the embedPairs lesson applied to the LSH
+      // index): bands and signatures are stored once per DISTINCT
+      // signature (groupBy on the sig array itself — exact identity),
+      // with a member table (rep_id -> doc_id) alongside. Duplicated
+      // corpora — the adversarial case AND the common one at 100 TB —
+      // otherwise multiply every band bucket by the duplication factor,
+      // and probe candidates grow as batch-dups × corpus-dups
+      // (quadratic): the pre-r17 doc-level index made the 100× sweep's
+      // intake probe its largest wall. Rep-level candidacy is exact:
+      // docs with identical signatures have identical band keys, so a
+      // doc pair is band-candidate iff its rep pair is, and est_jaccard
+      // is a function of the two signatures alone.
+      val groups = sig.groupBy(col("sig")).agg(min(col("doc_id")).as("rep_id"))
+        .persist()
+      groups.count() // materialization barrier: three consumers below
+      // repartition, not coalesce: coalesce(4) would narrow the
       // aggregation itself to 4 reduce tasks — see minhashPairsFor
-      sig.select(col("doc_id"), col("sig")).repartition(4).write.parquet(s"$idx/sigs")
-      bandsOf(sig).repartition(B, col("band"))
+      groups.select(col("rep_id").as("doc_id"), col("sig"))
+        .repartition(4).write.parquet(s"$idx/sigs")
+      bandsOf(withMhCols(groups.select(col("rep_id").as("doc_id"), col("sig"))))
+        .repartition(B, col("band"))
         .write.partitionBy("band").parquet(s"$idx/bands")
+      sig.join(groups, "sig").select(col("rep_id"), col("doc_id"))
+        .repartition(4).write.parquet(s"$idx/members")
+      groups.unpersist()
     } finally sig.unpersist()
   }
 
@@ -1069,16 +1096,32 @@ object Dedup {
     val idxSigs = s.read
       .schema("doc_id BIGINT, sig ARRAY<STRING>")
       .parquet(s"$idx/sigs")
-    val cand = bandsOf(batchSig).as("q")
+    val idxMembers = s.read
+      .schema("rep_id BIGINT, doc_id BIGINT")
+      .parquet(s"$idx/members")
+    // dictionary the BATCH side too (see buildLshIndex): band probing,
+    // the candidate distinct and the signature-agreement verify all run
+    // at distinct-signature scale; member expansion — id-only joins
+    // producing exactly the output rows — happens last. AQE skew-splits
+    // a hot rep's probe side; the expansion volume IS the query's output.
+    val bGroups = batchSig.groupBy(col("sig")).agg(min(col("doc_id")).as("brep"))
+    val bReps = bGroups.select(col("brep").as("doc_id"), col("sig"))
+    val bMembers = batchSig.select(col("doc_id"), col("sig"))
+      .join(bGroups, "sig").select(col("brep"), col("doc_id").as("batch_id"))
+    val cand = bandsOf(withMhCols(bReps)).as("q")
       .join(idxBands.as("x"),
         col("q.band") === col("x.band") && col("q.bkey") === col("x.bkey"))
-      .select(col("q.doc_id").as("batch_id"), col("x.doc_id").as("corpus_id"))
+      .select(col("q.doc_id").as("brep"), col("x.doc_id").as("crep"))
       .distinct()
-    cand
-      .join(batchSig.select(col("doc_id").as("batch_id"), col("sig").as("sig_q")), "batch_id")
-      .join(idxSigs.select(col("doc_id").as("corpus_id"), col("sig").as("sig_x")), "corpus_id")
+    val repLinks = cand
+      .join(bReps.select(col("doc_id").as("brep"), col("sig").as("sig_q")), "brep")
+      .join(idxSigs.select(col("doc_id").as("crep"), col("sig").as("sig_x")), "crep")
       .withColumn("est_jaccard", sigAgreement(col("sig_q"), col("sig_x")))
       .filter(col("est_jaccard") >= 0.5)
+      .select(col("brep"), col("crep"), col("est_jaccard"))
+    repLinks
+      .join(bMembers, "brep")
+      .join(idxMembers.select(col("rep_id").as("crep"), col("doc_id").as("corpus_id")), "crep")
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
   }
 
