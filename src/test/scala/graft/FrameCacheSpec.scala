@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The (session, canonicalized-plan)-memoized persist that replaced the
+  * query entry points' bare persist() calls (r17, from the r16 ADVICE
+  * leak): repeated programmatic calls must reuse ONE cached frame, a
+  * harness clearCache must lead to a re-persist of the SAME frame (not a
+  * duplicate), and distinct plans must get distinct entries. */
+class FrameCacheSpec extends SparkSpec {
+  import graft.ops.FrameCache
+
+  private def frame(n: Long) =
+    spark.range(n).select(col("id"), (col("id") % 7).as("k"))
+      .groupBy(col("k")).agg(sum(col("id")).as("s"))
+
+  test("identical plans share one persisted frame across calls") {
+    val a = FrameCache.cached(frame(1000))
+    val b = FrameCache.cached(frame(1000)) // structurally identical plan
+    assert(a eq b, "second call must return the SAME memoized frame")
+    assert(a.storageLevel != StorageLevel.NONE)
+    // the leak shape this exists to prevent: N calls, N cached copies.
+    // Reference equality of the returned frame means the cache manager
+    // sees one plan, not an accumulating family of clones.
+    (1 to 5).foreach(_ => assert(FrameCache.cached(frame(1000)) eq a))
+  }
+
+  test("clearCache drops blocks; next access re-persists the same frame") {
+    val a = FrameCache.eager(frame(2000))
+    assert(a.storageLevel != StorageLevel.NONE)
+    spark.catalog.clearCache()
+    assert(a.storageLevel == StorageLevel.NONE, "clearCache must unpersist")
+    val b = FrameCache.eager(frame(2000))
+    assert(b eq a, "post-clearCache access must rebind the SAME frame")
+    assert(a.storageLevel != StorageLevel.NONE, "and re-persist it")
+    assert(b.collect().length == 7)
+  }
+
+  test("distinct plans get distinct entries; levels honored") {
+    val a = FrameCache.cached(frame(3000))
+    val b = FrameCache.cached(frame(4000),
+      StorageLevel.DISK_ONLY)
+    assert(!(a eq b))
+    // force materialization so the requested level is observable
+    b.count()
+    assert(b.storageLevel == StorageLevel.DISK_ONLY)
+    assert(a.storageLevel != StorageLevel.NONE)
+    // results stay correct through the cache
+    assert(a.agg(sum(col("s"))).head.getLong(0) == (0L until 3000L).sum)
+    assert(b.agg(sum(col("s"))).head.getLong(0) == (0L until 4000L).sum)
+  }
+
+  test("eager materializes at call time (true-stats barrier)") {
+    val f = FrameCache.eager(frame(5000).filter(col("s") > Long.MinValue))
+    // an eagerly-counted cache reports its level AND has filled blocks:
+    // the planner reads real sizes from it when the frame feeds a join
+    assert(f.storageLevel != StorageLevel.NONE)
+    assert(spark.sparkContext.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
+      "eager must have FILLED cache blocks at call time, not lazily")
+  }
+}
