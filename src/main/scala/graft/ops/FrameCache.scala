@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.storage.StorageLevel
 
 /** Memoized `persist()` for per-query stats/anchor frames.
@@ -19,46 +20,120 @@ import org.apache.spark.storage.StorageLevel
   * identical result, so sharing the cached frame is sound, and distinct
   * corpora (e.g. the spec suites' synthetic frames) get distinct
   * entries. If an external `clearCache` dropped the blocks, the SAME
-  * frame is re-persisted rather than duplicated, and `eager` re-runs the
-  * materialization-barrier count on every (re)persist so true-stats join
-  * planning (see `Dedup.exactCore`) still reads real cached sizes.
+  * frame is re-persisted rather than duplicated.
+  *
+  * Source-file invalidation (r17 ADVICE): two reads of the same parquet
+  * path canonicalize EQUAL (`InMemoryFileIndex` equality is by root
+  * paths), so plan identity alone would serve a memoized frame — whose
+  * file LISTING was captured at first analysis — even after the dataset
+  * was regenerated at that path. Each entry therefore also records its
+  * file sources' (path, mtime, size) snapshot (the `Tables.datasetKey`
+  * convention); a hit whose snapshot no longer matches the files on disk
+  * is unpersisted and rebound to the caller's fresh read.
   *
   * Session identity is part of the key (a DataFrame is bound to the
   * session that built it, and test suites cycle sessions within one
   * JVM); entries of stopped sessions are purged on each access so dead
   * sessions' plans don't pin memory for the JVM lifetime.
+  *
+  * Storage level is first-caller-wins on a shared plan (no current
+  * caller pair requests different levels for the same frame; a later
+  * caller's level is ignored rather than re-persisted — repersisting
+  * would drop warm blocks mid-query).
   */
 private[graft] object FrameCache {
-  private val frames =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, LogicalPlan, DataFrame)]
+  /** One memoized frame: the analyzed-plan identity, its file-source
+    * snapshot, and whether the eager materialization-barrier count has
+    * run since the last persist (r17 ADVICE: a lazily-registered entry
+    * later requested eagerly must still get the barrier). */
+  private final class Entry(
+      val session: SparkSession,
+      val plan: LogicalPlan,
+      val df: DataFrame,
+      val paths: Seq[String],
+      val fingerprint: String) {
+    @volatile var eagerDone: Boolean = false
+  }
 
-  /** Return a persisted frame for `df`, memoized per (session, plan).
+  private val frames = scala.collection.concurrent.TrieMap.empty[String, Entry]
+
+  /** Root paths of every file-source relation in the analyzed plan —
+    * the frames this cache must invalidate when their backing files
+    * change. Non-file sources (spec-synthetic ranges, in-memory frames)
+    * contribute nothing and stay keyed by plan alone. */
+  private def rootPaths(analyzed: LogicalPlan): Seq[String] =
+    analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri)
+        case _ => Nil
+      }
+    }.flatten.collect {
+      // local files only: this engine's sources are local parquet; a
+      // remote-scheme path contributes its name (still keyed) without a
+      // driver-side stat call
+      case u if u.getScheme == null || u.getScheme == "file" => u.getPath
+      case u => u.toString
+    }.distinct.sorted
+
+  /** (path, mtime, size) snapshot — same triple as `Tables.datasetKey`,
+    * so "regenerated at the same path" invalidates here exactly when it
+    * invalidates the fit-once artifact caches. */
+  private def fingerprintOf(paths: Seq[String]): String =
+    paths.map { p =>
+      val f = new java.io.File(p)
+      s"$p|${f.lastModified}|${f.length}"
+    }.mkString(";")
+
+  /** Return a persisted frame for `df`, memoized per (session, plan,
+    * source snapshot).
     *
-    * @param eager run a `count()` whenever the frame is (re)persisted —
-    *              both a materialization barrier (concurrent jobs over a
-    *              lazy cache race to fill it and recompute the lineage in
-    *              parallel) and the true-stats source for join planning.
+    * @param eager guarantee the materialization-barrier `count()` has run
+    *              on the persisted blocks — both a barrier (concurrent
+    *              jobs over a lazy cache race to fill it and recompute the
+    *              lineage in parallel) and the true-stats source for join
+    *              planning. Runs at most once per persist: a re-persist
+    *              (post-clearCache) or a lazy-then-eager call sequence
+    *              re-arms it.
     */
   def cached(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      eager: Boolean = false): DataFrame = {
-    frames.filterInPlace { case (_, (sess, _, _)) => !sess.sparkContext.isStopped }
+      eager: Boolean = false): DataFrame = synchronized {
+    frames.filterInPlace { case (_, e) => !e.session.sparkContext.isStopped }
     val s = df.sparkSession
-    val plan = df.queryExecution.analyzed.canonicalized
+    val analyzed = df.queryExecution.analyzed
+    val plan = analyzed.canonicalized
     val k = s"${System.identityHashCode(s)}|${plan.semanticHash()}"
     // identityHashCode is not unique across a GC'd-then-reallocated
     // session, and semanticHash can collide — verify the stored SESSION
     // and PLAN identity, not just the key (the cachedCorpusFrame
     // convention), and rebind to the caller's frame on mismatch
-    val f = frames.get(k) match {
-      case Some((sess, p, cachedDf)) if (sess eq s) && p == plan => cachedDf
-      case _ =>
-        frames.put(k, (s, plan, df))
-        df
+    def rebind(): Entry = {
+      val paths = rootPaths(analyzed)
+      val e = new Entry(s, plan, df, paths, fingerprintOf(paths))
+      frames.put(k, e)
+      e
     }
+    val entry = frames.get(k) match {
+      case Some(e) if (e.session eq s) && e.plan == plan =>
+        if (fingerprintOf(e.paths) == e.fingerprint) e
+        else {
+          // dataset regenerated at the same path: the memoized frame's
+          // captured file listing is stale — drop its blocks and serve
+          // the caller's fresh read (r17 ADVICE)
+          e.df.unpersist()
+          rebind()
+        }
+      case _ => rebind() // vacant, or a hash collision: leave the other
+                         // plan's frame persisted and take the slot
+    }
+    val f = entry.df
     if (f.storageLevel == StorageLevel.NONE) {
       f.persist(level)
-      if (eager) f.count()
+      entry.eagerDone = false
+    }
+    if (eager && !entry.eagerDone) {
+      f.count()
+      entry.eagerDone = true
     }
     f
   }

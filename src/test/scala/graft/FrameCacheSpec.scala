@@ -59,4 +59,44 @@ class FrameCacheSpec extends SparkSpec {
     assert(spark.sparkContext.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
       "eager must have FILLED cache blocks at call time, not lazily")
   }
+
+  test("regenerating a dataset at the same path invalidates the entry") {
+    // r17 ADVICE (medium): two reads of one parquet path canonicalize
+    // EQUAL, so plan identity alone served the OLD memoized frame — with
+    // its stale captured file listing — after the files were rewritten.
+    val dir = TmpDirs.create("graft_fcache_regen")
+    val p = dir.resolve("t.parquet").toString
+    spark.range(10).select(col("id")).write.mode("overwrite").parquet(p)
+    val a = FrameCache.eager(spark.read.parquet(p))
+    assert(a.count() == 10)
+    // regenerate at the SAME path with different contents; ensure the
+    // (mtime, size) snapshot moves even on a coarse-mtime filesystem
+    Thread.sleep(20)
+    spark.range(25).select(col("id")).write.mode("overwrite").parquet(p)
+    val b = FrameCache.eager(spark.read.parquet(p))
+    assert(!(b eq a), "regenerated files must rebind, not serve the stale frame")
+    assert(b.count() == 25, "the rebound frame must read the NEW files")
+    // the stale frame's blocks were dropped and the fresh ones filled:
+    // cache lookup is plan-keyed (the two reads canonicalize equal), so
+    // even the OLD handle now resolves to the regenerated data
+    assert(a.count() == 25, "stale blocks must not survive invalidation")
+    // and the fresh entry memoizes as usual
+    assert(FrameCache.eager(spark.read.parquet(p)) eq b)
+  }
+
+  test("eager on a lazily-registered entry still runs the barrier count") {
+    // r17 ADVICE (low): if the first caller registered the plan via a
+    // LAZY cached() and a later caller asks eager(), the barrier count
+    // must still run — storageLevel != NONE alone must not skip it.
+    spark.catalog.clearCache() // start from zero filled blocks session-wide
+    def mk = frame(6000).filter(col("s") >= Long.MinValue + 1)
+    val a = FrameCache.cached(mk) // lazy: persisted, but no blocks yet
+    assert(a.storageLevel != StorageLevel.NONE)
+    assert(spark.sparkContext.getRDDStorageInfo.forall(_.numCachedPartitions == 0),
+      "lazy cached() must not have materialized")
+    val b = FrameCache.eager(mk)
+    assert(b eq a)
+    assert(spark.sparkContext.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
+      "eager() after a lazy registration must run the barrier count")
+  }
 }
