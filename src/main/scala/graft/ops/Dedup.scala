@@ -456,7 +456,7 @@ object Dedup {
     * (DedupSpec pins the recall floor against the exact all-pairs twin).
     * At a real 100 TB near-dup threshold (cos ≳ 0.9, p ≈ 0.86) the same
     * banding prunes far harder; widen ER as n grows to keep buckets small. */
-  private def embedPairs(s: SparkSession, emb: DataFrame): DataFrame = {
+  private[graft] def embedPairs(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.CosineSim.register(s)
     // DICTIONARY pass first (r17; the mm_dedup_cluster lesson applied to
     // embeddings): band + cosine-verify work runs over the DISTINCT
@@ -468,10 +468,14 @@ object Dedup {
     // shape made the pre-r17 verify join shuffle ~pair×dim bytes and
     // exhausted the sweep box's disk at 100x. The groupBy keys on the
     // embedding array itself (arrays are orderable group/join keys) —
-    // exact identity, no hash-collision caveat. Within-group pairs are
-    // emitted directly with cos 1.0: cosine(x, x) = Σx²/(√Σx²·√Σx²)
-    // differs from 1 by ≤2 ulp in both engines, so round(·, 4) is
-    // exactly 1.0 — the oracle's own computed value.
+    // exact identity, no hash-collision caveat. Within-group pairs carry
+    // a PER-GROUP cos computed through the same cosine_sim expression
+    // (r17 ADVICE): cosine(x, x) = Σx²/(√Σx²·√Σx²) differs from 1 by
+    // ≤2 ulp in both engines so round(·, 4) is exactly 1.0 for any
+    // nonzero vector, and an all-zero vector is DROPPED by the shared
+    // ≥ 0.45 predicate in both engines (cosine_sim zero-guards 0/0 to
+    // 0.0; DuckDB's 0/0 is NULL — both fail the WHERE). A hardcoded
+    // lit(1.0) diverged on that zero-vector case by emitting the pair.
     val groups = FrameCache.cached(emb.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("grp")))
     val reps = groups.select(col("rep_id").as("vec_id"), col("embedding"))
@@ -504,12 +508,25 @@ object Dedup {
       .join(members.select(col("rep_id").as("id_b"), col("vec_id").as("vb")), "id_b")
       .select(least(col("va"), col("vb")).as("id_a"),
         greatest(col("va"), col("vb")).as("id_b"), col("cos"))
-    // within-group pairs: identical vectors, cos exactly 1.0 (see above)
+    // within-group pairs: identical vectors, cos computed once per GROUP
+    // through the shared cosine_sim expression (1.0 for nonzero vectors;
+    // an all-zero group zero-guards to 0.0 and is dropped, matching the
+    // oracle's NULL-division WHERE — see the dictionary-pass note above)
+    // and gated by the same ≥ 0.45 predicate as the cross-group path; the
+    // group-cos frame is tiny (multi-member reps only) so the join-back
+    // broadcasts
+    val groupCos = groups.filter(col("grp") >= 2)
+      .select(col("rep_id"),
+        round(graft.functions.CosineSim.cosine_sim(col("embedding"), col("embedding")), 4)
+          .as("cos"))
+      .filter(col("cos") >= 0.45)
     val dupPairs = members.as("x")
       .join(members.as("y"),
         col("x.rep_id") === col("y.rep_id") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        lit(1.0).as("cos"))
+        col("x.rep_id").as("rep_id"))
+      .join(groupCos, "rep_id")
+      .select(col("id_a"), col("id_b"), col("cos"))
     crossPairs.unionAll(dupPairs)
   }
 

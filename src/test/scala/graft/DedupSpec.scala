@@ -356,6 +356,26 @@ class DedupSpec extends SparkSpec {
       s"recall too low: found ${(exact & lsh).size}/${exact.size}")
   }
 
+  test("embed pairs: a duplicated zero vector is dropped, matching the oracle") {
+    // r17 ADVICE: the within-group (identical-vector) fast path used to
+    // hardcode cos = 1.0 and so EMITTED a duplicated all-zero embedding
+    // pair — but the DuckDB oracle's generic formula divides 0/0, which
+    // is NULL in DuckDB and fails its WHERE, and the shared cosine_sim
+    // expression zero-guards the denominator to 0.0, which fails the
+    // same ≥ 0.45 predicate. The group cos now flows through cosine_sim
+    // and the shared threshold — pin both the drop and the 1.0 case.
+    import spark.implicits._
+    val zero = Array.fill(64)(0f)
+    val ones = Array.fill(64)(1f)
+    val emb = Seq((1L, zero), (2L, zero), (3L, ones), (4L, ones))
+      .toDF("vec_id", "embedding")
+    val rows = graft.ops.Dedup.embedPairs(spark, emb).collect()
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m.keySet == Set((3L, 4L)),
+      s"zero-vector pair must be dropped like the oracle drops it; got ${m.keySet}")
+    assert(m((3L, 4L)) == 1.0)
+  }
+
   test("cluster rep: one keeper per cluster, and it is the max-quality member") {
     val rows = SparkEntry.queries("dedup_cluster_rep")(spark, sf001).collect()
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sf001).collect()
