@@ -106,6 +106,12 @@ object Bench {
     // confirmed_regression line instead of self-excusing via one lucky
     // re-run. Never set in official runs.
     val demoRegression = sys.env.get("SPARK_GRAFT_DEMO_REGRESSION")
+    // Loud marker (r17 ADVICE): an accidentally-inherited demo env var
+    // must be visible in the run log AND stamped into the artifacts (see
+    // the total line / perquery JSON below), so a demo run can never
+    // masquerade as an official record.
+    demoRegression.foreach(n =>
+      println(s"""{"metric":"demo_regression_active","name":${jstr(n)},"note":"synthetic 3s sleep injected; NOT an official record"}"""))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       if (demoRegression.contains(name)) Thread.sleep(3000)
@@ -294,6 +300,25 @@ object Bench {
     // Same canary trick: the only guaranteed-surviving line carries them.
     val nSuspects = results.count { case (n, w, _) => isSuspect(n, w) }
     val nNoReceipt = results.count { case (n, _, _) => !receipts.contains(n) }
+    // Receipt-normalized total (r17 verdict #4): official totals swing
+    // ~10% with box state (r17: 111.2 -> 118.0 at a median per-query
+    // ratio of 1.096 — pure box factor), which makes round-over-round
+    // headline comparison noisy. Σ corrected walls ÷ (box factor ×
+    // Σ receipts) over the receipted queries is the box-independent
+    // headline: ~1.0 = running at receipt speed. The box factor is the
+    // RAW parallel-canary ratio (no [1,3] suspect-threshold clamp — a
+    // faster box must normalize DOWN too).
+    val boxFactor = parForScale.map(_ / refParCanary).getOrElse(1.0)
+    val wallReceiptNormalized = {
+      val rec = results.filter { case (n, _, _) => receipts.contains(n) }
+      val w = rec.map { case (n, wv, _) =>
+        remeasured.get(n).map(_._1).getOrElse(wv) }.sum
+      val r = rec.map { case (n, _, _) => receipts(n) }.sum
+      if (r > 0 && boxFactor > 0) w / (boxFactor * r) else 0.0
+    }
+    // demo stamp for artifacts (r17 ADVICE) — absent entirely in real runs
+    val demoField = demoRegression
+      .map(n => s""","demo_regression":${jstr(n)}""").getOrElse("")
     // Full per-query artifact FILE (r12 verdict #6): the driver's bounded
     // output tail truncates the per_query line to ~69 of 179 entries, so
     // cross-round per-query diffs depended on truncation luck. The
@@ -316,13 +341,14 @@ object Bench {
           s""""parallel_canary":${f(parCanary)},"parallel_canary_ref":${f(refParCanary)},""" +
           s""""warmup_skipped":$warmupSkipped,"n_suspects":$nSuspects,""" +
           s""""n_confirmed_regressions":$nConfirmed,"confirmed_regressions":$confJson,""" +
-          s""""n_no_receipt":$nNoReceipt,"sf":${jstr(sfDir)},""" +
+          s""""wall_receipt_normalized":${f(wallReceiptNormalized)},"box_factor":${f(boxFactor)},""" +
+          s""""n_no_receipt":$nNoReceipt,"sf":${jstr(sfDir)}$demoField,""" +
           s""""queries":$qs,"queries_remeasure":$remJson,"query_errors":$errsJson}""" + "\n")
       println(s"""{"metric":"perquery_artifact","path":${jstr(perQueryOut)}}""")
     } catch { case e: Throwable =>
       println(s"""{"metric":"perquery_artifact_error","err":${jstr(e.getClass.getName)}}""")
     }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"wall_remeasure":${jstr(f(totalRemeasure))},"canary_drift":${jstr(f(canaryDrift))},"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"parallel_canary":${jstr(f(parCanary))},"parallel_canary_ref":${jstr(f(refParCanary))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_confirmed_regressions":${jstr(nConfirmed.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"wall_remeasure":${jstr(f(totalRemeasure))},"wall_receipt_normalized":${jstr(f(wallReceiptNormalized))},"box_factor":${jstr(f(boxFactor))},"canary_drift":${jstr(f(canaryDrift))},"canary_start":${jstr(f(canaryStart))},"canary_end":${jstr(f(canaryEnd))},"parallel_canary":${jstr(f(parCanary))},"parallel_canary_ref":${jstr(f(refParCanary))},"warmup_skipped":${jstr(warmupSkipped.toString)},"n_suspects":${jstr(nSuspects.toString)},"n_confirmed_regressions":${jstr(nConfirmed.toString)},"n_no_receipt":${jstr(nNoReceipt.toString)}$demoField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
