@@ -534,6 +534,37 @@ object Multimodal {
     * Docs sharing a hash are distance-0 neighbors, so hash-level closure
     * equals doc-level closure; singleton docs (cluster_size 1) drop out,
     * matching [[dedupCluster]]'s contract. */
+  /** Edge cap for [[phash64Cluster]]'s driver union-find tier — the
+    * mm_dedup_cluster 2¹⁶ bound, here on MEASURED candidate edges (two
+    * longs each, ≤ ~1 MB collected). Overridable via the
+    * `graft.phash64.uf.cap` system property so specs can force the
+    * distributed fixpoint tier on small fixtures. */
+  private def driverEdgeCap: Long =
+    sys.props.get("graft.phash64.uf.cap").map(_.toLong).getOrElse(1L << 16)
+
+  /** Min-root union-find over an edge list: returns node → component
+    * label where the label is the component's smallest member (merging
+    * always parents the larger root under the smaller, so every root is
+    * its component's min — the same label [[graft.ops.Dedup.components]]
+    * converges to). Iterative find + path compression: no stack risk at
+    * the 2¹⁶-edge cap. */
+  private[graft] def unionFindLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      var y = x0 // compress the walked path onto the root
+      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet[Long]
+      .iterator.map(x => x -> find(x)).toMap
+  }
+
   private def phash64Cluster(s: SparkSession, d: String): DataFrame = {
     // NO persist on the hashed frame: graft_avg_hash64 makes it a cheap
     // map-only native scan, and its two consumers (the per-hash agg and
@@ -559,16 +590,52 @@ object Multimodal {
         .select(col("a.phash").as("id_a"), col("b.phash").as("id_b"))
         .distinct()
         .filter(bit_count(col("id_a").bitwiseXOR(col("id_b"))) <= 3))
-    val labels = graft.ops.Dedup.components(
-      pairs, perHash.select(col("phash").as("id")))
-    val labeled = perHash.join(labels, col("phash") === col("node"))
-      .select(col("phash"), col("cnt"), col("min_id"), col("label"))
-    val clusterStats = labeled.groupBy(col("label"))
-      .agg(sum(col("cnt")).as("cluster_size"), min(col("min_id")).as("cluster_id"))
-      .filter(col("cluster_size") >= 2)
+    // Label assignment is tiered on the MEASURED candidate-edge count —
+    // never the 2⁶⁴ hash space, which stays non-enumerable (the r16
+    // generality constraint this query exists for). r17 verdict #5: the
+    // 2.9 s sf0.1 receipt was almost entirely fixpoint job-round plus
+    // label-join/stats overhead spent on THREE edges.
+    //  - 0 edges: every hash is its own component, so a cluster is
+    //    exactly one hash — cluster_id = its min doc, size = its doc
+    //    count; the closure, the label join and the stats groupBy all
+    //    collapse away (multi-doc SAME-hash clusters survive via
+    //    cnt ≥ 2 either way; a cross-hash cluster needs an edge).
+    //  - ≤ 2¹⁶ edges: collect the EDGE LIST (≤ cap rows of two longs,
+    //    ~1 MB) and label via a driver min-root union-find — the
+    //    mm_dedup_cluster bounded-driver precedent, gated on measured
+    //    edge volume; labels broadcast-join back, hashes in no edge
+    //    keep label = phash.
+    //  - past the cap: the distributed [[graft.ops.Dedup.components]]
+    //    frontier fixpoint, unchanged — the 100 TB path.
+    // The count is one cheap job over the already-cached pairs frame.
+    val nPairs = pairs.count()
     val hashCluster = graft.ops.FrameCache.eager(
-      labeled.join(clusterStats, "label")
-        .select(col("phash"), col("cluster_id"), col("cluster_size")))
+      if (nPairs == 0)
+        perHash.filter(col("cnt") >= 2)
+          .select(col("phash"), col("min_id").as("cluster_id"),
+            col("cnt").as("cluster_size"))
+      else {
+        val labeled =
+          if (nPairs <= driverEdgeCap) {
+            import s.implicits._
+            val lm = unionFindLabels(
+              pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+            val labelsDf = lm.toSeq.toDF("phash", "label")
+            perHash.join(broadcast(labelsDf), Seq("phash"), "left")
+              .select(col("phash"), col("cnt"), col("min_id"),
+                coalesce(col("label"), col("phash")).as("label"))
+          } else {
+            val labels = graft.ops.Dedup.components(
+              pairs, perHash.select(col("phash").as("id")))
+            perHash.join(labels, col("phash") === col("node"))
+              .select(col("phash"), col("cnt"), col("min_id"), col("label"))
+          }
+        val clusterStats = labeled.groupBy(col("label"))
+          .agg(sum(col("cnt")).as("cluster_size"), min(col("min_id")).as("cluster_id"))
+          .filter(col("cluster_size") >= 2)
+        labeled.join(clusterStats, "label")
+          .select(col("phash"), col("cluster_id"), col("cluster_size"))
+      })
     hashed.join(hashCluster, "phash")
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

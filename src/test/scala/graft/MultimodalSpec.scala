@@ -368,6 +368,60 @@ class MultimodalSpec extends SparkSpec {
       "no fixture exercised bit 63 — the sign-bit encoding is untested")
   }
 
+  test("phash64 clusters: empty / driver-UF / fixpoint tiers agree") {
+    // r17 verdict #5: label assignment is tiered on the MEASURED edge
+    // count — 0 edges collapse to per-hash clusters, <= 2^16 edges label
+    // via a driver min-root union-find, past the cap the distributed
+    // fixpoint runs. Pin all three on synthetic corpora where the
+    // edge-table state is known by construction:
+    //  - same-hash corpus (exact dup text): 0 edges; the duplicate pair
+    //    must still cluster via cnt >= 2;
+    //  - near-hash corpus (one char nudged: Hamming(hash) == 1): one
+    //    edge -> driver union-find tier by default, and the forced
+    //    fixpoint tier (cap 0 via system property) must agree exactly.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = ("a" * 32) + ("b" * 32)        // 64 chars: bit i = char i > mean
+    val near = ("a" * 31) + "b" + ("b" * 32)  // one a->b flip: Hamming 1
+    val far = "q" * 96                        // uniform: hash 0, distance >> 3
+    def stage(tag: String, docs: Seq[(Long, String)]): String = {
+      val dir = TmpDirs.create(s"graft_phash64_$tag")
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(dir.resolve("documents.parquet").toString)
+      dir.toString
+    }
+    def hashOf(t: String): Long =
+      Seq(t).toDF("text")
+        .select(graft.functions.VectorExprs.graft_avg_hash64(col("text")))
+        .head.getLong(0)
+    assert(java.lang.Long.bitCount(hashOf(base) ^ hashOf(near)) == 1,
+      "fixture must place the near pair at Hamming distance 1")
+    assert(java.lang.Long.bitCount(hashOf(base) ^ hashOf(far)) > 3)
+    def run(dir: String) = SparkEntry.queries("mm_phash64_cluster")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_survivor"))).toSet
+    val expect = Set((1L, 1L, 2L, true), (2L, 1L, 2L, false))
+    // tier 1 — zero edges: identical hashes cluster via cnt >= 2 alone
+    val fastDir = stage("fast", Seq((1L, base), (2L, base), (9L, far)))
+    assert(run(fastDir) == expect, "empty-edge tier")
+    // tier 2 — one edge, default cap: driver union-find
+    val fixDir = stage("fix", Seq((1L, base), (2L, near), (9L, far)))
+    assert(run(fixDir) == expect, "driver union-find tier")
+    // tier 3 — same corpus, cap forced to 0: distributed fixpoint
+    sys.props("graft.phash64.uf.cap") = "0"
+    try assert(run(fixDir) == expect, "distributed fixpoint tier")
+    finally sys.props.remove("graft.phash64.uf.cap")
+  }
+
+  test("unionFindLabels: min-root labels across chained merges") {
+    // chain 5-4, 4-3, plus disjoint 10-20 and a self-contained 7-7
+    val labels = graft.multimodal.Multimodal.unionFindLabels(
+      Array((5L, 4L), (4L, 3L), (10L, 20L), (7L, 7L)))
+    assert(labels(5L) == 3L && labels(4L) == 3L && labels(3L) == 3L)
+    assert(labels(10L) == 10L && labels(20L) == 10L)
+    assert(labels(7L) == 7L)
+  }
+
   test("phash64 clusters: min-id survivor, consistent sizes, fixpoint labels") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("mm_phash64_cluster")(spark, sf001).collect()
