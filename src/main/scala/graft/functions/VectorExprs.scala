@@ -160,6 +160,20 @@ object GraftVec {
     hits
   }
 
+  /** [[eqCount]] over long arrays — the compact-signature (per-position
+    * xxhash64) prefilter twin used by the LSH index probe. */
+  def eqCountLong(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** k-shingles joined by single spaces (duplicate_detector.py:7-13 —
     * the i-th shingle is toks[i..i+k-1]; fewer than k tokens → empty
     * array). Token cells are alpha-filtered upstream and never null. */
@@ -529,6 +543,73 @@ object GraftVec {
     hash
   }
 
+  /** "p|" prefixes for the 16 minhash permutations, pre-encoded. */
+  private val mhPrefixes: Array[Array[Byte]] =
+    Array.tabulate(16)(p => s"$p|".getBytes("UTF-8"))
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex16(d: Array[Byte]): UTF8String = {
+    val c = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      c(2 * i) = hexChars((d(i) >> 4) & 0xF).toByte
+      c(2 * i + 1) = hexChars(d(i) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(c)
+  }
+
+  /** 16-permutation MinHash signature over a shingle array in ONE fused
+    * per-row pass — permutation p's value is the lexicographic MIN over
+    * shingles of md5("p|" + shingle) as a lowercase hex string,
+    * bit-identical to Spark's `md5(concat(lit("p|"), sh))` and DuckDB's
+    * `md5('p|' || sh)` (hex order ≡ unsigned digest-byte order, compared
+    * on raw digests here). Replaces the explode → distinct-shingle dict
+    * join → 16-way min groupBy chain: a signature is a pure per-doc
+    * function of its shingles, so hashing is MAP-ONLY — no
+    * occurrence-scale shuffle, no SMJ sort spill (the dict-join chain
+    * was ~9 GiB of spill and most of the wall in the 100× intake sweep).
+    * Duplicate shingles are harmless (min is idempotent). Empty input →
+    * empty array (callers filter; the groupBy chain produced no row). */
+  def minhash16(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val mins = new Array[Array[Byte]](16)
+    var i = 0
+    while (i < n) {
+      if (shingles.isNullAt(i))
+        throw new IllegalArgumentException(
+          "graft_minhash16: null shingle at index " + i)
+      val sb = shingles.getUTF8String(i).getBytes
+      var p = 0
+      while (p < 16) {
+        md.reset()
+        md.update(mhPrefixes(p))
+        md.update(sb)
+        val d = md.digest()
+        if (mins(p) == null || unsignedLess(d, mins(p))) mins(p) = d
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](16)
+    var p = 0
+    while (p < 16) { out(p) = hex16(mins(p)); p += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint set in one pass — the char-position explode +
     * unrolled 8-step rolling hash + `min over (doc ORDER BY pos ROWS W-1
     * FOLLOWING)` + distinct chain (TextAnalysis.winnowingCore) without
@@ -727,20 +808,31 @@ case class GraftVNormDiv(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "graft_vnorm_div"
 }
 
-/** Agreeing-position count over two array<string> signatures. */
+/** Agreeing-position count over two array<string> signatures, or over
+  * their compact array<long> per-position-hash twins (the LSH probe's
+  * prefilter representation). */
 case class GraftEqCount(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_eq_count expects (array<string>, array<string>), got ($l, $r)")
+        s"graft_eq_count expects two array<string> or two array<long>, got ($l, $r)")
     }
   override def dataType: DataType = IntegerType
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
-    GraftVec.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isLong) GraftVec.eqCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else GraftVec.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftVec.eqCount($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) =>
+      if (isLong) s"graft.functions.GraftVec.eqCountLong($a, $b)"
+      else s"graft.functions.GraftVec.eqCount($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "graft_eq_count"
@@ -887,6 +979,23 @@ case class GraftSimhash16(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash16"
 }
 
+/** See [[GraftVec.minhash16]]. */
+case class GraftMinhash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash16 expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftVec.minhash16(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.minhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash16"
+}
+
 /** See [[GraftVec.charNgramsPacked]]. */
 case class GraftCharNgramsPacked(child: Expression, n: Int)
     extends UnaryExpression {
@@ -994,6 +1103,8 @@ object VectorExprs {
     GraftSqlShim.column(GraftDistinctCpCount(GraftSqlShim.expression(s)))
   def graft_simhash16(toks: Column): Column =
     GraftSqlShim.column(GraftSimhash16(GraftSqlShim.expression(toks)))
+  def graft_minhash16(shingles: Column): Column =
+    GraftSqlShim.column(GraftMinhash16(GraftSqlShim.expression(shingles)))
   def graft_winnow_fps(s: Column, k: Int, w: Int): Column =
     GraftSqlShim.column(GraftWinnowFps(GraftSqlShim.expression(s), k, w))
   def graft_span_hashes(s: Column, span: Int): Column =

@@ -300,6 +300,66 @@ class DedupSpec extends SparkSpec {
     assert(combined.nonEmpty, "fixture must produce at least one cross-split link")
   }
 
+  test("native minhash16 signatures ≡ declarative dict-join chain, element-exact") {
+    // r18: the fused per-doc native pass (one md5 per (shingle, perm),
+    // map-only) must reproduce the retired explode → distinct-shingle
+    // dict join → 16-way min groupBy chain hex-for-hex — on the fixture
+    // corpus AND on torture rows (unicode tokens, duplicate-heavy text,
+    // sub-shingle docs which BOTH paths must exclude).
+    import spark.implicits._
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      ops.Dedup.sigWithArray(df).select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def sigsDecl(df: org.apache.spark.sql.DataFrame) =
+      ops.Dedup.sigWithArrayDeclarative(df).select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fixture = graft.Tables.documents(spark, sf001)
+    val (n, d) = (sigs(fixture), sigsDecl(fixture))
+    assert(n.keySet == d.keySet)
+    assert(n.nonEmpty, "fixture must produce signatures")
+    n.keys.foreach(k => assert(n(k) == d(k), s"doc $k: ${n(k)} vs ${d(k)}"))
+    val torture = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta gamma delta"),
+      (2L, "únïcødé tøkens ærøse únïcødé tøkens ærøse wieder"),
+      (3L, "two tokens"), // < 3 tokens: no shingle, excluded by BOTH paths
+      (4L, "The QUICK brown FOX jumps OVER the lazy DOG again and again"))
+      .toDF("doc_id", "text")
+    val (tn, td) = (sigs(torture), sigsDecl(torture))
+    assert(tn.keySet == td.keySet && !tn.contains(3L))
+    tn.keys.foreach(k => assert(tn(k) == td(k), s"torture doc $k diverged"))
+    tn.values.foreach(v => assert(v.length == 16 &&
+      v.forall(_.matches("[0-9a-f]{32}"))))
+  }
+
+  test("lsh index probe: hash-prefiltered two-phase verify ≡ single-phase exact verify") {
+    // r18 (r17 verdict #1): past the rep-count gate the probe prefilters
+    // band candidates on compact per-position xxhash64 arrays and fetches
+    // the md5-string arrays only for survivors. Hash agreement is a
+    // superset of string agreement (equal strings => equal hashes
+    // position-for-position), so the two plans must emit IDENTICAL links.
+    // Force each plan via the gate's system property on the same index.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf001)
+    val half = docs.count() / 2
+    val idx = TmpDirs.create("graft_idx_prefilter").toString
+    ops.Dedup.buildLshIndex(
+      ops.Dedup.sigWithArray(docs.filter(col("doc_id") < half)), idx)
+    def probe(): Set[(Long, Long, Double)] =
+      ops.Dedup.probeLshIndex(spark,
+          ops.Dedup.sigWithArray(docs.filter(col("doc_id") >= half)), idx)
+        .collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("est_jaccard"))).toSet
+    sys.props("graft.lsh.prefilter.minreps") = Long.MaxValue.toString
+    val singlePhase = try probe() finally sys.props.remove("graft.lsh.prefilter.minreps")
+    sys.props("graft.lsh.prefilter.minreps") = "0"
+    val twoPhase = try probe() finally sys.props.remove("graft.lsh.prefilter.minreps")
+    assert(twoPhase == singlePhase,
+      s"prefilter diverged: only-two-phase=${twoPhase -- singlePhase}, " +
+        s"missed=${singlePhase -- twoPhase}")
+    assert(singlePhase.nonEmpty, "fixture must produce at least one link")
+  }
+
   test("substring dedup: coverage is the interval union of duplicated 40-char spans") {
     import spark.implicits._
     // doc 1 and 2 share one exact 60-char block (=> 21 anchor windows

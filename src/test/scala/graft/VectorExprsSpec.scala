@@ -97,6 +97,32 @@ class VectorExprsSpec extends SparkSpec {
     df.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("graft_eq_count on long arrays ≡ declarative fold, and ≡ the string count through xxhash64") {
+    // the compact-signature prefilter branch (r18): position-aligned
+    // xxhash64 twins must agree with the declarative fold, and — since
+    // equal strings hash equal — the long-array count is >= the string
+    // count on the same rows (equality holds absent 64-bit collisions,
+    // which this fixture cannot produce)
+    val alphabet = Seq("aa", "bb", "cc", "dd")
+    val rows = (1 to 300).map { _ =>
+      val n = rnd.nextInt(17)
+      ((1 to n).map(_ => alphabet(rnd.nextInt(alphabet.size))),
+        (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.size))))
+    }
+    def h(c: org.apache.spark.sql.Column) = transform(c, x => xxhash64(x))
+    val df = rows.toDF("a", "b").select(
+      V.graft_eq_count(h(col("a")), h(col("b"))).as("n"),
+      aggregate(zip_with(h(col("a")), h(col("b")),
+        (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("d"),
+      V.graft_eq_count(col("a"), col("b")).as("s"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "long-array count vs declarative fold")
+      assert(r.getInt(0) == r.getInt(2), "hash count must equal string count here")
+    }
+  }
+
   test("graft_shingles ≡ declarative transform-over-sequence for k=2..4, sizes 0..6") {
     val rows = (1 to 200).map { _ =>
       (1 to rnd.nextInt(7)).map(_ => s"w${rnd.nextInt(9)}")
