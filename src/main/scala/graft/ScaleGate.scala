@@ -90,6 +90,16 @@ object ScaleGate {
     "stream_incremental_intake" -> 3.0, "text_dup_scores" -> 3.0,
     "ta_contamination" -> 3.0)
 
+  /** Tables a registered query resolves while being BUILT against `base`
+    * — the staging contract for watch-mode selections (r17 verdict #2).
+    * Builders resolve every table path at build time (batch accessors,
+    * fit-once artifact keys, the streaming stage-as-dir shim all go
+    * through graft.Tables), so recording the build suffices; streaming
+    * builders execute their query as a side effect, which here costs one
+    * untimed 1× run. */
+  private[graft] def touchedTables(s: SparkSession, name: String, base: String): Set[String] =
+    Tables.recordReads { SparkEntry.queries(name)(s, base); () }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.get("SPARK_GRAFT_SCALE_MULT").map(_.toInt).getOrElse(10)
@@ -153,30 +163,14 @@ object ScaleGate {
       f.delete(): Unit
     }
 
-    val bigDir =
-      if (!full) {
-        // watch mode: documents only, the original r12 staging
-        val dir = s"/tmp/graft_scale/x${mult}_" +
-          TmpDirs.md5Hex(Tables.datasetKey(base, "documents")).take(12)
-        val bigTable = new java.io.File(s"$dir/documents.parquet")
-        val docs = Tables.documents(spark, base)
-        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
-        // reuse gated on _SUCCESS, not bare existence (r12 ADVICE): a
-        // crashed write otherwise leaves a partial table that silently
-        // corrupts every later scale measurement
-        if (!complete(bigTable)) {
-          deleteRecursively(bigTable)
-          val t0 = System.nanoTime()
-          (0 until mult).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * maxId)))
-            .reduce(_ unionAll _)
-            .write.mode("overwrite").parquet(bigTable.getPath)
-          println(f"[scale] staged $mult× documents at $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-        } else println(s"[scale] reusing staged $dir")
-        dir
-      } else {
-        val dir = s"/tmp/graft_scale_full/x${mult}_" +
-          md5All(TableKeys.map(_._1)).take(12)
-        TableKeys.foreach { case (name, bigKeys, intKeys, tsCol) =>
+    // disjoint-universe staging of a table subset (full mode: all tables;
+    // watch mode with non-documents selections: exactly the touched ones).
+    // Dir keyed by the staged NAME SET, so full mode keeps its historical
+    // staged-copy cache and each watch subset gets its own
+    def stageUniverse(names: Seq[String]): String = {
+      val dir = s"/tmp/graft_scale_full/x${mult}_" + md5All(names).take(12)
+      TableKeys.filter(t => names.contains(t._1)).foreach {
+        case (name, bigKeys, intKeys, tsCol) =>
           val out = new java.io.File(s"$dir/$name.parquet")
           if (!complete(out)) {
             deleteRecursively(out)
@@ -195,9 +189,62 @@ object ScaleGate {
               .write.mode("overwrite").parquet(out.getPath)
             println(f"[scale] staged $mult× $name in ${(System.nanoTime() - t0) / 1e9}%.1f s")
           }
+      }
+      println(s"[scale] universe [${names.mkString(", ")}] at $dir")
+      dir
+    }
+
+    val bigDir =
+      if (full) stageUniverse(TableKeys.map(_._1))
+      else {
+        // Watch mode used to stage ONLY documents while accepting any
+        // SPARK_GRAFT_SCALE_QUERIES list — a non-documents selection died
+        // mid-sweep on PATH_NOT_FOUND and took every later query with it
+        // (r17 verdict #2, judge-hit live). Detect what the selected
+        // queries actually read by BUILDING each against the base dataset
+        // under the Tables read recorder (builders resolve every table
+        // path at build time; streaming builders execute, costing one
+        // untimed 1× run), then stage accordingly.
+        val touched = queries.map { q =>
+          val t = try touchedTables(spark, q, base) catch {
+            case e: Throwable =>
+              println(s"[scale] FAIL: query $q failed while detecting its tables: ${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+              spark.stop(); sys.exit(1)
+          }
+          println(s"[scale] $q reads [${t.toSeq.sorted.mkString(", ")}]")
+          q -> t
+        }.toMap
+        val allTouched = touched.values.flatten.toSet
+        spark.catalog.clearCache() // detection builds are not measurements
+        if (allTouched.subsetOf(Set("documents"))) {
+          // the original r12 documents-only staging, kept bit-identical so
+          // the default watch list's PERF.md history stays comparable
+          val dir = s"/tmp/graft_scale/x${mult}_" +
+            TmpDirs.md5Hex(Tables.datasetKey(base, "documents")).take(12)
+          val bigTable = new java.io.File(s"$dir/documents.parquet")
+          val docs = Tables.documents(spark, base)
+          val maxId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+          // reuse gated on _SUCCESS, not bare existence (r12 ADVICE): a
+          // crashed write otherwise leaves a partial table that silently
+          // corrupts every later scale measurement
+          if (!complete(bigTable)) {
+            deleteRecursively(bigTable)
+            val t0 = System.nanoTime()
+            (0 until mult).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * maxId)))
+              .reduce(_ unionAll _)
+              .write.mode("overwrite").parquet(bigTable.getPath)
+            println(f"[scale] staged $mult× documents at $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          } else println(s"[scale] reusing staged $dir")
+          dir
+        } else {
+          val known = TableKeys.map(_._1).toSet
+          val unknown = allTouched -- known
+          if (unknown.nonEmpty) {
+            println(s"[scale] FAIL: selected queries read unstageable tables [${unknown.mkString(", ")}]")
+            spark.stop(); sys.exit(1)
+          }
+          stageUniverse(TableKeys.map(_._1).filter(allTouched.contains))
         }
-        println(s"[scale] full universe at $dir")
-        dir
       }
 
     // ------------------------------------------------------------- timing

@@ -11,8 +11,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * many files per table; nothing here assumes a single file.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** When armed (see [[recordReads]]), every table-name resolution against
+    * a dataset dir is recorded — ScaleGate uses this to learn which tables
+    * a selected query actually touches BEFORE staging scaled copies
+    * (r17 verdict #2: watch mode staged only `documents` but accepted any
+    * query list, so a non-documents selection crashed mid-sweep). Both
+    * resolution points record: [[table]] (every batch accessor) and
+    * [[datasetKey]] (fit-once artifact keys + the streaming stage-as-dir
+    * shim) — over-recording a consulted-but-unread table only costs an
+    * extra staged copy; under-recording is the crash. */
+  private val readRecorder =
+    new java.util.concurrent.atomic.AtomicReference[scala.collection.mutable.Set[String]](null)
+
+  /** Run `body` with read recording armed; returns the set of table names
+    * resolved while it ran. Not reentrant; recording is JVM-global. */
+  private[graft] def recordReads[T](body: => T): Set[String] = {
+    val acc = scala.collection.mutable.Set.empty[String]
+    readRecorder.set(acc)
+    try { body; acc.synchronized(acc.toSet) }
+    finally readRecorder.set(null)
+  }
+
+  private def record(name: String): Unit = {
+    val r = readRecorder.get()
+    if (r ne null) { r.synchronized { r += name }; () }
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    record(name)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Cache key for dataset-keyed fit-once artifacts and models:
     * (path, mtime, size) of the backing table file, so a dataset
@@ -21,6 +49,7 @@ object Tables {
     * labels / index / baseline (the ivfKey convention, shared by every
     * artifact cache). */
   def datasetKey(dir: String, name: String): String = {
+    record(name)
     val f = new java.io.File(s"$dir/$name.parquet")
     s"$dir|${f.lastModified}|${f.length}"
   }
