@@ -51,12 +51,22 @@ object SkewDemo {
     * executor count can lower. */
   private[graft] class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
     @volatile var maxMs: Long = 0L
-    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    // largest per-task shuffle-read record count — the DETERMINISTIC twin
+    // of maxMs (r17 ADVICE: the SkewSpec regression gate asserted on
+    // wall-clock ratios, which scheduler noise can flake on a loaded box;
+    // the records a task reads are a pure function of the plan + data)
+    @volatile var maxShuffleRows: Long = 0L
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       if (e.taskInfo != null) {
         val d = e.taskInfo.duration
         if (d > maxMs) maxMs = d
       }
-    def reset(): Unit = maxMs = 0L
+      if (e.taskMetrics != null && e.taskMetrics.shuffleReadMetrics != null) {
+        val r = e.taskMetrics.shuffleReadMetrics.recordsRead
+        if (r > maxShuffleRows) maxShuffleRows = r
+      }
+    }
+    def reset(): Unit = { maxMs = 0L; maxShuffleRows = 0L }
   }
 
   def main(args: Array[String]): Unit = {

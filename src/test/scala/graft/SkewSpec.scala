@@ -89,9 +89,16 @@ class SkewSpec extends SparkSpec {
     // the retired count-over-Window(fp) shape's — the window buffers the
     // whole hot group in one un-splittable task (the wall floor no
     // executor count can lower), the agg collapses it map-side. CI-sized
-    // here (0.4M hot rows vs the demo's 2M; min-of-3 per shape to shed
-    // scheduler noise); skew_demo_r16.json carries the full-size numbers
-    // (window 20.8 s vs agg 4.2 s largest task at 60M rows).
+    // here (0.4M hot rows vs the demo's 2M); skew_demo_r16.json carries
+    // the full-size numbers (window 20.8 s vs agg 4.2 s largest task at
+    // 60M rows). The gate asserts on the largest per-task SHUFFLE-READ
+    // RECORD count — a pure function of plan + data (r17 ADVICE: the
+    // former min-of-3 wall-clock ratio could flake on a loaded or
+    // few-core box even at ~5× real headroom): the window shape must
+    // route all n hot rows into one task (~n + uniques/parts records),
+    // the agg shape's largest task reads only partial-agg outputs
+    // (~uniques/parts records) — a 5× structural gap at 4 shuffle
+    // partitions, asserted at 2×.
     val n = 400000L
     val fp = spark.range(2 * n).select(col("id").as("doc_id"),
         when(col("id") < n, md5(lit("hot")))
@@ -101,26 +108,21 @@ class SkewSpec extends SparkSpec {
     val listener = new SkewDemo.MaxTaskListener
     spark.sparkContext.addSparkListener(listener)
     try {
-      def maxTask(mk: => org.apache.spark.sql.DataFrame): (Double, (Long, Long, Long)) = {
+      def maxRows(mk: => org.apache.spark.sql.DataFrame): (Long, (Long, Long, Long)) = {
         Thread.sleep(200) // drain straggler task-end events
         listener.reset()
         val cs = SkewDemo.checksum(mk)
         Thread.sleep(200)
-        (listener.maxMs / 1e3, cs)
+        (listener.maxShuffleRows, cs)
       }
-      def best3(mk: => org.apache.spark.sql.DataFrame): (Double, (Long, Long, Long)) = {
-        maxTask(mk) // warm (JIT, codegen, broadcast build)
-        val runs = (1 to 3).map(_ => maxTask(mk))
-        assert(runs.map(_._2).distinct.size == 1, "non-deterministic checksum")
-        (runs.map(_._1).min, runs.head._2)
-      }
-      val (wTask, wCs) = best3(SkewDemo.exactWindow(fp))
-      val (aTask, aCs) = best3(SkewDemo.exactAgg(fp))
+      val (wRows, wCs) = maxRows(SkewDemo.exactWindow(fp))
+      val (aRows, aCs) = maxRows(SkewDemo.exactAgg(fp))
       assert(wCs == aCs, s"shapes disagree: window=$wCs agg=$aCs")
       assert(wCs == ((2 * n, n * n + n, n + 1)), s"unexpected stats: $wCs")
-      assert(aTask <= 0.5 * wTask,
-        f"de-windowing regression: agg largest task $aTask%.3f s vs window " +
-          f"$wTask%.3f s — a content-keyed stats window is back in the agg path")
+      assert(wRows >= n, s"window shape must buffer the hot group in one task ($wRows)")
+      assert(aRows * 2 <= wRows,
+        s"de-windowing regression: agg largest task reads $aRows shuffle records vs " +
+          s"window $wRows — a content-keyed stats window is back in the agg path")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       fp.unpersist()
