@@ -1359,13 +1359,69 @@ object Dedup {
   private def substringDedup(s: SparkSession, d: String): DataFrame =
     substringCoverage(T.documents(s, d))
 
+  /** Duplication-factor gate for [[substringCoverage]]'s dictionary
+    * tier: when docs ≥ factor × distinct texts, anchor work runs at
+    * distinct-TEXT scale with multiplicity weights. Overridable via the
+    * `graft.substring.dict.minfactor` system property so specs can force
+    * either path on small fixtures. */
+  private def substringDictMinFactor: Double =
+    sys.props.get("graft.substring.dict.minfactor").map(_.toDouble).getOrElse(2.0)
+
   /** Core of [[substringDedup]] over any (doc_id, text) frame — separate
-    * so specs can pin the interval-union semantics on synthetic corpora. */
+    * so specs can pin the interval-union semantics on synthetic corpora.
+    *
+    * Duplication-gated dictionary tier (r18, the r17 distinct-content
+    * lesson applied to the anchor pipeline): every stat this query emits
+    * is a pure function of (the doc's TEXT, the global duplicated-span
+    * set), and the duplicated-span set itself only needs per-span TOTAL
+    * counts — which distinct texts provide exactly as Σ (per-text count
+    * × text multiplicity). So when the corpus is measurably duplicated
+    * (docs ≥ 2 × distinct texts — ONE cheap agg over xxhash64(text),
+    * gate overridable for specs), the per-CHARACTER anchor explode, the
+    * dup-count shuffle, the semi-join and the island windows all run
+    * over DISTINCT texts only, and per-doc rows come back through an
+    * id-only member join. At 300× the direct path absorbed 35.1 GiB of
+    * anchor-scale spill (750M anchor rows); the dictionary tier keeps
+    * anchor volume at 1× regardless of the duplication factor — the
+    * difference between a measured 300× pass and the 1000× disk
+    * boundary. Below the gate the plan is the direct path with a
+    * constant weight (sum(m)≡count — identical values, same shape). */
   private[graft] def substringCoverage(docs: DataFrame): DataFrame = {
     val base = docs
       .filter(length(col("text")) >= SpanL)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("doc_len"))
+    val counts = base.agg(
+      count(lit(1)), count_distinct(xxhash64(col("text")))).head
+    val (nDocs, nDistinct) = (counts.getLong(0), counts.getLong(1))
+    if (nDistinct == 0 || nDocs < substringDictMinFactor * nDistinct)
+      coverageStats(base.withColumn("m", lit(1L))).orderBy(col("doc_id"))
+    else {
+      // dictionary tier: exact identity grouping on the text itself
+      // (orderable group key — the embedPairs convention, no
+      // hash-collision caveat); members is the only doc-cardinality
+      // frame and carries ids only after its one text-keyed join
+      val groups = FrameCache.cached(base.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m")))
+      val members = groups.select(col("text"), col("rep_id"))
+        .join(base.select(col("doc_id"), col("text")), "text")
+        .select(col("rep_id"), col("doc_id"))
+      val reps = groups.select(col("rep_id").as("doc_id"), col("text"),
+        length(col("text")).cast("long").as("doc_len"), col("m"))
+      coverageStats(reps)
+        .withColumnRenamed("doc_id", "rep_id")
+        .join(members, "rep_id")
+        .select(col("doc_id"), col("dup_anchors"), col("dup_islands"),
+          col("dup_chars"), col("doc_len"), col("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** The anchor → duplicated-span → island-union → per-doc stats
+    * pipeline over a weighted (doc_id, text, doc_len, m) frame; a span
+    * is duplicated when its multiplicity-weighted total occurrence count
+    * is ≥ 2. Unsorted; callers order or expand. */
+  private def coverageStats(base: DataFrame): DataFrame = {
     // span identity travels as a codegen'd 8-byte xxhash64, not the raw
     // span (shuffle carries longs) and not a cryptographic digest; the
     // hash is internal only — output columns never expose it — so the
@@ -1383,10 +1439,11 @@ object Dedup {
     // ngramJaccardCore for why such frames must not hold storage-pool
     // memory away from execution (memoized — FrameCache)
     val anchors = FrameCache.cached(base
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("m"),
         posexplode(graft.functions.VectorExprs.graft_span_hashes(
           col("text"), SpanL)).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")),
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"),
+        col("m")),
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // two consumers (dup agg + semi-join probe): one materialization of
     // the per-position explode+hash pass — the dup-agg stage fills the
@@ -1407,7 +1464,10 @@ object Dedup {
     // eager count = true stats for the semi-join (see exactCore): few
     // duplicated spans -> broadcast semi; rampant duplication -> SMJ +
     // AQE skew-split
-    val dup = FrameCache.eager(anchors.groupBy(col("h")).agg(count(lit(1)).as("n_h"))
+    // multiplicity-weighted span totals: sum(m) over anchors ≡ the
+    // direct path's count when m = 1, and the corpus-wide occurrence
+    // count when anchors are distinct-text rows
+    val dup = FrameCache.eager(anchors.groupBy(col("h")).agg(sum(col("m")).as("n_h"))
       .filter(col("n_h") >= 2)
       .select(col("h")))
     val hits = anchors.join(dup, Seq("h"), "left_semi")
@@ -1432,7 +1492,6 @@ object Dedup {
       .select(col("doc_id"), col("dup_anchors"), col("dup_islands"),
         col("dup_chars"), col("doc_len"),
         round(col("dup_chars").cast("double") / col("doc_len"), 4).as("dup_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   private val substringDedupSql =

@@ -360,6 +360,36 @@ class DedupSpec extends SparkSpec {
     assert(singlePhase.nonEmpty, "fixture must produce at least one link")
   }
 
+  test("substring dedup: duplication-gated dictionary tier ≡ direct path") {
+    // r18: on a measurably duplicated corpus the anchor pipeline runs at
+    // distinct-text scale with multiplicity weights and expands per-doc
+    // rows through an id-only member join. Output must be IDENTICAL to
+    // the direct path — force each via the gate's system property.
+    import spark.implicits._
+    val block = "x" * 60
+    val t1 = "a" * 50 + block + "b" * 50
+    val t2 = "c" * 50 + block + "d" * 50
+    val t3 = "e" * 160
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3), (4L, t1), (5L, t3), (6L, t3))
+      .toDF("doc_id", "text")
+    def run(factor: String) = {
+      sys.props("graft.substring.dict.minfactor") = factor
+      try ops.Dedup.substringCoverage(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      finally sys.props.remove("graft.substring.dict.minfactor")
+    }
+    val direct = run("1e18")
+    val dict = run("1.0")
+    assert(dict == direct, s"dict=$dict direct=$direct")
+    // full-copy docs must be fully covered, and copies carry their
+    // rep's stats exactly
+    val byId = direct.map(r => r._1 -> r).toMap
+    Seq(3L, 5L, 6L).foreach(id => assert(byId(id)._6 == 1.0, s"doc $id"))
+    assert(byId(4L)._2 == byId(1L)._2 && byId(4L)._4 == byId(1L)._4 &&
+      byId(4L)._6 == byId(1L)._6)
+  }
+
   test("substring dedup: coverage is the interval union of duplicated 40-char spans") {
     import spark.implicits._
     // doc 1 and 2 share one exact 60-char block (=> 21 anchor windows
