@@ -142,4 +142,19 @@ private[graft] object FrameCache {
   def eager(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     cached(df, level, eager = true)
+
+  /** (session identity | canonical-plan hash | source snapshot) — the
+    * memoization key for DRIVER-SIDE SCALARS derived from a frame (e.g.
+    * the dictionary gates' duplication counts): unlike [[cached]] block
+    * reuse, a scalar memo survives the harnesses' between-query
+    * `clearCache()`, so a gate-measurement job runs once per dataset
+    * instead of once per call. semanticHash collisions can at worst
+    * serve a stale scalar to a DIFFERENT plan — callers must use this
+    * only for perf decisions whose both outcomes are correct. */
+  private[graft] def scalarKey(df: DataFrame): String = {
+    val analyzed = df.queryExecution.analyzed
+    s"${System.identityHashCode(df.sparkSession)}|" +
+      s"${analyzed.canonicalized.semanticHash()}|" +
+      fingerprintOf(rootPaths(analyzed))
+  }
 }

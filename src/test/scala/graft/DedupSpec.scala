@@ -360,6 +360,34 @@ class DedupSpec extends SparkSpec {
     assert(singlePhase.nonEmpty, "fixture must produce at least one link")
   }
 
+  test("ngram jaccard: duplication-gated dictionary tier ≡ direct path") {
+    // r18: identical texts have identical shingle sets, so past the
+    // measured gate the capped universe / sizes / pair stats compute at
+    // distinct-text scale with weighted df and expand through id-only
+    // member joins; within-group pairs carry (k surviving shingles,
+    // jaccard 1.0). Force both paths and pin the exact pair set.
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "alpha beta gamma delta epsilon eta"
+    val t3 = "one two three four five six"
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3), (4L, t1), (5L, t3), (6L, t3))
+      .toDF("doc_id", "text")
+    def run(factor: String) = {
+      sys.props("graft.ngram.dict.minfactor") = factor
+      try ops.Dedup.ngramJaccardCore(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      finally sys.props.remove("graft.ngram.dict.minfactor")
+    }
+    val direct = run("1e18")
+    val dict = run("1.0")
+    assert(dict == direct, s"dict=$dict direct=$direct")
+    assert(direct == Set(
+      (1L, 2L, 3L, 0.6), (2L, 4L, 3L, 0.6), // cross-group: 3 of 5 shingles
+      (1L, 4L, 4L, 1.0),                    // within t1's pair
+      (3L, 5L, 4L, 1.0), (3L, 6L, 4L, 1.0), (5L, 6L, 4L, 1.0)),
+      s"got $direct")
+  }
+
   test("substring dedup: duplication-gated dictionary tier ≡ direct path") {
     // r18: on a measurably duplicated corpus the anchor pipeline runs at
     // distinct-text scale with multiplicity weights and expands per-doc
