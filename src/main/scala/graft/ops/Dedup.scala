@@ -309,16 +309,17 @@ object Dedup {
 
   /** Memoized (docs, distinct texts) counts for the dictionary gates — a
     * pure function of the input frame and its backing files
-    * ([[FrameCache.scalarKey]]), so the one-job measurement runs once
-    * per dataset per JVM instead of once per call: the harnesses'
+    * ([[FrameCache.ScalarMemo]]: stable plan key, file snapshot as a
+    * replace-on-mismatch validity check), so the one-job measurement runs
+    * once per dataset per JVM instead of once per call: the harnesses'
     * between-query clearCache must not turn the gate into a standing
     * ~0.3 s receipt tax (measured on dedup_ngram_jaccard). */
-  private val dupCounts = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
-  private def duplicationOf(docs: DataFrame): (Long, Long) =
-    dupCounts.getOrElseUpdate(FrameCache.scalarKey(docs), {
+  private[graft] val dupCounts = new FrameCache.ScalarMemo[(Long, Long)]
+  private[graft] def duplicationOf(docs: DataFrame): (Long, Long) =
+    dupCounts.getOrCompute(docs) {
       val r = docs.agg(count(lit(1)), count_distinct(xxhash64(col("text")))).head
       (r.getLong(0), r.getLong(1))
-    })
+    }
 
   /** Core of [[ngramJaccard]] over any (doc_id, text) frame — separate so
     * DedupSpec can pin the df-cap semantics on a synthetic hot-shingle
@@ -349,8 +350,14 @@ object Dedup {
       val (pairs, _) = ngramPairs(docs, weighted = false)
       pairs.orderBy(col("id_a"), col("id_b"))
     } else {
+      // DISK_ONLY: the groups frame carries full document TEXTS, and at
+      // the 2.0 gate boundary distinct texts can be ~half the corpus —
+      // corpus-scale frames must not hold storage-pool memory away from
+      // execution (the UNABLE_TO_ACQUIRE_MEMORY class; same rule as the
+      // anchor/shingle frames, r18 ADVICE)
       val groups = FrameCache.cached(docs.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m")))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m")),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val members = groups.select(col("text"), col("rep_id"))
         .join(docs.select(col("doc_id"), col("text")), "text")
         .select(col("rep_id"), col("doc_id"))
@@ -1152,7 +1159,13 @@ object Dedup {
   // half, and signatures are per-doc independent, so whichever caller
   // builds first serves both. Temp trees are registered with
   // graft.TmpDirs' single shutdown hook.
-  private val lshIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  // keyed by dataset DIR with the (path, mtime, size) datasetKey stored
+  // as a replace-on-mismatch validity check (r18 ADVICE: fingerprint-in-
+  // key memos accrete one entry per dataset regeneration for the JVM
+  // lifetime); replacing also evicts the superseded tree's idxRepCounts
+  // row, so both memos stay bounded by LIVE datasets
+  private[graft] val lshIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** Rep-count gate for the probe's two-phase (hash-prefiltered) verify:
     * below this many DISTINCT index signatures the single-phase exact
@@ -1169,20 +1182,34 @@ object Dedup {
 
   /** Distinct-signature count of a persisted index — a parquet
     * metadata-only count, memoized per index tree (the probe runs once
-    * per micro-batch on the streaming path). */
-  private val idxRepCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+    * per micro-batch on the streaming path). Entries of superseded trees
+    * are evicted by [[corpusLshIndex]] when their dataset regenerates. */
+  private[graft] val idxRepCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def idxRepCount(s: SparkSession, idx: String): Long =
     idxRepCounts.getOrElseUpdate(idx,
       s.read.schema("doc_id BIGINT").parquet(s"$idx/sigs").count())
 
   /** Path of the fit-once persisted LSH index for dataset `d`'s corpus
     * half; `corpusSig` is only evaluated (and the index only written) on
-    * the first call per dataset. */
-  private[graft] def corpusLshIndex(d: String, corpusSig: => DataFrame): String =
-    lshIndexes.getOrElseUpdate(T.datasetKey(d, "documents"),
-      graft.ModelStore.ensureTree(T.datasetKey(d, "documents"), "lsh_index") { b =>
-        buildLshIndex(corpusSig, b.toString)
-      })
+    * the first call per dataset snapshot — a regenerated dataset at the
+    * same dir replaces its entry (and the superseded tree's rep-count
+    * memo) instead of accreting one per fingerprint. */
+  private[graft] def corpusLshIndex(d: String, corpusSig: => DataFrame): String = {
+    val fp = T.datasetKey(d, "documents")
+    lshIndexes.get(d) match {
+      case Some((f, idx)) if f == fp => idx
+      case prev =>
+        // the build runs OUTSIDE any Dedup-global lock (the FrameCache
+        // lock-across-job lesson); ModelStore's per-(key, tag) locks
+        // already make racing same-JVM builders build the tree once
+        val idx = graft.ModelStore.ensureTree(fp, "lsh_index") { b =>
+          buildLshIndex(corpusSig, b.toString)
+        }
+        prev.foreach { case (_, old) => idxRepCounts.remove(old): Unit }
+        lshIndexes.put(d, (fp, idx))
+        idx
+    }
+  }
 
   private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = T.documents(s, d)
@@ -1488,8 +1515,11 @@ object Dedup {
       // (orderable group key — the embedPairs convention, no
       // hash-collision caveat); members is the only doc-cardinality
       // frame and carries ids only after its one text-keyed join
+      // DISK_ONLY: full texts at up-to-half-corpus scale (see
+      // ngramJaccardCore's groups frame — same r18 ADVICE rule)
       val groups = FrameCache.cached(base.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m")))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m")),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val members = groups.select(col("text"), col("rep_id"))
         .join(base.select(col("doc_id"), col("text")), "text")
         .select(col("rep_id"), col("doc_id"))

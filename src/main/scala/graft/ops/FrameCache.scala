@@ -97,45 +97,57 @@ private[graft] object FrameCache {
     */
   def cached(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      eager: Boolean = false): DataFrame = synchronized {
-    frames.filterInPlace { case (_, e) => !e.session.sparkContext.isStopped }
-    val s = df.sparkSession
-    val analyzed = df.queryExecution.analyzed
-    val plan = analyzed.canonicalized
-    val k = s"${System.identityHashCode(s)}|${plan.semanticHash()}"
-    // identityHashCode is not unique across a GC'd-then-reallocated
-    // session, and semanticHash can collide — verify the stored SESSION
-    // and PLAN identity, not just the key (the cachedCorpusFrame
-    // convention), and rebind to the caller's frame on mismatch
-    def rebind(): Entry = {
-      val paths = rootPaths(analyzed)
-      val e = new Entry(s, plan, df, paths, fingerprintOf(paths))
-      frames.put(k, e)
-      e
+      eager: Boolean = false): DataFrame = {
+    // Global lock covers only lookup/registration (driver-side map work +
+    // file stats); the persist and the eager count — a full Spark JOB —
+    // run under the ENTRY's lock, so concurrent callers serialize only
+    // when sharing a frame (where the barrier is the point: they must not
+    // race to fill the cache) and never behind an unrelated plan's job
+    // (r18 ADVICE: the warm-up's concurrent fits and streaming
+    // micro-batch threads all route through here).
+    val entry = synchronized {
+      frames.filterInPlace { case (_, e) => !e.session.sparkContext.isStopped }
+      val s = df.sparkSession
+      val analyzed = df.queryExecution.analyzed
+      val plan = analyzed.canonicalized
+      val k = s"${System.identityHashCode(s)}|${plan.semanticHash()}"
+      // identityHashCode is not unique across a GC'd-then-reallocated
+      // session, and semanticHash can collide — verify the stored SESSION
+      // and PLAN identity, not just the key (the cachedCorpusFrame
+      // convention), and rebind to the caller's frame on mismatch
+      def rebind(): Entry = {
+        val paths = rootPaths(analyzed)
+        val e = new Entry(s, plan, df, paths, fingerprintOf(paths))
+        frames.put(k, e)
+        e
+      }
+      frames.get(k) match {
+        case Some(e) if (e.session eq s) && e.plan == plan =>
+          if (fingerprintOf(e.paths) == e.fingerprint) e
+          else {
+            // dataset regenerated at the same path: the memoized frame's
+            // captured file listing is stale — drop its blocks and serve
+            // the caller's fresh read (r17 ADVICE). unpersist is
+            // non-blocking: no job runs under the global lock.
+            e.df.unpersist()
+            rebind()
+          }
+        case _ => rebind() // vacant, or a hash collision: leave the other
+                           // plan's frame persisted and take the slot
+      }
     }
-    val entry = frames.get(k) match {
-      case Some(e) if (e.session eq s) && e.plan == plan =>
-        if (fingerprintOf(e.paths) == e.fingerprint) e
-        else {
-          // dataset regenerated at the same path: the memoized frame's
-          // captured file listing is stale — drop its blocks and serve
-          // the caller's fresh read (r17 ADVICE)
-          e.df.unpersist()
-          rebind()
-        }
-      case _ => rebind() // vacant, or a hash collision: leave the other
-                         // plan's frame persisted and take the slot
+    entry.synchronized {
+      val f = entry.df
+      if (f.storageLevel == StorageLevel.NONE) {
+        f.persist(level)
+        entry.eagerDone = false
+      }
+      if (eager && !entry.eagerDone) {
+        f.count()
+        entry.eagerDone = true
+      }
+      f
     }
-    val f = entry.df
-    if (f.storageLevel == StorageLevel.NONE) {
-      f.persist(level)
-      entry.eagerDone = false
-    }
-    if (eager && !entry.eagerDone) {
-      f.count()
-      entry.eagerDone = true
-    }
-    f
   }
 
   /** [[cached]] with the eager materialization-barrier count. */
@@ -143,18 +155,38 @@ private[graft] object FrameCache {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     cached(df, level, eager = true)
 
-  /** (session identity | canonical-plan hash | source snapshot) — the
-    * memoization key for DRIVER-SIDE SCALARS derived from a frame (e.g.
-    * the dictionary gates' duplication counts): unlike [[cached]] block
+  /** Memo for DRIVER-SIDE SCALARS derived from a frame (e.g. the
+    * dictionary gates' duplication counts): unlike [[cached]] block
     * reuse, a scalar memo survives the harnesses' between-query
     * `clearCache()`, so a gate-measurement job runs once per dataset
-    * instead of once per call. semanticHash collisions can at worst
-    * serve a stale scalar to a DIFFERENT plan — callers must use this
-    * only for perf decisions whose both outcomes are correct. */
-  private[graft] def scalarKey(df: DataFrame): String = {
-    val analyzed = df.queryExecution.analyzed
-    s"${System.identityHashCode(df.sparkSession)}|" +
-      s"${analyzed.canonicalized.semanticHash()}|" +
-      fingerprintOf(rootPaths(analyzed))
+    * instead of once per call.
+    *
+    * Keyed on the STABLE identity (session | canonical-plan hash) with
+    * the source-file (path, mtime, size) snapshot stored as a validity
+    * check — a regenerated dataset at the same path REPLACES its entry
+    * instead of accreting a new one per fingerprint (r18 ADVICE: the
+    * fingerprint-in-key scheme grew unboundedly in long-lived JVMs that
+    * cycle datasets — spec suites, watch loops).
+    *
+    * semanticHash collisions can at worst serve a stale scalar to a
+    * DIFFERENT plan — callers must use this only for perf decisions
+    * whose both outcomes are correct. */
+  private[graft] final class ScalarMemo[V] {
+    private val m =
+      scala.collection.concurrent.TrieMap.empty[String, (String, V)]
+    def getOrCompute(df: DataFrame)(compute: => V): V = {
+      val analyzed = df.queryExecution.analyzed
+      val k = s"${System.identityHashCode(df.sparkSession)}|" +
+        s"${analyzed.canonicalized.semanticHash()}"
+      val fp = fingerprintOf(rootPaths(analyzed))
+      m.get(k) match {
+        case Some((f, v)) if f == fp => v
+        case _ =>
+          val v = compute
+          m.put(k, (fp, v))
+          v
+      }
+    }
+    private[graft] def size: Int = m.size
   }
 }

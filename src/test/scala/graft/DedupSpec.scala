@@ -300,6 +300,35 @@ class DedupSpec extends SparkSpec {
     assert(combined.nonEmpty, "fixture must produce at least one cross-split link")
   }
 
+  test("fit-once lsh index: dataset regeneration replaces the memo entry") {
+    // r18 ADVICE: fingerprint-in-key memos (lshIndexes, idxRepCounts)
+    // accreted one entry per dataset regeneration at the same path for
+    // the JVM lifetime. The index memo now keys on the dataset DIR with
+    // the (path, mtime, size) snapshot as a replace-on-mismatch validity
+    // check, and replacing evicts the superseded tree's rep-count row.
+    import spark.implicits._
+    val dir = TmpDirs.create("graft_idx_evict").toString
+    def gen(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, s"some repeated text body $i alpha beta gamma delta"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    gen(8)
+    def docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx1 = ops.Dedup.corpusLshIndex(dir, ops.Dedup.sigWithArray(docs))
+    assert(ops.Dedup.corpusLshIndex(dir, ops.Dedup.sigWithArray(docs)) == idx1,
+      "same snapshot must serve the memoized tree")
+    ops.Dedup.idxRepCounts.put(idx1, 99L) // simulate a probe's rep-count memo
+    Thread.sleep(20) // ensure the (mtime, size) snapshot moves
+    gen(12)
+    val idx2 = ops.Dedup.corpusLshIndex(dir, ops.Dedup.sigWithArray(docs))
+    assert(idx2 != idx1, "a regenerated dataset must get a fresh tree")
+    assert(ops.Dedup.lshIndexes.get(dir).exists(_._2 == idx2) &&
+      !ops.Dedup.lshIndexes.values.exists(_._2 == idx1),
+      "the superseded entry must be REPLACED, not accreted")
+    assert(!ops.Dedup.idxRepCounts.contains(idx1),
+      "the superseded tree's rep-count memo must be evicted")
+  }
+
   test("native minhash16 signatures ≡ declarative dict-join chain, element-exact") {
     // r18: the fused per-doc native pass (one md5 per (shingle, perm),
     // map-only) must reproduce the retired explode → distinct-shingle

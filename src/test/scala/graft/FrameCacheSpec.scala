@@ -99,4 +99,62 @@ class FrameCacheSpec extends SparkSpec {
     assert(spark.sparkContext.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
       "eager() after a lazy registration must run the barrier count")
   }
+
+  test("concurrent callers on distinct plans don't serialize into deadlock") {
+    // r18 ADVICE: the global monitor used to be held across persist AND
+    // the eager count (a full Spark job), serializing every concurrent
+    // caller behind it. The lock is now global-for-lookup, per-entry for
+    // the job. This pins the two-lock design's safety: concurrent mixed
+    // eager/lazy calls over distinct and shared plans complete, memoize
+    // to single entries, and return correct results. (Lock ordering is
+    // global→entry only, so deadlock is impossible by construction; this
+    // exercises it under real contention.)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val sums = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val futures = (0 until 8).map { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          val n = 7000 + (i % 4) * 100 // 4 distinct plans, each shared by 2 threads
+          val f = FrameCache.eager(frame(n.toLong))
+          sums.add((n, f.agg(sum(col("s"))).head.getLong(0)))
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(f => f.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    sums.forEach { case (n, s) => assert(s == (0L until n.toLong).sum) }
+    // shared plans memoized: 2 threads per plan returned the same frame
+    (0 until 4).foreach { j =>
+      val n = 7000 + j * 100
+      val a = FrameCache.cached(frame(n.toLong))
+      assert(a.storageLevel != StorageLevel.NONE)
+    }
+  }
+
+  test("ScalarMemo replaces a superseded snapshot instead of accreting") {
+    // r18 ADVICE: fingerprint-in-key scalar memos grew one entry per
+    // dataset regeneration at the same path, unbounded in long-lived
+    // JVMs. The memo now keys on the stable (session, plan) identity and
+    // stores the file snapshot as a replace-on-mismatch validity check.
+    val memo = new FrameCache.ScalarMemo[Long]
+    val dir = TmpDirs.create("graft_scalar_memo")
+    val p = dir.resolve("t.parquet").toString
+    spark.range(10).write.mode("overwrite").parquet(p)
+    var computes = 0
+    def read() = spark.read.parquet(p)
+    def count() = memo.getOrCompute(read()) { computes += 1; read().count() }
+    assert(count() == 10 && computes == 1)
+    assert(count() == 10 && computes == 1, "same snapshot must serve the memo")
+    assert(memo.size == 1)
+    Thread.sleep(20) // ensure the (mtime, size) snapshot moves
+    spark.range(25).write.mode("overwrite").parquet(p)
+    assert(count() == 25 && computes == 2,
+      "a regenerated dataset must recompute, not serve the stale scalar")
+    assert(memo.size == 1,
+      "the superseded snapshot's entry must be REPLACED, not accreted")
+  }
 }
