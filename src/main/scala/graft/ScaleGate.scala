@@ -58,6 +58,27 @@ object ScaleGate {
     "dedup_ngram_jaccard", "ta_winnowing", "mm_dedup_cluster",
     "ta_token_pagerank", "scc_run_summary")
 
+  /** Pinned 1000× watch registry (r18 verdict #3 / Missing #1): the
+    * most scale-sensitive queries, run at 1000× as ONE artifact per
+    * round (`SPARK_GRAFT_SCALE_QUERIES=@watch1000`,
+    * SPARK_GRAFT_SCALE_MULT=1000, reps=1 — see ROUND_CLOSE.md). The
+    * selection: the heavy dedup family (occurrence-scale shuffles /
+    * dictionary tiers), the CC-fixpoint and graph queries, the global
+    * range sort (zorder), the stateful streaming shapes, the curation
+    * pipeline, the sketch contracts, and the 64-bit pHash clustering —
+    * every operator whose 100× behavior has ever moved round-over-round.
+    * Membership is PINNED so the artifact diffs cleanly across rounds;
+    * add, don't swap, when a new scale-sensitive query lands. */
+  private[graft] val Watch1000 = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_substring", "dedup_simhash", "dedup_levenshtein",
+    "dedup_embed_cosine", "dedup_cluster_rep", "dedup_incremental",
+    "dedup_contamination", "stream_incremental_intake",
+    "ta_contamination", "ta_curation_pipeline", "ta_winnowing",
+    "ta_token_pagerank", "ta_token_triangles", "rel_zorder_contract",
+    "stream_stream_join", "stream_session_window",
+    "sketch_hll_contract", "sketch_bloom_contract", "mm_phash64_cluster")
+
   /** (bigint keys, int keys, optional timestamp col) per driver table. */
   private val TableKeys: Seq[(String, Seq[String], Seq[String], Option[String])] = Seq(
     ("region", Nil, Seq("r_regionkey"), None),
@@ -105,7 +126,10 @@ object ScaleGate {
     val mult = sys.env.get("SPARK_GRAFT_SCALE_MULT").map(_.toInt).getOrElse(10)
     val full = sys.env.get("SPARK_GRAFT_SCALE_FULL").exists(v => v == "1" || v == "true")
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
-      .map(_.split(",").map(_.trim).toSeq)
+      .map {
+        case "@watch1000" => Watch1000
+        case s => s.split(",").map(_.trim).toSeq
+      }
       .getOrElse(if (full) SparkEntry.queries.keys.toSeq.sorted else DefaultWatch)
     val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt)
       .getOrElse(if (full) 1 else 2)

@@ -206,6 +206,26 @@ object Text {
     org.apache.spark.sql.graft.GraftSqlShim.column(
       GraftCountIn(org.apache.spark.sql.graft.GraftSqlShim.expression(arr), words))
 
+  /** Fused `[n_raw, stop_hits, punct_chars, n_chars]` quality-signal pass
+    * over a text column, as the native [[GraftQualitySignals]] expression
+    * (see [[GraftTokenizer.qualitySignals]] for the pinned semantics).
+    * Declarative twin below; TokenizerExprSpec pins ≡. */
+  def qualitySignals(text: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShim.column(
+      GraftQualitySignals(org.apache.spark.sql.graft.GraftSqlShim.expression(text)))
+
+  /** The pre-r19 declarative formulation of [[qualitySignals]] — the
+    * exact per-signal chains ta_curation_pipeline paid per row, kept as
+    * the in-engine parity twin. */
+  private[graft] def hofQualitySignals(text: Column): Column = {
+    val rt = split(lower(text), " ")
+    array(
+      size(rt),
+      size(filter(rt, t => t.isInCollection(STOPWORDS))),
+      length(text) - length(regexp_replace(text, "[^a-z0-9 ]", "")),
+      length(text))
+  }
+
   /** The pre-r15 declarative (higher-order-function) formulation, kept as
     * the in-engine parity twin for the native expression: the word-list
     * stage is its OWN transform over the stage-1 arrays — not nested in

@@ -266,6 +266,66 @@ object GraftTokenizer {
     new GenericArrayData(out.toArray)
   }
 
+  /** Fused per-row quality-signal pass (r19, the graft_cp_stats
+    * precedent — r18 verdict #4): `[n_raw, stop_hits, punct_chars,
+    * n_chars]` as one expression, replacing the three separate text
+    * passes the curation filter paid per row (the `split(lower(text))`
+    * array materialization + countIn, and the `regexp_replace(text,
+    * "[^a-z0-9 ]")` regex-engine pass + string copy — the dominant cost
+    * at 100×). Semantics are EXACTLY the declarative chain's
+    * (TokenizerExprSpec pins ≡ on the torture corpus + random unicode):
+    *
+    *  - n_raw       = size(split(lower(text), " ")) — segments between
+    *                  single-space separators, trailing empties kept
+    *                  (Spark split limit -1; DuckDB string_split): i.e.
+    *                  #spaces + 1. Spaces are case-stable, so the count
+    *                  reads the ORIGINAL bytes.
+    *  - stop_hits   = countIn(that split, STOPWORDS) — membership of the
+    *                  raw lowercased segments, empties never match.
+    *  - punct_chars = length(text) − length(regexp_replace(text,
+    *                  "[^a-z0-9 ]", "")) — CODE POINTS of the original
+    *                  (un-lowered) text outside {a–z, 0–9, space}; both
+    *                  regex twins and UTF8String.numChars count code
+    *                  points, so a byte walk that skips UTF-8
+    *                  continuation bytes (10xxxxxx) computes the same.
+    *  - n_chars     = length(text) — code points.
+    *
+    * Two tight byte walks (original bytes, then the lowercased copy for
+    * segment membership), zero regex, zero per-token allocation. */
+  def qualitySignals(input: UTF8String): ArrayData = {
+    val nb = input.numBytes()
+    var punct = 0
+    var chars = 0
+    var nRaw = 1
+    var i = 0
+    while (i < nb) {
+      val b = input.getByte(i)
+      if ((b & 0xC0) != 0x80) { // code-point head byte
+        chars += 1
+        if (b == ' ') nRaw += 1
+        else if (!((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')))
+          punct += 1 // uppercase and every multi-byte head byte included,
+                     // exactly what [^a-z0-9 ] matches on the raw text
+      }
+      i += 1
+    }
+    val lower = input.toLowerCase
+    val lb = lower.numBytes()
+    var stopHits = 0
+    var start = 0
+    i = 0
+    while (i <= lb) {
+      if (i == lb || lower.getByte(i) == ' ') {
+        if (i > start && stopsU.contains(UTF8String.fromAddress(
+            lower.getBaseObject, lower.getBaseOffset + start, i - start)))
+          stopHits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array[Any](nRaw, stopHits, punct, chars))
+  }
+
   /** `size(filter(arr, _.isInCollection(words)))` natively: membership
     * hits in a pinned word set (stop-ratio and lang-id signals). Null
     * cells contribute nothing (the 3VL filter drops them). */
@@ -334,6 +394,30 @@ case class GraftLemmaStop(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_lemma_stop"
+}
+
+/** Native fused quality-signal pass over a string column:
+  * `[n_raw, stop_hits, punct_chars, n_chars]` ints — see
+  * [[GraftTokenizer.qualitySignals]]. */
+case class GraftQualitySignals(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftTokenizer.qualitySignals(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftTokenizer.qualitySignals($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_quality_signals"
 }
 
 /** Native membership-hit counter over an array<string> column against a

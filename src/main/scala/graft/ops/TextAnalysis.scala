@@ -1282,27 +1282,53 @@ object TextAnalysis {
     * and a 3-group aggregate — no driver materialization anywhere.
     *
     * r14 shave (r13 verdict #3 — worst 10× warm ratio in the registry,
-    * 5.91×, per-doc CPU-bound): (a) the raw whitespace split is
-    * materialized ONCE and feeds all three signals (toks via
-    * [[graft.functions.Text.tokensOfSplit]], n_raw, stop_hits) — the old
-    * shape re-lowered and re-split the text three times per row;
-    * (b) keep-lowest-doc_id dedup is a hash AGGREGATE
-    * (min(struct(doc_id, n_toks)) — struct min orders by doc_id first),
-    * not a min-over-window: same survivor, but partial aggregation
-    * replaces the window's full sort-per-partition, and only
-    * (fp, doc_id, n_toks) reaches the exchange. */
+    * 5.91×, per-doc CPU-bound): keep-lowest-doc_id dedup is a hash
+    * AGGREGATE (min(struct(doc_id, n_toks)) — struct min orders by
+    * doc_id first), not a min-over-window: same survivor, but partial
+    * aggregation replaces the window's full sort-per-partition, and only
+    * (fp, doc_id, n_toks) reaches the exchange.
+    *
+    * r19 shave (r18 verdict #4 — the registry's worst 100× ratio, 28.5,
+    * still per-doc CPU): the filter's three signal passes per row (the
+    * `split(lower(text))` array materialization feeding n_raw/stop_hits
+    * and the `regexp_replace(text, "[^a-z0-9 ]")` regex pass + string
+    * copy for punct_chars) fuse into ONE native expression
+    * ([[graft.functions.Text.qualitySignals]] →
+    * [n_raw, stop_hits, punct_chars, n_chars], two allocation-free byte
+    * walks, the graft_cp_stats precedent), with tokens coming straight
+    * off the text via the native tokenizer. The signal columns are
+    * projected once and referenced by name so codegen's subexpression
+    * elimination evaluates the pass once per row (the r14 shared-split
+    * convention). Oracle twin unchanged — the signals' VALUES are
+    * pinned ≡ the declarative chains in TokenizerExprSpec. */
   private def curationPipeline(s: SparkSession, d: String): DataFrame = {
-    val base = T.documents(s, d)
-      .withColumn("rt", rawToks(col("text")))
-      .withColumn("toks", Text.tokensOfSplit(col("rt")))
+    // `-Dgraft.curation.signals=legacy` forces the pre-r19 per-signal
+    // plan — kept for the same-box A/B artifact and the spec that pins
+    // both paths output-identical; never set in production
+    val legacy = sys.props.get("graft.curation.signals").contains("legacy")
+    val withSignals =
+      if (legacy)
+        T.documents(s, d)
+          .withColumn("rt", rawToks(col("text")))
+          .withColumn("toks", Text.tokensOfSplit(col("rt")))
+          .withColumn("n_raw", size(col("rt")))
+          .withColumn("stop_hits", hits(col("rt"), Text.STOPWORDS))
+          .withColumn("punct_chars",
+            length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .withColumn("n_chars", length(col("text")))
+      else
+        T.documents(s, d)
+          .withColumn("qs", Text.qualitySignals(col("text")))
+          .withColumn("toks", Text.tokens(col("text")))
+          .withColumn("n_raw", element_at(col("qs"), 1))
+          .withColumn("stop_hits", element_at(col("qs"), 2))
+          .withColumn("punct_chars", element_at(col("qs"), 3))
+          .withColumn("n_chars", element_at(col("qs"), 4))
+    val base = withSignals
       .withColumn("n_toks", size(col("toks")).cast("long"))
-      .withColumn("n_raw", size(col("rt")))
-      .withColumn("stop_hits", hits(col("rt"), Text.STOPWORDS))
-      .withColumn("punct_chars",
-        length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
       .filter(col("n_toks") >= 3 &&
         col("stop_hits").cast("double") / col("n_raw") <= 0.6 &&
-        col("punct_chars").cast("double") / greatest(length(col("text")), lit(1)) <= 0.3)
+        col("punct_chars").cast("double") / greatest(col("n_chars"), lit(1)) <= 0.3)
     val kept = base
       .withColumn("fp", md5(array_join(col("toks"), " ")))
       .groupBy(col("fp"))

@@ -12,6 +12,15 @@ class ScaleGateSpec extends SparkSpec {
     assert(ScaleGate.touchedTables(spark, "text_top_tokens", sf001) == Set("documents"))
   }
 
+  test("watch1000 registry: every pinned name is a registered query") {
+    // r19 (r18 verdict #3): the 1000× watch list is pinned in-source; a
+    // renamed or retired query must fail HERE, not mid-sweep at 1000×.
+    val missing = ScaleGate.Watch1000.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"watch1000 names not in registry: $missing")
+    assert(ScaleGate.Watch1000.size == ScaleGate.Watch1000.distinct.size)
+    assert(ScaleGate.Watch1000.size >= 20)
+  }
+
   test("touchedTables: the judge's crash case reports embeddings") {
     // dedup_embed_cosine reads the embeddings table (via the fit-once
     // pair artifact) — the table watch mode failed to stage

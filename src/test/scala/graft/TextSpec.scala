@@ -526,6 +526,20 @@ class TextSpec extends SparkSpec {
       (y - 20) / 24 >= 1 && (y - 20) / 24 <= 10), "rank grid violated")
   }
 
+  test("curation pipeline: fused-signals plan ≡ legacy per-signal plan") {
+    // r19 (r18 verdict #4): the quality filter's signals fused into one
+    // native pass (graft_quality_signals); the pre-r19 per-signal plan
+    // stays reachable via -Dgraft.curation.signals=legacy for the
+    // same-box A/B. Both must emit identical rows.
+    def run() = SparkEntry.queries("ta_curation_pipeline")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val native = run()
+    sys.props("graft.curation.signals") = "legacy"
+    val legacy = try run() finally sys.props.remove("graft.curation.signals")
+    assert(native == legacy, s"plans diverged: native=$native legacy=$legacy")
+    assert(native.nonEmpty && native.map(_._1) == native.map(_._1).sorted)
+  }
+
   test("fused token scrub ≡ edge-strip then clitic-strip ×2 (r13 hot-path fusion)") {
     import graft.functions.Text
     // The fused single-regex scrub exists because the per-token lambda is

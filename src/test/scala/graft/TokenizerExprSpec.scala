@@ -92,6 +92,37 @@ class TokenizerExprSpec extends SparkSpec {
     df.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("native GraftQualitySignals ≡ declarative signal chains, element-exact") {
+    // r19 (r18 verdict #4): the fused [n_raw, stop_hits, punct_chars,
+    // n_chars] pass must reproduce each declarative chain exactly —
+    // including split's kept trailing empties (n_raw = spaces + 1), the
+    // CODE-POINT semantics of the [^a-z0-9 ] punct count on the
+    // UN-lowered text (uppercase counts as punct; one count per
+    // multi-byte character, not per byte), and empty-string edges.
+    val edge = Seq("", " ", "  ", "a  b ", "the and of", "THE", "Ωμέγα café",
+      "a,b the. 1 2 3", "don't the\nand", "ALL CAPS 99  ")
+    val df = (corpus ++ edge).toDF("text")
+      .select(
+        Text.qualitySignals(col("text")).as("native"),
+        Text.hofQualitySignals(col("text")).as("hof"))
+      .collect()
+    assert(df.nonEmpty)
+    df.zip(corpus ++ edge).foreach { case (r, src) =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"signal divergence on <$src>: native=${r.getSeq[Int](0)} hof=${r.getSeq[Int](1)}")
+    }
+  }
+
+  test("native GraftQualitySignals ≡ declarative on the documents table") {
+    val df = Tables.documents(spark, sf001)
+      .select(
+        Text.qualitySignals(col("text")).as("native"),
+        Text.hofQualitySignals(col("text")).as("hof"))
+      .collect()
+    assert(df.nonEmpty)
+    df.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
   test("bare tis/twas stay whole; apostrophe forms split (r14 ADVICE #2)") {
     // NLTK's CONTRACTIONS2 requires the apostrophe (\b('t)(is)\b), so
     // word_tokenize("tis") == ["tis"] — the pre-r15 post-strip word list
