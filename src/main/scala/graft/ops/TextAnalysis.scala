@@ -72,18 +72,39 @@ object TextAnalysis {
     * definition of the curation quality scalar, shared with
     * [[Dedup]]'s cluster-representative selection (same rounding chain,
     * so both sides agree bit-for-bit with the DuckDB twin). */
-  private[ops] def withQuality(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("len_chars", length(col("text")))
-      .withColumn("n_tok", size(split(col("text"), " ")))
-      .withColumn("stop_hits", hits(rawToks(col("text")), Text.STOPWORDS))
-      .withColumn("punct_chars",
-        length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+  private[ops] def withQuality(docs: DataFrame): DataFrame = {
+    // r19: the signal columns come from the fused graft_quality_signals
+    // pass (the ta_curation_pipeline shave — dedup_cluster_rep's quality
+    // scan was paying the same regex + split chains at 100×, ratio 17.5).
+    // Values are IDENTICAL by construction: n_tok = size(split(text, " "))
+    // equals the fused n_raw (lowercasing never changes the space count —
+    // both are #spaces + 1), len_chars/stop_hits/punct_chars are the
+    // pinned twins (TokenizerExprSpec). `-Dgraft.quality.signals=legacy`
+    // forces the pre-r19 per-signal plan for the same-box A/B; a spec
+    // pins both paths output-identical.
+    val sig =
+      if (sys.props.get("graft.quality.signals").contains("legacy"))
+        docs
+          .withColumn("len_chars", length(col("text")))
+          .withColumn("n_tok", size(split(col("text"), " ")))
+          .withColumn("stop_hits", hits(rawToks(col("text")), Text.STOPWORDS))
+          .withColumn("punct_chars",
+            length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+      else
+        docs
+          .withColumn("qs", Text.qualitySignals(col("text")))
+          .withColumn("len_chars", element_at(col("qs"), 4))
+          .withColumn("n_tok", element_at(col("qs"), 1))
+          .withColumn("stop_hits", element_at(col("qs"), 2))
+          .withColumn("punct_chars", element_at(col("qs"), 3))
+          .drop("qs")
+    sig
       .withColumn("stop_ratio", round(col("stop_hits").cast("double") / col("n_tok"), 4))
       .withColumn("punct_ratio", round(col("punct_chars").cast("double") / col("len_chars"), 4))
       .withColumn("quality",
         round(least(lit(1.0), col("n_tok").cast("double") / 100) *
           (lit(1.0) - col("stop_ratio")) * (lit(1.0) - col("punct_ratio")), 4))
+  }
 
   /** The matching DuckDB fragment: `quality` per doc_id (a CTE body). */
   private[ops] val qualityCteSql =

@@ -76,6 +76,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("incremental intake: session shuffle sizing ≡ forced legacy 4-partition plan") {
+    // r19 (r18 verdict #1): the intake foreachBatch body now runs at the
+    // session's shuffle sizing (its output write was throttled by the
+    // replay tuning's 4 writer tasks at 1000×); partitioning is a
+    // physical property, so the emitted links must be identical.
+    def run() = SparkEntry.queries("stream_incremental_intake")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val default = run()
+    sys.props("graft.intake.partitions") = "4"
+    val legacy = try run() finally sys.props.remove("graft.intake.partitions")
+    assert(default.nonEmpty && default == legacy)
+  }
+
   test("foreachBatch sink: replaying a batch overwrites, never duplicates") {
     import spark.implicits._
     val out = TmpDirs.create("graft_febatch_test").toString

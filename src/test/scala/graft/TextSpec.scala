@@ -540,6 +540,18 @@ class TextSpec extends SparkSpec {
     assert(native.nonEmpty && native.map(_._1) == native.map(_._1).sorted)
   }
 
+  test("withQuality: fused-signals plan ≡ legacy per-signal plan") {
+    // r19: same fuse as the curation pipeline, applied to the shared
+    // quality scalar (ta_quality + dedup_cluster_rep). Every output
+    // column must be identical under both plans.
+    def run() = SparkEntry.queries("ta_quality")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val native = run()
+    sys.props("graft.quality.signals") = "legacy"
+    val legacy = try run() finally sys.props.remove("graft.quality.signals")
+    assert(native.nonEmpty && native == legacy)
+  }
+
   test("fused token scrub ≡ edge-strip then clitic-strip ×2 (r13 hot-path fusion)") {
     import graft.functions.Text
     // The fused single-regex scrub exists because the per-token lambda is
