@@ -40,7 +40,7 @@ object Bench {
     // with the box instead of going stale whenever its parallel
     // throughput moves.
     val canaryStart = cpuCanary()
-    val parCanary = Canary.parallel(cpus.toInt)
+    val parCanary = Canary.parallelStable(cpus.toInt)
     // untimed warmup — the shared Warmup.run entry point (session first-job
     // init, streaming state-store/RocksDB + per-family stateful-operator
     // first use, IVF index build, decode + token-window first-use) so Bench
@@ -196,7 +196,7 @@ object Bench {
     val parForScale: Option[Double] = refParThreads match {
       case Some(t) if t == cpus.toInt => Some(parCanary)
       case Some(t) =>
-        val v = Canary.parallel(t)
+        val v = Canary.parallelStable(t)
         println(s"""{"metric":"parallel_canary_recapture","threads":${jstr(t.toString)},"value":${jstr(f(v))},"bench_threads":${jstr(cpus)}}""")
         Some(v)
       case None =>

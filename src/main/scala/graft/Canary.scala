@@ -30,6 +30,19 @@ object Canary {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** [[parallel]], stabilized: the MIN of three back-to-back trials.
+    * A single trial taken right after JVM/sbt start is noise-inflated
+    * (r19 measured starts of 0.557/0.407/0.348 in three otherwise-quiet
+    * sessions whose END-of-run values were a stable 0.332–0.334) — and
+    * that one number is the box factor every receipt comparison and the
+    * normalized headline divide by, so its noise becomes a uniform
+    * phantom shift across all 183 queries (the r18 "receipts drifting
+    * stale-fast as a set" symptom). Min-of-3 costs ~1 s and pins the
+    * box's actual capability; transient load during the RUN still shows
+    * up where it belongs — in the walls. */
+  def parallelStable(threads: Int): Double =
+    (1 to 3).map(_ => parallel(threads)).min
+
   /** Parallel canary: N copies of the loop at once, one wall. On an idle
     * box with ≥N real cores this ≈ [[single]]; contention shows up as a
     * proportionally longer wall. */

@@ -27,7 +27,7 @@ object Profile {
     // machine state it was measured at (__parallel_canary in
     // perf_receipts.tsv; Bench scales its suspect threshold by the ratio)
     println(f"[profile] cpu_canary ${Canary.single()}%.3f s, " +
-      f"parallel_canary(${cpus}) ${Canary.parallel(cpus.toInt)}%.3f s")
+      f"parallel_canary(${cpus}) ${Canary.parallelStable(cpus.toInt)}%.3f s")
     if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1")) {
       // the same untimed set as Bench, via the shared entry point
       graft.Warmup.run(spark, sfDir)

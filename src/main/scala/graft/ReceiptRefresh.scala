@@ -4,18 +4,29 @@ import org.apache.spark.sql.SparkSession
 
 /** Full-registry receipt capture (r18 verdict #2: every r18 full bench ran
   * a uniform 7–12 % above receipts AFTER box normalization — the receipt
-  * set had gone stale as a set, probably captured on a box generation
-  * that no longer exists). This tool re-profiles EVERY registered query
+  * set had gone stale as a set). This tool runs EVERY registered query
   * in one documented session — warmed (the shared [[Warmup]] entry
-  * point), min-of-N (default 3) with the Bench/Profile clearCache
-  * hygiene, fixed alphabetical order — and writes a fresh
-  * `perf_receipts.tsv` with the capture-time canaries recorded
-  * (`__parallel_canary`, `__parallel_canary_threads`) so Bench's suspect
-  * thresholds and `wall_receipt_normalized` self-scale from THIS
-  * session's box state.
+  * point), N reps (min kept) with the Bench/Profile clearCache hygiene,
+  * fixed alphabetical order — and writes a fresh `perf_receipts.tsv`
+  * with the capture-time canaries recorded (`__parallel_canary`,
+  * `__parallel_canary_threads`) so Bench's suspect thresholds and
+  * `wall_receipt_normalized` self-scale from THIS session's box state.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *     sbt "runMain graft.ReceiptRefresh [reps] [outPath]"
+  *
+  * **Capture mode matters (r19 finding):** a receipt meant to predict
+  * IN-BENCH walls must be captured in BENCH context — one single-shot
+  * pass over the registry per JVM (`reps = 1`), because the bench runs
+  * each query once and its wall includes the query's own in-context
+  * whole-stage-codegen + JIT first use. Back-to-back min-of-3 reps
+  * measure the post-JIT steady state, which sits a structural ~20-30 %
+  * BELOW in-bench walls (measured: a min-of-3 receipt set put a
+  * clean-box bench at wall_receipt_normalized 1.26). The committed
+  * receipt set is the per-query MEDIAN of 3 single-pass captures in
+  * separate JVMs (scripts: see ROUND_CLOSE.md). Isolated `graft.Profile`
+  * min-of-3 remains the right tool for RELATIVE plan comparisons — just
+  * not for receipts.
   *
   * Run it on a QUIET box only: the start/end canary pair is printed and
   * embedded in the file header; a drifted run (end/start > 1.3 or a
@@ -37,7 +48,7 @@ object ReceiptRefresh {
     spark.sparkContext.setLogLevel("ERROR")
 
     val canaryStart = Canary.single()
-    val parCanary = Canary.parallel(cpus.toInt)
+    val parCanary = Canary.parallelStable(cpus.toInt)
     println(f"[receipts] cpu_canary $canaryStart%.3f s, parallel_canary($cpus) $parCanary%.3f s")
     val skipped = Warmup.run(spark, sfDir)
     if (skipped > 0)
@@ -61,7 +72,7 @@ object ReceiptRefresh {
       name -> best
     }
     val canaryEnd = Canary.single()
-    val parEnd = Canary.parallel(cpus.toInt)
+    val parEnd = Canary.parallelStable(cpus.toInt)
     val drift = if (canaryStart > 0) canaryEnd / canaryStart else 1.0
     println(f"[receipts] canary end $canaryEnd%.3f (drift $drift%.2f), parallel end $parEnd%.3f")
     if (failed.nonEmpty) {
