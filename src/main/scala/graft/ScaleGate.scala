@@ -75,9 +75,14 @@ object ScaleGate {
     "dedup_embed_cosine", "dedup_cluster_rep", "dedup_incremental",
     "dedup_contamination", "stream_incremental_intake",
     "ta_contamination", "ta_curation_pipeline", "ta_winnowing",
-    "ta_token_pagerank", "ta_token_triangles", "rel_zorder_contract",
-    "stream_stream_join", "stream_session_window",
-    "sketch_hll_contract", "sketch_bloom_contract", "mm_phash64_cluster")
+    "ta_token_pagerank", "ta_token_triangles", "mm_phash64_cluster",
+    "sketch_hll_contract", "sketch_bloom_contract",
+    "stream_session_window", "stream_stream_join",
+    // deliberately LAST: the global range sort's working set is the one
+    // member that can plausibly exhaust this sandbox's /tmp at 1000×
+    // (9.7 GB spill at 100×); the incremental artifact write below
+    // preserves the other members' rows if it dies on disk
+    "rel_zorder_contract")
 
   /** (bigint keys, int keys, optional timestamp col) per driver table. */
   private val TableKeys: Seq[(String, Seq[String], Seq[String], Option[String])] = Seq(
@@ -306,23 +311,57 @@ object ScaleGate {
       def stateOk: Boolean = state1 == 0 || stateN <= state1 * mult
     }
 
-    val results = queries.map { q =>
-      val bound = mult * BoundOverrides.getOrElse(q, slack)
-      val (cold1, st1a, _) = run(q, base)
-      val w1 = (1 to reps).map(_ => run(q, base))
-      val (coldN, stNa, _) = run(q, bigDir)
-      val wN = (1 to reps).map(_ => run(q, bigDir))
-      val r = R(q, cold1, w1.map(_._1).min, coldN, wN.map(_._1).min,
-        math.max(st1a, w1.map(_._2).max), math.max(stNa, wN.map(_._2).max), bound,
-        w1.map(_._3).max, wN.map(_._3).max)
-      println(f"[scale] ${r.name}%-28s 1x ${r.warm1}%6.2f (cold ${r.cold1}%6.2f) | " +
-        f"${mult}x ${r.warmN}%6.2f (cold ${r.coldN}%6.2f) | " +
-        f"ratio ${r.ratio}%6.2f (bound ${r.bound}%4.0f) " +
-        (if (r.state1 > 0) f"| state ${r.state1}%d -> ${r.stateN}%d " else "") +
-        (if (r.spillN > 0 || r.spill1 > 0)
-          f"| spill ${r.spill1 / 1048576}%dMiB -> ${r.spillN / 1048576}%dMiB " else "") +
-        (if (r.ok && r.stateOk) "OK" else "FAIL"))
-      r
+    // Per-query fault isolation + incremental artifact write (r19): a
+    // 1000× watch member that dies (disk-full is the realistic mode —
+    // see Watch1000's zorder note) must cost ITS row, not the sweep's —
+    // the artifact is rewritten after every query so a late crash
+    // preserves everything measured before it.
+    val results = scala.collection.mutable.ArrayBuffer.empty[R]
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_sweep.json")
+    def writeArtifact(): Unit =
+      try {
+        def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        val rowsJson = results.map { r =>
+          s""""${r.name}":{"warm1":${f(r.warm1)},"warmN":${f(r.warmN)},""" +
+            s""""cold1":${f(r.cold1)},"coldN":${f(r.coldN)},"ratio":${f(r.ratio)},""" +
+            s""""bound":${f(r.bound)},"state1":${r.state1},"stateN":${r.stateN},""" +
+            s""""spill1":${r.spill1},"spillN":${r.spillN}}"""
+        }.mkString("{", ",", "}")
+        val errsJson = failures.map { case (n, m) =>
+          "\"" + n + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+          s"""{"mult":$mult,"sf":"$base","full":$full,"n_queries":${results.size},""" +
+            s""""errors":$errsJson,"queries":$rowsJson}""" + "\n")
+      } catch { case e: Throwable =>
+        println(s"[scale] artifact write failed: ${e.getClass.getName}")
+      }
+    queries.foreach { q =>
+      try {
+        val bound = mult * BoundOverrides.getOrElse(q, slack)
+        val (cold1, st1a, _) = run(q, base)
+        val w1 = (1 to reps).map(_ => run(q, base))
+        val (coldN, stNa, _) = run(q, bigDir)
+        val wN = (1 to reps).map(_ => run(q, bigDir))
+        val r = R(q, cold1, w1.map(_._1).min, coldN, wN.map(_._1).min,
+          math.max(st1a, w1.map(_._2).max), math.max(stNa, wN.map(_._2).max), bound,
+          w1.map(_._3).max, wN.map(_._3).max)
+        println(f"[scale] ${r.name}%-28s 1x ${r.warm1}%6.2f (cold ${r.cold1}%6.2f) | " +
+          f"${mult}x ${r.warmN}%6.2f (cold ${r.coldN}%6.2f) | " +
+          f"ratio ${r.ratio}%6.2f (bound ${r.bound}%4.0f) " +
+          (if (r.state1 > 0) f"| state ${r.state1}%d -> ${r.stateN}%d " else "") +
+          (if (r.spillN > 0 || r.spill1 > 0)
+            f"| spill ${r.spill1 / 1048576}%dMiB -> ${r.spillN / 1048576}%dMiB " else "") +
+          (if (r.ok && r.stateOk) "OK" else "FAIL"))
+        results += r
+      } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        println(s"[scale] ERROR $q: $msg")
+        failures += (q -> msg)
+        try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
+      }
+      writeArtifact()
     }
 
     println(s"| query | 1× warm (s) | ${mult}× warm (s) | ratio | bound | state 1×→${mult}× | verdict |")
@@ -331,27 +370,13 @@ object ScaleGate {
       val st = if (r.state1 > 0) s"${r.state1}→${r.stateN}" else "—"
       println(f"| ${r.name} | ${r.warm1}%.2f | ${r.warmN}%.2f | ${r.ratio}%.2f | ${r.bound}%.0f | $st | ${if (r.ok && r.stateOk) "OK" else "FAIL"} |")
     }
-    // committable JSON artifact (the bench_perquery.json convention):
-    // cross-round scale diffs shouldn't depend on scraping the run log
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_sweep.json")
-    try {
-      def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-      val rowsJson = results.map { r =>
-        s""""${r.name}":{"warm1":${f(r.warm1)},"warmN":${f(r.warmN)},""" +
-          s""""cold1":${f(r.cold1)},"coldN":${f(r.coldN)},"ratio":${f(r.ratio)},""" +
-          s""""bound":${f(r.bound)},"state1":${r.state1},"stateN":${r.stateN},""" +
-          s""""spill1":${r.spill1},"spillN":${r.spillN}}"""
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-        s"""{"mult":$mult,"sf":"$base","full":$full,"n_queries":${results.size},""" +
-          s""""queries":$rowsJson}""" + "\n")
-      println(s"[scale] artifact written to $outPath")
-    } catch { case e: Throwable =>
-      println(s"[scale] artifact write failed: ${e.getClass.getName}")
-    }
+    println(s"[scale] artifact written to $outPath")
     val bad = results.filterNot(r => r.ok && r.stateOk)
-    if (bad.nonEmpty) {
-      println(s"[scale] FAIL: ${bad.map(_.name).mkString(", ")} exceeded growth/state bounds")
+    if (bad.nonEmpty || failures.nonEmpty) {
+      if (bad.nonEmpty)
+        println(s"[scale] FAIL: ${bad.map(_.name).mkString(", ")} exceeded growth/state bounds")
+      if (failures.nonEmpty)
+        println(s"[scale] FAIL: ${failures.map(_._1).mkString(", ")} errored (see artifact)")
       spark.stop(); sys.exit(1)
     }
     println(s"[scale] PASS: all ${results.size} queries within bounds")
