@@ -187,10 +187,85 @@ object Dedup {
   private def sighOf(sig: Column): Column =
     array((0 until P).map(p => xxhash64(element_at(sig, p + 1))): _*)
 
-  /** MinHash + LSH near-duplicate pairs: signatures → 4 band keys → bucket
-    * join on (band, key) → signature-agreement estimate ≥ 0.5. The band join
-    * is the scale path: candidate generation is linear in bucket sizes. */
-  private def minhashPairs(docs: DataFrame): DataFrame = {
+  /** Duplication gate for the minhash pair graph's distinct-text tier
+    * (the ngram/substring convention); overridable via
+    * `graft.minhash.dict.minfactor` so specs pin both paths. */
+  private def minhashDictMinFactor: Double =
+    sys.props.get("graft.minhash.dict.minfactor").map(_.toDouble).getOrElse(2.0)
+
+  /** Distinct-text decomposition of the near-dup pair graph, or None
+    * below the measured duplication gate (r19 — the 1000× watch sweep's
+    * first catch: the doc-level pair pipeline AND its fit-once artifact
+    * are output-QUADRATIC under corpus duplication — every copy of a
+    * text pairs with every other copy, ~(mult·k choose 2) per text — and
+    * the candidate self-join's shuffle ran this sandbox's /tmp out of
+    * disk at 1000× before the artifact even wrote: dedup_minhash_lsh /
+    * dedup_levenshtein / dedup_cluster_rep all died ENOSPC,
+    * `scale_sweep_r19_1000x_watch.json` errors map).
+    *
+    * Exactness: identical texts ⇒ identical shingles ⇒ identical
+    * signatures ⇒ identical band keys, so a doc pair is band-candidate
+    * iff its rep pair is, est_jaccard is a function of the two texts
+    * (within-group est ≡ 16/16 = 1.0 exactly), and levenshtein verify
+    * stats are functions of the two texts too. Shingle-less groups (no
+    * signature row) contribute no pairs in either formulation — members
+    * is therefore SEMI-joined to the signature-bearing reps.
+    *
+    * Returns (repPairs (id_a, id_b, est_jaccard) at distinct-text scale,
+    * members (rep_id, doc_id) of signature-bearing groups). */
+  private[graft] def minhashDict(docs: DataFrame): Option[(DataFrame, DataFrame)] = {
+    val (nDocs, nDistinct) = duplicationOf(docs)
+    if (nDistinct == 0 || nDocs < minhashDictMinFactor * nDistinct) None
+    else {
+      // DISK_ONLY: full texts at up-to-half-corpus scale (the r18 ADVICE
+      // rule for the ngram/substring groups frames)
+      val groups = FrameCache.cached(docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep_id")),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val reps = groups.select(col("rep_id").as("doc_id"), col("text"))
+      val sigReps = sigWithArray(reps).select(col("doc_id").as("rep_id"))
+      val members = groups.select(col("text"), col("rep_id"))
+        .join(docs.select(col("doc_id"), col("text")), "text")
+        .select(col("rep_id"), col("doc_id"))
+        .join(sigReps, Seq("rep_id"), "semi")
+      Some((minhashPairsDirect(reps), members))
+    }
+  }
+
+  /** Doc-level expansion of a [[minhashDict]] rep graph: cross-group
+    * pairs through id-only member joins (groups are disjoint id sets, so
+    * each unordered pair arises exactly once; least/greatest restores the
+    * id_a < id_b orientation), within-group pairs emitted directly with
+    * est = 1.0 (identical signatures — exact in both engines). */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("id_a"), col("doc_id").as("va")), "id_a")
+      .join(members.select(col("rep_id").as("id_b"), col("doc_id").as("vb")), "id_b")
+      .select(least(col("va"), col("vb")).as("id_a"),
+        greatest(col("va"), col("vb")).as("id_b"), col("est_jaccard"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    cross.unionAll(within)
+  }
+
+  /** MinHash + LSH near-duplicate pairs — duplication-gated: past the
+    * gate the band/verify pipeline runs at distinct-text scale and
+    * expands through [[expandPairs]]; below it the direct plan is
+    * byte-identical to pre-r19. */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame =
+    minhashDict(docs) match {
+      case None => minhashPairsDirect(docs)
+      case Some((repPairs, members)) => expandPairs(repPairs, members)
+    }
+
+  /** The direct (doc-level) pipeline: signatures → 4 band keys → bucket
+    * join on (band, key) → signature-agreement estimate ≥ 0.5. The band
+    * join is the scale path: candidate generation is linear in bucket
+    * sizes. */
+  private def minhashPairsDirect(docs: DataFrame): DataFrame = {
     // three consumers (band explosion + both signature-fetch join sides):
     // persist or the 16-md5-per-shingle signature pass runs three times
     // (memoized — see FrameCache)
@@ -220,10 +295,17 @@ object Dedup {
     * Explicit read schema for the empty-corpus write. */
   private val pairDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def minhashPairsFor(s: SparkSession, d: String): DataFrame = {
-    // content-keyed ModelStore (r12 verdict #1): cross-JVM reuse — a cold
-    // JVM reads the pair table a previous bench/verify run already built
-    val path = pairDirs.getOrElseUpdate(T.datasetKey(d, "documents"),
+  /** Root of the fit-once pair-graph artifact tree for dataset `d`.
+    * Format is gate-dependent (decided at BUILD time from the measured
+    * duplication, so readers dispatch on what exists on disk, never on
+    * today's gate setting): a direct build writes doc-level `pairs`; a
+    * dictionaried build writes `rep_pairs` + `members` — the r19 sweep
+    * showed the doc-level artifact is output-quadratic under corpus
+    * duplication (disk-infeasible at 1000×), while the rep graph stays
+    * at distinct-text scale and every consumer (pair listing, CC labels,
+    * levenshtein verify) can work from it directly. */
+  private def pairTree(s: SparkSession, d: String): String =
+    pairDirs.getOrElseUpdate(T.datasetKey(d, "documents"),
       graft.ModelStore.ensureTree(T.datasetKey(d, "documents"), "lsh_pairs") { b =>
         // repartition, NOT coalesce: coalesce(4) narrows the ENTIRE
         // preceding join/distinct stage to 4 tasks (no shuffle boundary
@@ -232,11 +314,40 @@ object Dedup {
         // full sweep those 4 tasks held the whole verify-join state and
         // blew the heap. The exchange keeps the compute stage at full
         // width; only the write runs on 4 tasks (few-files goal kept).
-        minhashPairs(T.documents(s, d))
-          .repartition(4).write.mode("overwrite").parquet(b.resolve("pairs").toString)
-      } + "/pairs")
-    s.read.schema("id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE").parquet(path)
+        minhashDict(T.documents(s, d)) match {
+          case None =>
+            minhashPairsDirect(T.documents(s, d))
+              .repartition(4).write.mode("overwrite").parquet(b.resolve("pairs").toString)
+          case Some((repPairs, members)) =>
+            repPairs.repartition(4).write.mode("overwrite")
+              .parquet(b.resolve("rep_pairs").toString)
+            members.repartition(4).write.mode("overwrite")
+              .parquet(b.resolve("members").toString)
+        }
+      })
+
+  /** The dictionaried artifact's (repPairs, members), when the build was
+    * dictionaried; None for a direct artifact. Explicit read schemas
+    * (empty-corpus writes have no part files). */
+  private def pairArtifactDict(s: SparkSession, d: String): Option[(DataFrame, DataFrame)] = {
+    val root = pairTree(s, d)
+    if (new java.io.File(s"$root/rep_pairs").isDirectory)
+      Some((
+        s.read.schema("id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE")
+          .parquet(s"$root/rep_pairs"),
+        s.read.schema("rep_id BIGINT, doc_id BIGINT").parquet(s"$root/members")))
+    else None
   }
+
+  private def minhashPairsFor(s: SparkSession, d: String): DataFrame =
+    // content-keyed ModelStore (r12 verdict #1): cross-JVM reuse — a cold
+    // JVM reads the pair table a previous bench/verify run already built
+    pairArtifactDict(s, d) match {
+      case Some((repPairs, members)) => expandPairs(repPairs, members)
+      case None =>
+        s.read.schema("id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE")
+          .parquet(s"${pairTree(s, d)}/pairs")
+    }
 
   /** Registered form: the fit-once pair table plus the presentation
     * sort. The sort exists for the deterministic oracle hash only —
@@ -903,7 +1014,7 @@ object Dedup {
 
   /** Spec path: pairs computed inline (persisted — components reads the
     * pair frame through both union branches of its edge set). */
-  private def labelsOf(docs: DataFrame): DataFrame =
+  private[graft] def labelsOf(docs: DataFrame): DataFrame =
     labelsFromPairs(FrameCache.cached(
       minhashPairs(docs).select(col("id_a"), col("id_b"))))
 
@@ -921,9 +1032,32 @@ object Dedup {
     val path = labelDirs.getOrElseUpdate(T.datasetKey(d, "documents"),
       graft.ModelStore.ensureTree(T.datasetKey(d, "documents"), "cc_labels") { b =>
         // built over the fit-once pair table, not a fresh pair pipeline
-        // repartition, not coalesce — see minhashPairsFor (the 100x OOM)
-        labelsFromPairs(minhashPairsFor(s, d).select(col("id_a"), col("id_b")))
-          .repartition(4).write.mode("overwrite").parquet(b.resolve("labels").toString)
+        // repartition, not coalesce — see pairTree (the 100x OOM)
+        val labels = pairArtifactDict(s, d) match {
+          case Some((repPairs, members)) =>
+            // CC over the REP graph, labels expanded through members
+            // (r19): the doc-level component's min id equals the min
+            // rep id of its rep component (every rep IS its group's min
+            // doc), so rep-level labels + an id-only member join emit
+            // labels identical to the direct doc-level fixpoint —
+            // without ever materializing the quadratic doc pair list.
+            // Labeled docs match the direct path exactly: a doc is in
+            // ≥1 pair iff its group has a cross pair or ≥2 members.
+            val rp = FrameCache.cached(repPairs.select(col("id_a"), col("id_b")))
+            val multi = members.groupBy(col("rep_id"))
+              .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+              .select(col("rep_id"))
+            val labeledReps = rp.select(col("id_a").as("rep_id"))
+              .union(rp.select(col("id_b").as("rep_id")))
+              .union(multi)
+            val repLabels = components(rp, labeledReps.select(col("rep_id").as("id")))
+              .select(col("node").as("rep_id"), col("label").as("cluster_id"))
+            members.join(repLabels, "rep_id")
+              .select(col("doc_id"), col("cluster_id"))
+          case None =>
+            labelsFromPairs(minhashPairsFor(s, d).select(col("id_a"), col("id_b")))
+        }
+        labels.repartition(4).write.mode("overwrite").parquet(b.resolve("labels").toString)
       } + "/labels")
     s.read.schema("doc_id BIGINT, cluster_id BIGINT").parquet(path)
   }
@@ -976,14 +1110,24 @@ object Dedup {
     * the normalized text — the candidate-then-verify pattern production
     * fuzzy dedup uses (cheap recall stage, exact precision stage). */
   private def levenshteinPairs(s: SparkSession, d: String): DataFrame =
-    levenshteinVerify(minhashPairsFor(s, d).select(col("id_a"), col("id_b")),
-      T.documents(s, d))
+    pairArtifactDict(s, d) match {
+      case Some((repPairs, members)) =>
+        expandLevenshtein(repPairs, members, T.documents(s, d))
+      case None =>
+        levenshteinVerify(minhashPairsFor(s, d).select(col("id_a"), col("id_b")),
+          T.documents(s, d))
+    }
 
   /** Spec/warmup entry: candidates computed inline, no cache. */
   private[graft] def levenshteinCore(docs: DataFrame): DataFrame =
     levenshteinVerify(minhashPairs(docs).select(col("id_a"), col("id_b")), docs)
 
-  private def levenshteinVerify(cand: DataFrame, docs: DataFrame): DataFrame = {
+  private def levenshteinVerify(cand: DataFrame, docs: DataFrame): DataFrame =
+    levenshteinStats(cand, docs).orderBy(col("id_a"), col("id_b"))
+
+  /** The unsorted verify core: per candidate pair, edit distance over the
+    * cleaned token streams plus length/relative stats. */
+  private def levenshteinStats(cand: DataFrame, docs: DataFrame): DataFrame = {
     val clean = docs
       .select(col("doc_id"), array_join(Text.tokens(col("text")), " ").as("clean"))
     cand
@@ -994,7 +1138,39 @@ object Dedup {
         length(col("text_a")).as("len_a"), length(col("text_b")).as("len_b"))
       .withColumn("rel_dist",
         round(col("edit_dist").cast("double") / greatest(col("len_a"), col("len_b")), 4))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Dictionaried levenshtein verify (r19): every output stat is a pure
+    * function of the two TEXTS, so the edit-distance compute runs once
+    * per REP pair and expands through id-only member joins; within-group
+    * (identical-text) pairs emit edit 0 / rel 0.0 with the group's clean
+    * length directly (sig-bearing groups have ≥3 tokens, so len > 0 and
+    * the direct path's round(0/len) is exactly 0.0). len_a/len_b swap
+    * with the least/greatest id reorientation. */
+  private[graft] def expandLevenshtein(repPairs: DataFrame, members: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val repVerify = levenshteinStats(repPairs.select(col("id_a"), col("id_b")), docs)
+    val cross = repVerify
+      .join(members.select(col("rep_id").as("id_a"), col("doc_id").as("va")), "id_a")
+      .join(members.select(col("rep_id").as("id_b"), col("doc_id").as("vb")), "id_b")
+      .select(least(col("va"), col("vb")).as("id_a"),
+        greatest(col("va"), col("vb")).as("id_b"),
+        col("edit_dist"),
+        when(col("va") <= col("vb"), col("len_a")).otherwise(col("len_b")).as("len_a"),
+        when(col("va") <= col("vb"), col("len_b")).otherwise(col("len_a")).as("len_b"),
+        col("rel_dist"))
+    val cleanLen = docs.select(col("doc_id").as("rep_id"),
+      length(array_join(Text.tokens(col("text")), " ")).as("len"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.rep_id").as("rep_id"))
+      .join(cleanLen, "rep_id")
+      .select(col("id_a"), col("id_b"), lit(0).as("edit_dist"),
+        col("len").as("len_a"), col("len").as("len_b"),
+        lit(0.0).as("rel_dist"))
+    cross.unionAll(within).orderBy(col("id_a"), col("id_b"))
   }
 
   private val levenshteinPairsSql = {

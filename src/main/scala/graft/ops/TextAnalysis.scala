@@ -876,11 +876,17 @@ object TextAnalysis {
     * Documents with fewer than 5 tokens have no 5-grams and are not
     * auditable (excluded, matching the oracle). */
   private def contamination(s: SparkSession, d: String): DataFrame = {
-    val sh = T.documents(s, d)
+    // DISK_ONLY (r19, caught by the first 1000× watch sweep): one row
+    // per distinct (doc, 5-gram) is a CORPUS-scale frame, and a default
+    // MEMORY_AND_DISK persist holds the storage pool away from the
+    // downstream hash aggregates — at 1000× the sizes/hits aggs died
+    // UNABLE_TO_ACQUIRE_MEMORY (the r16 storage-level rule, missed
+    // here). Memoized persist per the FrameCache convention.
+    val sh = graft.ops.FrameCache.cached(T.documents(s, d)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(Text.shinglesK(col("toks"), 5)).as("sh"))
-      .distinct()
-      .persist() // both splits derive from this frame
+      .distinct(),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY) // both splits derive from this frame
     val half = T.documents(s, d).count() / 2
     val train = sh.filter(col("doc_id") < half).select(col("sh")).distinct()
     val test = sh.filter(col("doc_id") >= half)

@@ -300,6 +300,47 @@ class DedupSpec extends SparkSpec {
     assert(combined.nonEmpty, "fixture must produce at least one cross-split link")
   }
 
+  test("minhash pair graph: distinct-text dictionary tier ≡ direct path") {
+    // r19 (from the first 1000× watch sweep: the doc-level pair pipeline
+    // and artifact are output-quadratic under duplication and ran the
+    // sandbox out of disk). On a 3×-duplicated corpus the gated
+    // rep-graph decomposition must emit the IDENTICAL pair set, labels,
+    // and levenshtein stats as the direct doc-level plan.
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = graft.Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head.getLong(0) + 1L
+    val dup = (0 until 3).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * maxId))).reduce(_ unionAll _)
+    def pairSet() = ops.Dedup.minhashPairs(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def labelSet() = ops.Dedup.labelsOf(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sys.props("graft.minhash.dict.minfactor") = Long.MaxValue.toString
+    val (directPairs, directLabels) =
+      try (pairSet(), labelSet())
+      finally sys.props.remove("graft.minhash.dict.minfactor")
+    // 3x duplication passes the default 2.0 gate: dictionary tier active
+    assert(ops.Dedup.minhashDict(dup).isDefined,
+      "3x-duplicated corpus must trip the default gate")
+    val (dictPairs, dictLabels) = (pairSet(), labelSet())
+    assert(dictPairs == directPairs,
+      s"pair divergence: only-dict=${dictPairs -- directPairs}, missed=${directPairs -- dictPairs}")
+    assert(dictPairs.nonEmpty && dictLabels == directLabels)
+    // levenshtein: rep-level verify + expansion ≡ doc-level verify
+    val Some((rp, m)) = ops.Dedup.minhashDict(dup)
+    def levSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5))).toSet
+    val dictLev = levSet(ops.Dedup.expandLevenshtein(rp, m, dup))
+    sys.props("graft.minhash.dict.minfactor") = Long.MaxValue.toString
+    val directLev =
+      try levSet(ops.Dedup.levenshteinCore(dup))
+      finally sys.props.remove("graft.minhash.dict.minfactor")
+    assert(dictLev == directLev,
+      s"lev divergence: only-dict=${(dictLev -- directLev).take(3)}, missed=${(directLev -- dictLev).take(3)}")
+  }
+
   test("fit-once lsh index: dataset regeneration replaces the memo entry") {
     // r18 ADVICE: fingerprint-in-key memos (lshIndexes, idxRepCounts)
     // accreted one entry per dataset regeneration at the same path for
