@@ -87,8 +87,11 @@ object IntakeAb {
     }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    // partitions recorded as a JSON STRING (r19 ADVICE #3): entries come
+    // from SPARK_GRAFT_INTAKE_PARTS, and an unquoted non-numeric value
+    // used to produce an invalid artifact
     def record(stage: String, p: String, wall: Double, sp: Long, rows: Long): Unit =
-      results += s"""{"stage":"${stage}","partitions":$p,"wall":${f3(wall)},""" +
+      results += s"""{"stage":"${stage}","partitions":"$p","wall":${f3(wall)},""" +
         s""""spill":$sp,"rows":$rows}"""
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
 
@@ -101,7 +104,9 @@ object IntakeAb {
       graft.ops.Dedup.corpusLshIndex(dir,
         graft.ops.Dedup.sigWithArray(docs.filter(col("doc_id") < half)))
     }
-    record("index_build_or_load", "32", idxWall, idxSpill, -1)
+    // the index stage runs at the SESSION's sizing, not a hardcoded 32
+    // (r19 ADVICE #3)
+    record("index_build_or_load", cpus, idxWall, idxSpill, -1)
 
     parts.foreach { p =>
       spark.conf.set("spark.sql.shuffle.partitions", p)

@@ -17,16 +17,29 @@ import org.apache.spark.sql.SparkSession
   *
   * **Capture mode matters (r19 finding):** a receipt meant to predict
   * IN-BENCH walls must be captured in BENCH context — one single-shot
-  * pass over the registry per JVM (`reps = 1`), because the bench runs
-  * each query once and its wall includes the query's own in-context
-  * whole-stage-codegen + JIT first use. Back-to-back min-of-3 reps
-  * measure the post-JIT steady state, which sits a structural ~20-30 %
-  * BELOW in-bench walls (measured: a min-of-3 receipt set put a
-  * clean-box bench at wall_receipt_normalized 1.26). The committed
-  * receipt set is the per-query MEDIAN of 3 single-pass captures in
-  * separate JVMs (scripts: see ROUND_CLOSE.md). Isolated `graft.Profile`
-  * min-of-3 remains the right tool for RELATIVE plan comparisons — just
-  * not for receipts.
+  * pass over the registry per JVM (`reps = 1`, the default), because the
+  * bench runs each query once and its wall includes the query's own
+  * in-context whole-stage-codegen + JIT first use. Back-to-back
+  * min-of-3 reps in ONE JVM measure the post-JIT steady state, which
+  * sits a structural ~20-30 % BELOW in-bench walls (measured: a
+  * min-of-3 receipt set put a clean-box bench at
+  * wall_receipt_normalized 1.26). The committed receipt set is the
+  * per-query MIN of 3 single-pass captures in separate JVMs (min: load
+  * noise is one-sided; matches the committed perf_receipts.tsv header —
+  * scripts: see ROUND_CLOSE.md). Isolated `graft.Profile` min-of-3
+  * remains the right tool for RELATIVE plan comparisons — just not for
+  * receipts.
+  *
+  * **Regression guard (r19 verdict #2):** before writing, the candidate
+  * walls are diffed against the PREVIOUS committed receipt set; any
+  * query whose shift exceeds 1.5× the set's median shift is printed and
+  * the tool refuses to write (exit 1) unless every flagged name is
+  * explicitly acknowledged via `SPARK_GRAFT_RECEIPT_ACCEPT=a,b,...`
+  * (for a plan change whose new receipt is intentionally slower) — a
+  * refresh must never silently absorb a regression the way r19's
+  * absorbed ta_entropy's 3.28× (median shift that round: 1.218).
+  * Speedups are not flagged: a faster receipt only tightens the bench's
+  * own suspect gate.
   *
   * Run it on a QUIET box only: the start/end canary pair is printed and
   * embedded in the file header; a drifted run (end/start > 1.3 or a
@@ -35,9 +48,45 @@ import org.apache.spark.sql.SparkSession
   * errors.
   */
 object ReceiptRefresh {
+  /** Names whose shift (new/old) exceeds `factor` × the median shift of
+    * the whole set, with that median — the refresh regression guard,
+    * pure so ReceiptRefreshSpec pins it. Queries absent from either set
+    * contribute nothing (new queries have no previous receipt). */
+  private[graft] def flagRegressions(
+      prev: Map[String, Double], next: Map[String, Double],
+      factor: Double = 1.5): (Double, Seq[String]) = {
+    val shifts = next.collect {
+      case (n, w) if prev.get(n).exists(_ > 0) => n -> w / prev(n)
+    }.toSeq
+    if (shifts.isEmpty) return (1.0, Nil)
+    val sorted = shifts.map(_._2).sorted
+    val median =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    (median, shifts.collect {
+      case (n, s) if s > factor * median => n
+    }.sorted)
+  }
+
+  /** Parse a perf_receipts.tsv body into (name -> seconds), reserved
+    * `__` rows and comments skipped. */
+  private[graft] def parseReceipts(text: String): Map[String, Double] =
+    text.linesIterator
+      .filterNot(l => l.startsWith("#") || l.startsWith("__") || l.isBlank)
+      .flatMap { l =>
+        l.split("\t") match {
+          case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
+          case _ => None
+        }
+      }.toMap
+
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val reps = args.headOption.map(_.toInt).getOrElse(1)
     val outPath = if (args.length > 1) args(1) else "src/main/resources/perf_receipts.tsv"
+    if (reps > 1 && outPath.endsWith("src/main/resources/perf_receipts.tsv"))
+      println(s"[receipts] WARNING: reps=$reps min-of-N in ONE JVM is the steady-state " +
+        "capture mode (receipts ~20-30% under in-bench walls — the normalized-1.26 " +
+        "pathology); the committed set must be min of 3 SEPARATE single-pass JVMs")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.withOverrides(SparkSession.builder(), cpus)
@@ -78,6 +127,28 @@ object ReceiptRefresh {
     if (failed.nonEmpty) {
       println(s"[receipts] FAIL: ${failed.size} query errors — not writing:\n  ${failed.mkString("\n  ")}")
       spark.stop(); sys.exit(1)
+    }
+    // regression guard (r19 verdict #2) against the COMMITTED set — the
+    // previous close's receipts are the walls the set predicted
+    val committed = java.nio.file.Paths.get("src/main/resources/perf_receipts.tsv")
+    if (java.nio.file.Files.exists(committed)) {
+      val prev = parseReceipts(java.nio.file.Files.readString(committed))
+      val (median, flagged) = flagRegressions(prev, walls.toMap)
+      println(f"[receipts] guard: median shift vs committed set $median%.3f")
+      val accepted = sys.env.get("SPARK_GRAFT_RECEIPT_ACCEPT")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+      val unaccepted = flagged.filterNot(accepted)
+      flagged.foreach { n =>
+        val tag = if (accepted(n)) "ACCEPTED" else "REGRESSION"
+        println(f"[receipts] guard $tag: $n ${prev(n)}%.3f -> ${walls.toMap.apply(n)}%.3f " +
+          f"(shift ${walls.toMap.apply(n) / prev(n)}%.2fx > 1.5x median)")
+      }
+      if (unaccepted.nonEmpty) {
+        println(s"[receipts] FAIL: ${unaccepted.size} receipt(s) moved >1.5x beyond the " +
+          "set's median shift — attribute each (Profile A/B; see PERF.md), then either " +
+          "fix it or re-run with SPARK_GRAFT_RECEIPT_ACCEPT=" + unaccepted.mkString(","))
+        spark.stop(); sys.exit(1)
+      }
     }
     val date = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)

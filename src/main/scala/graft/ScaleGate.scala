@@ -362,6 +362,15 @@ object ScaleGate {
         try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
       }
       writeArtifact()
+      // r19 ADVICE #2: after a fatal error (OOM, ENOSPC) the SparkContext
+      // can be dead — every subsequent query would error against the
+      // corpse, burning the remaining mult× budget on misleading cascade
+      // failures. Abort the sweep with the artifact preserved instead.
+      if (spark.sparkContext.isStopped) {
+        println("[scale] ABORT: SparkContext stopped by a fatal per-query error — " +
+          s"remaining queries skipped; artifact preserved at $outPath")
+        sys.exit(1)
+      }
     }
 
     println(s"| query | 1× warm (s) | ${mult}× warm (s) | ratio | bound | state 1×→${mult}× | verdict |")

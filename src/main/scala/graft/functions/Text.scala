@@ -214,6 +214,17 @@ object Text {
     org.apache.spark.sql.graft.GraftSqlShim.column(
       GraftQualitySignals(org.apache.spark.sql.graft.GraftSqlShim.expression(text)))
 
+  /** Fused per-document token-entropy statistics
+    * `(entropy, n_distinct, n_tokens)` over a text column, as the native
+    * [[GraftEntropyStats]] expression (see
+    * [[GraftTokenizer.entropyStats]] for the pinned semantics).
+    * Declarative twin: ta_entropy's legacy explode + two-level aggregate
+    * chain, reachable via `-Dgraft.entropy.impl=legacy`; TextSpec pins ≡
+    * at the query's round(4) contract. */
+  def entropyStats(text: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShim.column(
+      GraftEntropyStats(org.apache.spark.sql.graft.GraftSqlShim.expression(text)))
+
   /** The pre-r19 declarative formulation of [[qualitySignals]] — the
     * exact per-signal chains ta_curation_pipeline paid per row, kept as
     * the in-engine parity twin. */

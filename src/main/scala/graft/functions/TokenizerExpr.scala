@@ -2,11 +2,12 @@ package graft.functions
 
 import java.util.regex.{Matcher, Pattern}
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The tokenize→scrub→word-split→alpha→stopword chain as ONE native JVM
@@ -326,6 +327,57 @@ object GraftTokenizer {
     new GenericArrayData(Array[Any](nRaw, stopHits, punct, chars))
   }
 
+  /** Per-document token-entropy statistics in ONE pass over the text —
+    * the fused form of ta_entropy's explode(split(lower(text), " ")) →
+    * groupBy(doc_id, tok) count → per-doc aggregate chain (r20): the
+    * exploded RAW token stream (the corpus token count, empties
+    * included) rode TWO corpus-scale exchanges to compute what is a
+    * pure per-row function of the text. Semantics pinned to the
+    * declarative chain (TextSpec):
+    *  - tokens are `split(lower(text), " ", -1)` segments — single-space
+    *    delimiter, EMPTY segments kept (consecutive/leading/trailing
+    *    spaces), lowercase via UTF8String.toLowerCase exactly like the
+    *    Lower expression. The ' ' byte never occurs as a UTF-8
+    *    continuation byte, so the byte walk splits code-point-safely.
+    *  - counts via an open HashMap of zero-copy slices of the lowered
+    *    buffer; n = #segments = #spaces + 1, d = map size.
+    *  - entropy = log2(n) − (Σ c·log2 c)/n ≡ −Σ (c/n)·log2(c/n) in the
+    *    reals (the r20 single-aggregate identity); log2(x) =
+    *    Math.log(x)/Math.log(2), the same arithmetic Spark's Log2 runs.
+    *    Summation order (map iteration) differs from the aggregate's
+    *    partition order by ~1e-13 relative against a round(4) contract
+    *    (rounding happens in the plan, not here — oracle-verified at
+    *    every sf).
+    * Returns (entropy: Double, n_distinct: Long, n_tokens: Long). */
+  private val Log2 = math.log(2.0)
+  def entropyStats(input: UTF8String): InternalRow = {
+    val lower = input.toLowerCase
+    val lb = lower.numBytes()
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= lb) {
+      if (i == lb || lower.getByte(i) == ' ') {
+        val seg = UTF8String.fromAddress(
+          lower.getBaseObject, lower.getBaseOffset + start, i - start)
+        val c = counts.get(seg)
+        if (c == null) counts.put(seg, Array(1)) else c(0) += 1
+        n += 1L
+        start = i + 1
+      }
+      i += 1
+    }
+    var s = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      s += c * (math.log(c) / Log2)
+    }
+    val entropy = math.log(n.toDouble) / Log2 - s / n
+    new GenericInternalRow(Array[Any](entropy, counts.size().toLong, n))
+  }
+
   /** `size(filter(arr, _.isInCollection(words)))` natively: membership
     * hits in a pinned word set (stop-ratio and lang-id signals). Null
     * cells contribute nothing (the 3VL filter drops them). */
@@ -418,6 +470,33 @@ case class GraftQualitySignals(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_quality_signals"
+}
+
+/** Native fused per-document entropy statistics over a text column:
+  * `(entropy, n_distinct, n_tokens)` — see
+  * [[GraftTokenizer.entropyStats]] for the pinned semantics. */
+case class GraftEntropyStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("entropy", DoubleType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    GraftTokenizer.entropyStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftTokenizer.entropyStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_entropy_stats"
 }
 
 /** Native membership-hit counter over an array<string> column against a

@@ -1541,7 +1541,11 @@ object Dedup {
       .join(idxMembers.select(col("rep_id").as("crep"), col("doc_id").as("corpus_id")), "crep")
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
     Map("batch_groups" -> bGroups, "cand" -> cand,
-      "rep_links" -> repLinks, "out" -> out)
+      "rep_links" -> repLinks, "out" -> out,
+      // expansion inputs, exposed for consumers that can aggregate at
+      // rep level INSTEAD of expanding (fuzzyContamination, r20) — same
+      // frames the "out" expansion joins, so no plan drift
+      "batch_members" -> bMembers, "idx_members" -> idxMembers)
   }
 
   private[graft] val incrementalDedupSql = {
@@ -1883,12 +1887,55 @@ object Dedup {
     val testSig = FrameCache.cached(
       sigWithArray(docs.filter(col("doc_id") >= half)))
     val idx = corpusLshIndex(d, sigWithArray(docs.filter(col("doc_id") < half)))
-    contaminationReport(
-      probeLshIndex(s, testSig, idx)
-        .select(col("batch_id").as("test_id"), col("corpus_id").as("train_id"),
-          col("est_jaccard")),
-      testSig.select(col("doc_id")))
+    // Duplication-gated rep-level aggregation (r20, verdict #3 family):
+    // the probe's member-expanded link list is quadratic under corpus
+    // duplication (batch-dups × corpus-dups — 1000× ratio 97.8 in the
+    // r19 watch) and this report immediately collapses it to one row per
+    // test doc. est_jaccard is a function of the two signatures, so
+    // every link (t, m) with t in batch group b, m in corpus group c
+    // carries est(b, c); and rep_id = min(member id) by construction
+    // (buildLshIndex/probeLshFrames group with min(doc_id)). Hence per
+    // batch group b:
+    //   n_matches  = Σ_{links (b,c)} |members(c)|   (member sets disjoint)
+    //   best_est   = max est; best_train_id = min crep among argmax links
+    //     (min member of group c IS c, and groups at higher crep cannot
+    //      hold a smaller member id).
+    // Every test doc of b inherits the group row — DedupSpec pins this
+    // aggregate-then-expand path ≡ the expand-then-aggregate direct path
+    // with the gate forced both ways. GATED on the measured corpus
+    // duplication (same memoized count as every dict tier; the signature
+    // dictionary's multiplicity is text duplication) because at 1× the
+    // extra member-count agg + two rep-keyed joins cost ~+0.7 s steady
+    // against a link list that is already output-sized — below the gate
+    // the expand-then-aggregate plan is byte-identical to r19.
+    val (nDocs, nDistinct) = duplicationOf(docs)
+    if (nDistinct == 0 || nDocs < fuzzyContamDictMinFactor * nDistinct)
+      contaminationReport(
+        probeLshIndex(s, testSig, idx)
+          .select(col("batch_id").as("test_id"), col("corpus_id").as("train_id"),
+            col("est_jaccard")),
+        testSig.select(col("doc_id")))
+    else {
+      val fr = probeLshFrames(s, testSig, idx)
+      val cCounts = fr("idx_members").groupBy(col("rep_id"))
+        .agg(count(lit(1)).as("mc"))
+      val repAgg = fr("rep_links")
+        .join(cCounts.select(col("rep_id").as("crep"), col("mc")), "crep")
+        .groupBy(col("brep"))
+        .agg(sum(col("mc")).as("n_matches"),
+          max(struct(col("est_jaccard").as("e"), (-col("crep")).as("nt"))).as("b"))
+      val best = fr("batch_members").join(repAgg, "brep")
+        .select(col("batch_id").as("doc_id"), col("n_matches"),
+          (-col("b.nt")).as("best_train_id"), col("b.e").as("best_est"))
+      contaminationFinish(best, testSig.select(col("doc_id")))
+    }
   }
+
+  /** Duplication gate for [[fuzzyContamination]]'s rep-level aggregation
+    * — the dict-tier convention; overridable via
+    * `graft.fuzzycontam.dict.minfactor` so specs pin both paths. */
+  private def fuzzyContamDictMinFactor: Double =
+    sys.props.get("graft.fuzzycontam.dict.minfactor").map(_.toDouble).getOrElse(2.0)
 
   /** Core of [[fuzzyContamination]] over any (doc_id, text) frame with an
     * explicit split point — separate so DedupSpec can pin the semantics
@@ -1925,14 +1972,22 @@ object Dedup {
     * encodes the tie-break totally (-train_id: MAX struct picks MIN
     * train_id at equal est_jaccard); max_by is avoided as its tie-break
     * is non-deterministic. */
-  private def contaminationReport(ver: DataFrame, testDocs: DataFrame): DataFrame = {
-    val best = ver
-      .groupBy(col("test_id"))
-      .agg(count(lit(1)).as("n_matches"),
-        max(struct(col("est_jaccard").as("e"), (-col("train_id")).as("nt"))).as("b"))
-      .select(col("test_id").as("doc_id"), col("n_matches"),
-        (-col("b.nt")).as("best_train_id"),
-        col("b.e").as("best_est"))
+  private[graft] def contaminationReport(ver: DataFrame, testDocs: DataFrame): DataFrame =
+    contaminationFinish(
+      ver.groupBy(col("test_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(struct(col("est_jaccard").as("e"), (-col("train_id")).as("nt"))).as("b"))
+        .select(col("test_id").as("doc_id"), col("n_matches"),
+          (-col("b.nt")).as("best_train_id"),
+          col("b.e").as("best_est")),
+      testDocs)
+
+  /** Shared tail of the contamination report: left-join the per-test-doc
+    * aggregates back to every auditable test doc with zero/absent
+    * defaults. Split from [[contaminationReport]] (r20) so the
+    * registered query can feed it rep-level aggregates without
+    * materializing the member-expanded link list. */
+  private def contaminationFinish(best: DataFrame, testDocs: DataFrame): DataFrame =
     testDocs
       .join(best, Seq("doc_id"), "left")
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
@@ -1940,7 +1995,6 @@ object Dedup {
       .withColumn("best_est", coalesce(col("best_est"), lit(0.0)))
       .withColumn("contaminated", col("n_matches") > 0)
       .orderBy(col("doc_id"))
-  }
 
   private val fuzzyContaminationSql = {
     val bandRows = bandRowsSql

@@ -312,10 +312,14 @@ class DedupSpec extends SparkSpec {
       .head.getLong(0) + 1L
     val dup = (0 until 3).map(i =>
       docs.withColumn("doc_id", col("doc_id") + lit(i * maxId))).reduce(_ unionAll _)
+    // sorted SEQUENCES, not sets (r19 ADVICE #4): the registered queries
+    // emit ordered lists pinned by the DuckDB oracle, where a duplicate
+    // row from the expansion would be a correctness break a set compare
+    // masks — sequence equality pins multiplicity too.
     def pairSet() = ops.Dedup.minhashPairs(dup).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
     def labelSet() = ops.Dedup.labelsOf(dup).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     sys.props("graft.minhash.dict.minfactor") = Long.MaxValue.toString
     val (directPairs, directLabels) =
       try (pairSet(), labelSet())
@@ -325,20 +329,61 @@ class DedupSpec extends SparkSpec {
       "3x-duplicated corpus must trip the default gate")
     val (dictPairs, dictLabels) = (pairSet(), labelSet())
     assert(dictPairs == directPairs,
-      s"pair divergence: only-dict=${dictPairs -- directPairs}, missed=${directPairs -- dictPairs}")
+      s"pair divergence: only-dict=${dictPairs.diff(directPairs)}, missed=${directPairs.diff(dictPairs)}")
     assert(dictPairs.nonEmpty && dictLabels == directLabels)
     // levenshtein: rep-level verify + expansion ≡ doc-level verify
     val Some((rp, m)) = ops.Dedup.minhashDict(dup)
     def levSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
-        r.getInt(4), r.getDouble(5))).toSet
+        r.getInt(4), r.getDouble(5))).toSeq.sorted
     val dictLev = levSet(ops.Dedup.expandLevenshtein(rp, m, dup))
     sys.props("graft.minhash.dict.minfactor") = Long.MaxValue.toString
     val directLev =
       try levSet(ops.Dedup.levenshteinCore(dup))
       finally sys.props.remove("graft.minhash.dict.minfactor")
     assert(dictLev == directLev,
-      s"lev divergence: only-dict=${(dictLev -- directLev).take(3)}, missed=${(directLev -- dictLev).take(3)}")
+      s"lev divergence: only-dict=${dictLev.diff(directLev).take(3)}, missed=${directLev.diff(dictLev).take(3)}")
+  }
+
+  test("fuzzy contamination: rep-level aggregation ≡ expand-then-aggregate on a duplicated corpus") {
+    // r20: the registered report aggregates the probe's rep_links BEFORE
+    // member expansion (the expanded link list is quadratic under corpus
+    // duplication — 1000× watch ratio 97.8 in r19 — and the report
+    // immediately collapses it to one row per test doc). On a
+    // 3×-duplicated corpus, where batch and corpus groups both hold
+    // multiple members, the registered query must emit row-for-row the
+    // legacy expand-then-aggregate report over the SAME probe frames.
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = graft.Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val maxId = base.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head.getLong(0) + 1L
+    val dup = (0 until 3).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * maxId))).reduce(_ unionAll _)
+    val dir = TmpDirs.create("graft_contam_dup").toString
+    dup.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_matches"),
+        r.getAs[Long]("best_train_id"), r.getAs[Double]("best_est"),
+        r.getAs[Boolean]("contaminated"))).toSeq.sorted
+    val out = rows(SparkEntry.queries("dedup_contamination")(spark, dir))
+    val docs = graft.Tables.documents(spark, dir)
+    // 3× duplication trips the default 2.0 gate: rep-level path active
+    val (nD, nDd) = ops.Dedup.duplicationOf(docs)
+    assert(nD >= 2L * nDd, "fixture must trip the default duplication gate")
+    val half = docs.count() / 2
+    val testSig = ops.Dedup.sigWithArray(docs.filter(col("doc_id") >= half))
+    val idx = ops.Dedup.corpusLshIndex(dir,
+      ops.Dedup.sigWithArray(docs.filter(col("doc_id") < half)))
+    val legacy = rows(ops.Dedup.contaminationReport(
+      ops.Dedup.probeLshIndex(spark, testSig, idx)
+        .select(col("batch_id").as("test_id"), col("corpus_id").as("train_id"),
+          col("est_jaccard")),
+      testSig.select(col("doc_id"))))
+    assert(out == legacy,
+      s"report divergence: only-new=${out.diff(legacy).take(3)}, missed=${legacy.diff(out).take(3)}")
+    // the fixture must actually exercise multi-member aggregation: some
+    // test doc matching >1 member of one corpus group
+    assert(out.exists(_._2 > 1), "fixture must produce a multi-match test doc")
   }
 
   test("fit-once lsh index: dataset regeneration replaces the memo entry") {

@@ -629,4 +629,89 @@ class TextSpec extends SparkSpec {
         s"decl-only=${(decl -- native).take(3)}")
     assert(native.nonEmpty)
   }
+
+  test("contamination: distinct-text dictionary tier ≡ direct path") {
+    // r20 (verdict #3): ta_contamination's per-(doc, 5-gram) frame was
+    // the registry's largest remaining super-linear working set at 1000×
+    // (57.7 s / 53.9 GiB spill). On a 3×-duplicated corpus the gated
+    // distinct-text tier must emit row-for-row the direct doc-level
+    // plan's report (sorted-sequence compare pins multiplicity too).
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = graft.Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val maxId = base.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head.getLong(0) + 1L
+    val dup = (0 until 3).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * maxId))).reduce(_ unionAll _)
+    def rows() = graft.ops.TextAnalysis.contaminationCore(dup).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_in_train"), r.getAs[Double]("overlap"),
+        r.getAs[Boolean]("contaminated"))).toSeq.sorted
+    sys.props("graft.contamination.dict.minfactor") = Long.MaxValue.toString
+    val direct =
+      try rows()
+      finally sys.props.remove("graft.contamination.dict.minfactor")
+    // 3× duplication trips the default 2.0 gate: dictionary tier active
+    val (n, nd) = graft.ops.Dedup.duplicationOf(dup)
+    assert(n >= 2L * nd, "fixture must trip the default duplication gate")
+    val dict = rows()
+    assert(dict == direct,
+      s"report divergence: only-dict=${dict.diff(direct).take(3)}, " +
+        s"missed=${direct.diff(dict).take(3)}")
+    assert(dict.nonEmpty && dict.exists(_._5), "fixture must flag contamination")
+  }
+
+  test("entropy: native fused stats ≡ legacy explode + two-aggregate + join chain") {
+    // r20 (verdict #1): ta_entropy's per-doc statistics are pure per-row
+    // functions of the text; the native GraftEntropyStats kernel must
+    // match the legacy declarative chain at the query's round(4)
+    // contract on corpus rows + synthetic torture (uniform docs where
+    // entropy is exactly representable, single-token docs, EMPTY
+    // segments from consecutive/leading/trailing spaces, the empty
+    // string, multi-byte text where lowercase changes byte lengths).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val synth = Seq(
+      (8001L, "one"),                              // single token: entropy 0
+      (8002L, "a a a a a a a a"),                  // uniform repeat: 0
+      (8003L, "a b c d"),                          // uniform distinct: exactly 2.0
+      (8004L, "a a b b c c d d e e f f g g h h"),  // uniform pairs: 3.0
+      (8005L, "x y y z z z"),                      // mixed counts
+      (8006L, ""),                                 // one empty segment
+      (8007L, "  a  b "),                          // empty segments kept
+      (8008L, "HÉLLO héllo ÎÏ Straße STRASSE 𝕊x")) // unicode lowering
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).union(synth)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val fused = rows(docs
+      .select(col("doc_id"), Text.entropyStats(col("text")).as("st"))
+      .select(col("doc_id"), round(col("st.entropy"), 4).as("entropy"),
+        col("st.n_distinct"), col("st.n_tokens")))
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val cnts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
+    val legacy = rows(cnts.join(tot, "doc_id").groupBy(col("doc_id"))
+      .agg(round(-sum((col("cnt") / col("n")) * log2(col("cnt") / col("n"))), 4)
+        .as("entropy"),
+        max(col("n_distinct")).as("n_distinct"), max(col("n")).as("n_tokens")))
+    assert(fused.size == legacy.size)
+    assert(fused == legacy,
+      s"entropy divergence: ${fused.zip(legacy).filter(p => p._1 != p._2).take(3)}")
+    assert(fused.exists(r => r._1 == 8003L && r._2 == 2.0))
+    // "  a  b " = 5 spaces → 6 segments (4 empty + a + b), 3 distinct
+    assert(fused.exists(r => r._1 == 8007L && r._4 == 6L && r._3 == 3L))
+  }
+
+  test("ta_entropy registered query: native path ≡ -Dgraft.entropy.impl=legacy path") {
+    def rows() = SparkEntry.queries("ta_entropy")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    val native = rows()
+    sys.props("graft.entropy.impl") = "legacy"
+    val legacy = try rows() finally sys.props.remove("graft.entropy.impl")
+    assert(native.nonEmpty && native == legacy,
+      s"divergence: ${native.zip(legacy).filter(p => p._1 != p._2).take(3)}")
+  }
 }
