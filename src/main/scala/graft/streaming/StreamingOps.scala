@@ -51,30 +51,81 @@ object StreamingOps {
       dir.toString
     })
 
-  /** Single-batch replay tuning, applied around every streaming query here:
-    * RocksDB state store (large keyed state without the default provider's
-    * per-batch in-memory map copies) and a state partition count sized to
-    * the bench's single-node state volume — state-store instance
-    * open/commit overhead scales with partition count (32 -> 8 measured
-    * 2.5x on stream_stream_join at sf0.1; 8 -> 4 another ~15% across the
-    * family; 4 -> 2 regresses, parallelism-starved). On a real cluster the partition
-    * count comes from deployment sizing; state operators pin their
-    * partitioning at first start, so this is a sizing decision, not
-    * semantics. */
-  private def withReplayTuning[T](s: SparkSession)(body: => T): T = {
+  // Single-batch replay tuning, applied around every streaming query
+  // here: RocksDB state store (large keyed state without the default
+  // provider's per-batch in-memory map copies) and a state partition
+  // count derived from the streamed input volume (r20 — see
+  // replayPartitions; the r16 fixture-scale measurements that set the
+  // old constant 4 are quoted there).
+
+  /** Bytes of the larger streamed table (events or documents) in the
+    * dataset dir — a driver-side file walk, no Spark job. The streaming
+    * replays read exactly these two tables; state volume is proportional
+    * to the streamed input, which is what the partition sizing must
+    * track. */
+  private def streamedInputBytes(d: String): Long = {
+    def du(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(du).sum
+      else f.length()
+    Seq("events", "documents")
+      .map(t => du(new java.io.File(s"$d/$t.parquet"))).max
+  }
+
+  /** Scale-adaptive state partition count (r20, from the graft.JoinAb
+    * grid — `join_ab_r20_100x.json`): the r16 constant 4 was tuned at
+    * fixture scale, where per-instance state-store open/commit overhead
+    * dominates (rocksdb_p32 8.7 s vs p4 3.7 s at 1×). But RocksDB
+    * instances are single-writer, so state INGEST parallelism must grow
+    * with state volume: at 100× the same constant made
+    * stream_stream_join 54-58 s where 32 partitions run it in 16.5-21.7 s
+    * (and r19's 1000× watch paid 735 s). 4 below 32 MiB of streamed
+    * input (every fixture sf), then one partition per 4 MiB up to the
+    * session's core count — sf0.1 and the spec suites keep the exact
+    * r16 plan, staged sweeps get the parallelism. On a cluster this is
+    * deployment sizing; state operators pin partitioning at first start,
+    * and every replay here starts from a fresh checkpoint dir. */
+  private[graft] def replayPartitions(d: String, cpus: Int): Int = {
+    val bytes = streamedInputBytes(d)
+    if (bytes <= 32L * 1024 * 1024) 4
+    else math.max(4, math.min(cpus, (bytes / (4L * 1024 * 1024)).toInt))
+  }
+
+  private def withReplayTuning[T](s: SparkSession, d: String)(body: => T): T = {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = s.conf.getOption(changelogKey)
+    // A/B knobs (r20, graft.JoinAb — the stream_stream_join stage
+    // attribution): provider / partition count / RocksDB changelog
+    // checkpointing are state-store SIZING, not semantics — results are
+    // provider- and partition-independent (StreamingSpec pins it) —
+    // so the attribution harness can force each without plan drift.
+    // Provider default stays RocksDB: the HDFS-backed store measured
+    // faster up to 100× (13.3 s vs 16.5-21.7 s adaptive RocksDB) but
+    // holds every state row on the HEAP — memory-unsafe at deployment
+    // state volumes, the exact failure class the r16 storage rule
+    // exists for. Partition default is scale-adaptive (above).
+    val provider = sys.props.getOrElse("graft.replay.provider", "rocksdb")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+      if (provider == "hdfs")
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      else "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    sys.props.get("graft.replay.changelog").foreach(v => s.conf.set(changelogKey, v))
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.props.getOrElse("graft.replay.partitions",
+        replayPartitions(d, s.sparkContext.defaultParallelism).toString))
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      // restore BOTH mutations: when the provider was previously unset it
+      // restore ALL mutations: when the provider was previously unset it
       // must be unset again, or RocksDB silently leaks into every later
       // streaming query in the session (review finding)
       prevProvider match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChangelog match {
+        case Some(v) => s.conf.set(changelogKey, v)
+        case None => s.conf.unset(changelogKey)
       }
     }
   }
@@ -112,7 +163,7 @@ object StreamingOps {
   def warmup(s: SparkSession, d: String): Unit = {
     // 1) generic keyed-state init over the 5-row region table (RocksDB
     //    native load, provider init, checkpoint scaffolding)
-    withReplayTuning(s) {
+    withReplayTuning(s, d) {
       val path = stageAsDir(d, "region")
       val schema = s.read.parquet(path).schema
       val q = s.readStream.schema(schema).parquet(path)
@@ -196,7 +247,7 @@ object StreamingOps {
 
   /** ST3/A13 twin as a stream: running token counts (complete mode), final
     * state == the batch global top-20. */
-  private def tokenCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def tokenCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
     val counts = src.select(explode(Text.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -215,7 +266,7 @@ object StreamingOps {
   /** ST2/ST4 twin: event-time tumbling windows with a watermark. window()
     * aligns to the epoch, so closed windows equal date_trunc('hour') —
     * which is exactly what the oracle checks. */
-  private def windowedCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def windowedCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     val src = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
     val agg = src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -248,7 +299,7 @@ object StreamingOps {
     * of approximate (one Bloom), hash-partitioned so state shards across
     * executors — the scale path for stateful stream dedup.
     */
-  private def statefulDedup(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def statefulDedup(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     import s.implicits._
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
     val pairs = src
@@ -317,7 +368,7 @@ object StreamingOps {
     * the batch COUNT(DISTINCT) — which the oracle checks. (The richer
     * check-then-insert scoring is stream_stateful_dedup; this covers the
     * built-in operator itself.) */
-  private def dropDupStream(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def dropDupStream(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
     val firstSeen = src
       .select(Text.tokens(col("text")).as("toks"))
@@ -352,7 +403,7 @@ object StreamingOps {
     * construction — identical cleaned tokens — so kept-doc and kept-token
     * counts are deterministic and equal the batch distinct-fingerprint
     * accounting the oracle computes. */
-  private def curationSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def curationSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     val outDir = TmpDirs.create("graft_curation").toString
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
       .withColumn("toks", Text.tokens(col("text")))
@@ -392,7 +443,7 @@ object StreamingOps {
     * MERGE). The query re-reads what was durably written and aggregates
     * it; equality with the batch aggregate over the source — checked by
     * the oracle — is precisely the exactly-once claim. */
-  private def foreachBatchSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def foreachBatchSink(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val outDir = TmpDirs.create("graft_febatch").toString
     val src = eventsStream(s, d)
@@ -439,7 +490,7 @@ object StreamingOps {
     * in scope and the surviving set equals the batch distinct — which the
     * oracle checks. Dedup key: (user_id, event_type) — "count each user's
     * first view/purchase/click once". */
-  private def dedupWithinWatermark(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def dedupWithinWatermark(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     val src = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -470,7 +521,7 @@ object StreamingOps {
     * buffer keyed state bounded by the watermark; AvailableNow over a
     * bounded input makes the result equal the batch range join — which is
     * exactly what the oracle checks. */
-  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     def src = eventsStream(s, d)
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
@@ -513,7 +564,7 @@ object StreamingOps {
     * differs from the batch twin rel_sessionize (strict `>`), whose
     * lag-based definition keeps an exact-gap event in the same session —
     * both are checked against oracles with their own predicate. */
-  private def sessionWindow(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def sessionWindow(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     val src = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
     val sessions = src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -592,7 +643,7 @@ object StreamingOps {
       if (sorted.isEmpty) Iterator.empty else emit(token, sorted, dg)
     }
 
-  private[graft] def dgimBurstRaw(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private[graft] def dgimBurstRaw(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     import s.implicits._
     val window = 50; val half = 25
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
@@ -683,7 +734,7 @@ object StreamingOps {
     * to the exact arrival count in that token's last-25 clock window —
     * computed batch-side here and by the DuckDB oracle, so the driver
     * hard-gates both bounds per token. */
-  private def dgimContract(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def dgimContract(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     import s.implicits._
     val window = 50; val half = 25
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
@@ -754,7 +805,7 @@ object StreamingOps {
     }
   }
 
-  private def twsCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def twsCounts(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))
@@ -779,7 +830,7 @@ object StreamingOps {
     * minutes, so each event lands in exactly two windows — the overlap
     * structure burst/rate monitors use. The oracle replays the window
     * assignment arithmetic (epoch div on the hop, two starts per event). */
-  private def slidingWindow(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def slidingWindow(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     val src = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
     val agg = src.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -880,7 +931,7 @@ object StreamingOps {
     * oracle is the identical batch join — stream-static join semantics
     * ARE batch semantics per micro-batch, which is exactly what this
     * pins. */
-  private def staticEnrich(s: SparkSession, d: String): DataFrame = withReplayTuning(s) {
+  private def staticEnrich(s: SparkSession, d: String): DataFrame = withReplayTuning(s, d) {
     val dim = s.read.schema(docSchema).parquet(stageAsDir(d, "documents"))
       .groupBy(col("source")).agg(avg(col("n_chars")).as("avg_chars"))
     val src = s.readStream.schema(docSchema).parquet(stageAsDir(d, "documents"))

@@ -103,4 +103,24 @@ class StreamingSpec extends SparkSpec {
     assert(readBack.count() == 150,
       s"replayed batch 0 must not duplicate: ${readBack.count()}")
   }
+
+  test("stream_stream_join: JoinAb provider/partition knobs don't change results (r20)") {
+    // graft.JoinAb forces the state-store provider / partition count /
+    // changelog checkpointing through withReplayTuning's sys-prop knobs
+    // for the stage attribution A/B — all three are state-store SIZING,
+    // so the joined output must be row-identical under any of them.
+    def rows() = SparkEntry.queries("stream_stream_join")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val default = rows()
+    sys.props("graft.replay.provider") = "hdfs"
+    sys.props("graft.replay.partitions") = "7"
+    val forced =
+      try rows()
+      finally {
+        sys.props.remove("graft.replay.provider")
+        sys.props.remove("graft.replay.partitions")
+      }
+    assert(default.nonEmpty && default == forced,
+      s"provider/partition sizing changed the join output: ${default.size} vs ${forced.size}")
+  }
 }
