@@ -25,10 +25,23 @@ object Explain {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_EXEC=1: execute the query first and print the
+    // FINAL adaptive plan too — AQE applies exchange/stage reuse only at
+    // runtime, so reuse markers (ReusedExchange / shared ShuffleQueryStage)
+    // are invisible in the initial `explain` output (r20).
+    val exec = sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
-        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          df.explain("formatted")
+          if (exec) {
+            df.collect()
+            println(s"\n---------- $n: executed (final adaptive) plan ----------")
+            println(df.queryExecution.executedPlan.toString)
+          }
+          spark.catalog.clearCache()
         case None     => println(s"unknown query: $n")
       }
     }

@@ -286,22 +286,37 @@ object Sketches {
     val inserted = sh.filter(col("doc_id") < half).select(col("sh")).distinct().persist()
     val nIns = inserted.count()
     // size to the data (≥ the reference's 100k default) so the 1% design
-    // fpp holds at any scale factor, not just when n ≤ 100k
+    // fpp holds at any scale factor, not just when n ≤ 100k.
+    // Build from the persisted DISTINCT key set, not a second corpus-scale
+    // pass over the raw shingle stream: inserting a key twice sets the
+    // same bits, so the filter over distinct keys is bit-identical while
+    // the build scans |distinct| rows from cache instead of replaying the
+    // explode (r20, guide §1.2/§2.3 — decide/build on the small frame).
     val bloom = if (nIns == 0) null
-      else sh.filter(col("doc_id") < half)
-        .stat.bloomFilter("sh", math.max(100000L, nIns), 0.01)
+      else inserted.stat.bloomFilter("sh", math.max(100000L, nIns), 0.01)
     def seen = graft.functions.SketchProbes.bloomMightContain(s, bloom, col("sh"))
     val nMissed = inserted.filter(!seen).count()
+    // one aggregate pass computes (n_new, n_false_pos) together — the two
+    // sequential count jobs each replayed the distinct + anti-join of the
+    // never-inserted set (r20; the frame has exactly one consumer now, so
+    // the persist is gone too). Legacy two-pass shape reachable for the
+    // same-JVM A/B via -Dgraft.bloom.contract=legacy.
     val fresh = sh.filter(col("doc_id") >= half).select(col("sh")).distinct()
-      .join(inserted, Seq("sh"), "left_anti").persist()
-    val nNew = fresh.count()
-    val nFalsePos = fresh.filter(seen).count()
+      .join(inserted, Seq("sh"), "left_anti")
+    val (nNew, nFalsePos) =
+      if (sys.props.get("graft.bloom.contract").contains("legacy")) {
+        val f = fresh.persist(); val n = f.count(); val fp = f.filter(seen).count()
+        f.unpersist(); (n, fp)
+      } else {
+        val r = fresh.agg(count(lit(1)), count(when(seen, lit(1)))).head
+        (r.getLong(0), r.getLong(1))
+      }
     val fpOk = nNew == 0 || nFalsePos.toDouble / nNew <= 0.05
     // every dependent count is materialized above and the result is a
     // driver-local literal — drop the cached frames now (same hygiene as
     // bloomFaithfulContract; direct callers outside the harnesses' per-
     // query clearCache would otherwise accumulate them, review finding)
-    sh.unpersist(); inserted.unpersist(); fresh.unpersist()
+    sh.unpersist(); inserted.unpersist()
     import s.implicits._
     Seq((nIns, nMissed == 0L, nNew, fpOk))
       .toDF("n_inserted", "zero_false_negatives", "n_new", "fp_rate_ok")
@@ -631,24 +646,35 @@ object Sketches {
     val half = T.documents(s, d).count() / 2
     val inserted = sh.filter(col("doc_id") < half).select(col("sh")).distinct().persist()
     val nIns = inserted.count()
-    val bloom = sh.filter(col("doc_id") < half).select(col("sh")).as[String]
+    // build from the persisted DISTINCT key set (bit-identical: RefBloom
+    // insert only ORs bits, and mightContain reads bits/m/k only — the
+    // build-side `inserted` counter never reaches the output) instead of
+    // replaying the corpus-scale explode a second time (r20, guide §2.3)
+    val bloom = inserted.select(col("sh")).as[String]
       .select(graft.functions.RefSketches
         .bloomAgg(math.max(100000L, nIns), 0.01).toColumn).head()
     // corpus-sized probe scans through the codegen'd native expression —
     // same RefBloom.mightContain bits, no UDF boxing (r10 verdict #3)
     def seen = graft.functions.SketchProbes.refBloomMightContain(s, bloom, col("sh"))
     val nMissed = inserted.filter(!seen).count()
+    // one fused (count, false-positive count) pass over the never-inserted
+    // set — same rewrite as bloomContract; A/B via -Dgraft.bloom.contract
     val fresh = sh.filter(col("doc_id") >= half).select(col("sh")).distinct()
-      .join(inserted, Seq("sh"), "left_anti").persist()
-    val nNew = fresh.count()
-    val nFalsePos = fresh.filter(seen).count()
+      .join(inserted, Seq("sh"), "left_anti")
+    val (nNew, nFalsePos) =
+      if (sys.props.get("graft.bloom.contract").contains("legacy")) {
+        val f = fresh.persist(); val n = f.count(); val fp = f.filter(seen).count()
+        f.unpersist(); (n, fp)
+      } else {
+        val r = fresh.agg(count(lit(1)), count(when(seen, lit(1)))).head
+        (r.getLong(0), r.getLong(1))
+      }
     val fpOk = nNew == 0 || nFalsePos.toDouble / nNew <= 0.05
     // every dependent count is materialized above and the returned frame is
     // a driver-local literal — unpersist here so direct callers (outside the
     // bench's per-query clearCache) don't leak the cached frames
     sh.unpersist()
     inserted.unpersist()
-    fresh.unpersist()
     Seq((nIns, nMissed == 0L, nNew, fpOk))
       .toDF("n_inserted", "zero_false_negatives", "n_new", "fp_rate_ok")
   }

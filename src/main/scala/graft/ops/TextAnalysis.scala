@@ -439,18 +439,53 @@ object TextAnalysis {
     val toks = T.documents(s, d)
       .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-    // persist: FOUR consumers (the count action, both union branches of
-    // uni, and bi) would otherwise each re-run the tokenize+posexplode
-    // scan (r10 review finding; same convention as contamination's sh)
     val bigrams = toks.select(posexplode(col("t")).as(Seq("i", "w1")), col("t"))
       .filter(col("i") < size(col("t")) - 1)
       .select(col("w1"), element_at(col("t"), col("i") + 2).as("w2"))
-      .persist()
-    val n = bigrams.count().toDouble
-    val uni = bigrams.select(col("w1").as("w")).union(bigrams.select(col("w2").as("w")))
-      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 10)
+    // Duplication-gated dictionary tier (r20; the contamination/ngram
+    // convention): identical texts emit identical bigram streams, so past
+    // the measured corpus-duplication gate the DIRECTED-count table is
+    // ≪ the raw stream and everything downstream derives from it — n =
+    // Σc, wc(w) = Σc over both endpoint projections (projections of ONE
+    // aggregate, so both union branches share one exchange), bi = the
+    // c≥10 filter; the persisted frame drops from corpus-token
+    // cardinality to distinct-directed-pair cardinality. All inputs to
+    // the PMI expression stay exact integers, so every output value is
+    // bit-identical (dict ≡ direct pinned in PlanShapeSpec; oracle-exact
+    // at 3 SFs). Below the gate the direct r19 shape is byte-identical:
+    // on the near-uniform bench fixture directed pairs barely collapse
+    // (c ≈ 1), and the same-session A/B measured the ungated dict tier
+    // at 1.20 s steady-min vs 0.84 s direct at sf0.1 — the extra
+    // aggregate + cache is pure overhead when nothing collapses (the
+    // dedup_contamination r20 lesson, applied before shipping this time).
+    val (nDocsPmi, nDistinctPmi) = Dedup.duplicationOf(T.documents(s, d))
+    val minFactor = sys.props.get("graft.pmi.dict.minfactor")
+      .map(_.toDouble).getOrElse(2.0)
+    if (nDistinctPmi == 0 || nDocsPmi < minFactor * nDistinctPmi) {
+      // direct tier: the pre-r20 plan, byte-identical
+      val big = bigrams.persist()
+      val n = big.count().toDouble
+      val uni = big.select(col("w1").as("w")).union(big.select(col("w2").as("w")))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      val bi = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 10)
+      bigramPmiTail(bi, uni, n)
+    } else {
+      val bi0 = FrameCache.cached(
+        bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
+      // coalesce: sum over an empty pair table is NULL where count() was 0
+      val n = bi0.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0).toDouble
+      val uni = bi0.select(col("w1").as("w"), col("c"))
+        .union(bi0.select(col("w2").as("w"), col("c")))
+        .groupBy(col("w")).agg(sum(col("c")).as("wc"))
+      val bi = bi0.filter(col("c") >= 10)
+      bigramPmiTail(bi, uni, n)
+    }
+  }
+
+  /** Shared join/score/rank tail of [[bigramPmi]] — one definition so the
+    * legacy and fused front halves cannot drift. */
+  private def bigramPmiTail(bi: DataFrame, uni: DataFrame, n: Double): DataFrame = {
     bi.join(uni.select(col("w").as("w1"), col("wc").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("wc").as("c2")), "w2")
       // p(xy) = c/n, p(x) = c1/(2n) (uni counts both endpoints, so the
@@ -492,8 +527,30 @@ object TextAnalysis {
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
     val nDocs = T.documents(s, d).count().toDouble
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df from tf, not from a second corpus pass: tf's key set IS the
+    // distinct (doc_id, term) relation, so counting tf rows per term is
+    // exactly the document frequency — and because the df branch is now a
+    // projection of the SAME aggregate the join probes, both plan branches
+    // share one canonicalized exchange (ReusedExchange): the corpus-scale
+    // tokenize → explode → partial-agg subtree runs ONCE instead of twice,
+    // and the df branch shuffles (doc,term) partial-agg rows instead of
+    // the raw token stream (r20, guide §2.3/§2.4; plan diff in
+    // plans/r20/ta_tfidf_{before,after}.txt; fused ≡ legacy pinned in
+    // PlanShapeSpec, legacy via -Dgraft.tfidf.impl=legacy). Counts are
+    // exact integers, so every tfidf value is bit-identical.
+    val df =
+      if (sys.props.get("graft.tfidf.impl").contains("legacy"))
+        tok.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // count(when(tf >= 1, 1)), not count(1): tf ≥ 1 for every group by
+      // construction (count over a non-empty group), so the value is
+      // identical — but the predicate is opaque to NullPropagation/
+      // ColumnPruning, which otherwise rewrite count(tf) → count(1), drop
+      // tf from this branch's copy of the (doc_id, term) aggregate, and
+      // leave the two exchanges canonically different (no ReuseExchange —
+      // observed: the pruned branch plans as a bare distinct)
+      else tf.groupBy(col("term"))
+        .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
     val w = Window.partitionBy(col("doc_id"))
@@ -580,9 +637,28 @@ object TextAnalysis {
     val bigrams = toks.select(posexplode(col("t")).as(Seq("i", "w1")), col("t"))
       .filter(col("i") < size(col("t")) - 1)
       .select(col("w1"), element_at(col("t"), col("i") + 2).as("w2"))
-    val edges = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("w"))
-      .union(bigrams.groupBy(col("w2").as("w1"), col("w1").as("w2"))
-        .agg(count(lit(1)).as("w")))
+    // Symmetrize AFTER the directed-count aggregate, not by re-grouping
+    // the raw bigram stream on the swapped key: count(* ) grouped by
+    // (w2, w1) is exactly the directed-count frame with its two key
+    // columns swapped, so the second union branch can be a projection of
+    // the FIRST aggregate — both branches then share one canonicalized
+    // Exchange (ReuseExchange) and the corpus-scale tokenize → explode →
+    // partial-agg subtree runs ONCE instead of twice (r20: the edge
+    // build's two corpus Scan-parquet branches / exchanges 13+24 in
+    // plans/r20/ta_token_pagerank_before.txt collapse to one +
+    // ReusedExchange in the after plan; the 1× wall is unchanged within
+    // the session's noise — the win is the halved corpus tokenize/
+    // explode/shuffle volume, which scales with the corpus). Counts are
+    // exact integers in both shapes, so the summed edge weights are
+    // bit-identical. Legacy shape reachable via
+    // -Dgraft.pagerank.edges=legacy (spec pins fused ≡ legacy).
+    val directed = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("w"))
+    val swapped =
+      if (sys.props.get("graft.pagerank.edges").contains("legacy"))
+        bigrams.groupBy(col("w2").as("w1"), col("w1").as("w2"))
+          .agg(count(lit(1)).as("w"))
+      else directed.select(col("w2").as("w1"), col("w1").as("w2"), col("w"))
+    val edges = directed.union(swapped)
       .groupBy(col("w1"), col("w2")).agg(sum(col("w")).as("w"))
       .persist()
     // out and pr are vocab-bounded (one row per node — broadcastable at

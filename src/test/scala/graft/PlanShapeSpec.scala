@@ -131,6 +131,82 @@ class PlanShapeSpec extends SparkSpec {
       s"fallback ranking diverged:\n  bcast=${a.mkString(",")}\n  fall =${b.mkString(",")}")
   }
 
+  test("ta_token_pagerank: symmetrized edge build reuses one corpus exchange, same results") {
+    // r20: the swapped union branch is a projection of the FIRST directed
+    // aggregate, so both branches share one canonicalized exchange and the
+    // corpus tokenize→explode→partial-agg subtree runs once. Pin (a) the
+    // fused plan carries a ReusedExchange, and (b) the ranking is
+    // IDENTICAL to the legacy re-group-the-raw-bigrams shape (counts are
+    // exact integers, so symmetrize-after-agg cannot move a weight).
+    val fused = SparkEntry.queries("ta_token_pagerank")(spark, sf001)
+    val fusedRows = fused.collect().map(r => (r.getString(0), r.getDouble(1)))
+    sys.props("graft.pagerank.edges") = "legacy"
+    try {
+      val legacy = SparkEntry.queries("ta_token_pagerank")(spark, sf001)
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(fusedRows.sameElements(legacy),
+        s"fused edge build diverged:\n  fused =${fusedRows.mkString(",")}\n  legacy=${legacy.mkString(",")}")
+    } finally sys.props.remove("graft.pagerank.edges")
+    // the reuse shows on the edge frame itself (the registered query's
+    // executed plan prints cached subtrees, burying the marker)
+    val edgePlan = fused.queryExecution.executedPlan.toString
+    assert(edgePlan.contains("ReusedExchange"),
+      s"symmetrized union must reuse the directed-count exchange:\n$edgePlan")
+  }
+
+  test("ta_tfidf: df derives from tf (one corpus pass, reused exchange), same results") {
+    // r20: tf's key set IS the distinct (doc_id, term) relation, so
+    // df = count of tf rows per term — the second corpus explode +
+    // distinct is gone and the df branch reuses tf's exchange. Pin the
+    // full output against the legacy two-pass shape and the ReusedExchange
+    // marker in the fused plan.
+    val fused = SparkEntry.queries("ta_tfidf")(spark, sf001)
+    val fusedRows = fused.collect().map(_.toSeq)
+    sys.props("graft.tfidf.impl") = "legacy"
+    try {
+      val legacy = SparkEntry.queries("ta_tfidf")(spark, sf001).collect().map(_.toSeq)
+      assert(fusedRows.toSeq == legacy.toSeq,
+        s"ta_tfidf fused diverged (${fusedRows.length} vs ${legacy.length} rows)")
+    } finally sys.props.remove("graft.tfidf.impl")
+    assert(fused.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "df-from-tf must reuse the tf exchange")
+  }
+
+  test("ta_bigram_pmi: duplication-gated dict tier matches the direct shape both ways") {
+    // r20: past the duplication gate, n/uni/bi derive from the
+    // vocab²-bounded directed-count aggregate instead of a corpus-scale
+    // raw-bigram persist; all inputs are exact integers, so the PMI
+    // doubles are bit-identical. Force the gate BOTH ways (the dict-tier
+    // convention: minfactor 0 = always dict, huge = never).
+    sys.props("graft.pmi.dict.minfactor") = "1e18"
+    val direct =
+      try SparkEntry.queries("ta_bigram_pmi")(spark, sf001).collect().map(_.toSeq)
+      finally sys.props.remove("graft.pmi.dict.minfactor")
+    sys.props("graft.pmi.dict.minfactor") = "0"
+    try {
+      val dict = SparkEntry.queries("ta_bigram_pmi")(spark, sf001).collect().map(_.toSeq)
+      assert(dict.toSeq == direct.toSeq,
+        s"ta_bigram_pmi dict tier diverged (${dict.length} vs ${direct.length} rows)")
+    } finally sys.props.remove("graft.pmi.dict.minfactor")
+  }
+
+  test("bloom contracts: fused never-inserted aggregate matches the legacy two-pass counts") {
+    // r20: (n_new, n_false_pos) come from ONE aggregate over the
+    // anti-joined never-inserted set instead of two sequential count jobs
+    // (and the build scans the persisted DISTINCT key set, which is
+    // bit-identical — inserting a key twice ORs the same bits). Pin the
+    // full contract row against the legacy shape for both filters.
+    for (q <- Seq("sketch_bloom_contract", "sketch_bloom_faithful_contract")) {
+      val fused = SparkEntry.queries(q)(spark, sf001).collect().map(_.toSeq)
+      sys.props("graft.bloom.contract") = "legacy"
+      try {
+        val legacy = SparkEntry.queries(q)(spark, sf001).collect().map(_.toSeq)
+        assert(fused.toSeq == legacy.toSeq,
+          s"$q: fused contract row diverged: fused=${fused.toSeq} legacy=${legacy.toSeq}")
+      } finally sys.props.remove("graft.bloom.contract")
+    }
+  }
+
   test("rel_pricing_summary: whole-stage codegen covers the aggregate path") {
     // AQE shows codegen spans only in the FINAL adaptive plan, so this
     // one guard executes the (sf0.001, sub-second) query first
